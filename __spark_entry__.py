@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (the reference's V1 semantics:
+per-pixel temporal mean composite + per-image min-max normalization,
+SURVEY.md §7) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the full
+operator catalog from ``gee_datapipeline_spark.plans`` for the DuckDB
+differential gate at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +12,38 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.catalog import load_table
+from gee_datapipeline_spark.operators import composites, windows
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference V1 pipeline re-expressed
+    (DataDownloader_V1.py:94-153) — filter → per-(pixel,dataset,day) mean
+    composite (A1) → per-(dataset,day) min-max normalize (W1)."""
+    events = load_table(spark, SMOKE_SF_DIR, "events").withColumn(
+        "date", F.to_date("ts")
+    )
+    composite = composites.mean_composite(
+        events, ["user_id", "event_type", "date"]
+    )
+    return windows.minmax_normalize(
+        composite, ["event_type", "date"], value="mean_value"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from gee_datapipeline_spark.plans import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query above."""
+    from gee_datapipeline_spark.plans import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

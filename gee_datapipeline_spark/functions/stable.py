@@ -1,0 +1,51 @@
+"""Cross-engine deterministic aggregates.
+
+Floating-point ``SUM``/``AVG`` over doubles is order-dependent, and Spark's
+shuffle order differs from DuckDB's scan order — so a differential test
+that hash-compares values would flake. The fix: route the aggregate through
+``DECIMAL(30, 6)``, whose addition is exact and associative, then cast the
+finished aggregate back to ``DOUBLE`` and round. Per-row double arithmetic
+(the expression *inside* the sum) is IEEE-deterministic in both engines, so
+the decimal quantization sees identical inputs and the whole pipeline is
+bit-reproducible regardless of partitioning or degree of parallelism.
+
+This matters beyond testing: at 100 TB a re-run of the same query should
+produce the same bytes (idempotent backfills, diffable outputs). The ~6
+fractional digits of quantization is far below measurement noise for every
+domain quantity in the model (SURVEY.md §6: pollutant densities ~1e-2,
+FRP in MW ~1e2, prices ~1e4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DECIMAL = "decimal(30,6)"
+# For unit-scale quantities (embeddings, ratios) use a finer quantum.
+DECIMAL_FINE = "decimal(38,12)"
+
+
+def stable_sum(col: Column | str, scale: int = 2, dec: str = DECIMAL) -> Column:
+    """Order-independent SUM of a double expression, rounded to `scale`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(dec)).cast("double"), scale)
+
+
+def stable_avg(col: Column | str, scale: int = 6, dec: str = DECIMAL) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(dec)).cast("double") / F.count(c), scale)
+
+
+def sql_stable_sum(expr: str, scale: int = 2, dec: str = DECIMAL) -> str:
+    """DuckDB-side mirror of :func:`stable_sum`."""
+    return f"round(cast(sum(cast(({expr}) as {dec})) as double), {scale})"
+
+
+def sql_stable_avg(expr: str, scale: int = 6, dec: str = DECIMAL) -> str:
+    """DuckDB-side mirror of :func:`stable_avg`."""
+    return (
+        f"round(cast(sum(cast(({expr}) as {dec})) as double)"
+        f" / count({expr}), {scale})"
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis column builders (LLM-data-pipeline surface).
+
+Everything is a pure Catalyst expression — tokenization, shingling,
+quality ratios and the language-ID heuristic are built from
+``split``/``transform``/``filter``/``aggregate`` higher-order functions, so
+the hot path stays JVM-side with whole-stage codegen. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+PUNCT_CLASS = "[.,!?;:]"
+
+# Tiny per-language marker sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic — the point is the
+# operator shape (vectorized scoring + argmax), not linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "de", "que", "es"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), WHITESPACE)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash/Jaccard input unit)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _in_set(x: Column, words: tuple[str, ...]) -> Column:
+    cond = x == words[0]
+    for w in words[1:]:
+        cond = cond | (x == w)
+    return cond
+
+
+def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda x: _in_set(x, words))).cast("long")
+
+
+def punct_ratio(text: Column, scale: int = 6) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    total = F.length(text)
+    stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.round((total - stripped) / total, scale)
+
+
+def avg_token_len(text: Column, scale: int = 6) -> Column:
+    """Mean token length = non-whitespace chars / token count."""
+    non_ws = F.length(F.regexp_replace(F.trim(text), WHITESPACE, ""))
+    return F.round(non_ws / token_count(text), scale)
+
+
+def quality_score(text: Column, scale: int = 6) -> Column:
+    """Composite quality heuristic: stopword density + moderate token
+    length + low punctuation. Deterministic double arithmetic."""
+    toks = tokens(text)
+    sw_ratio = stopword_count(toks) / F.size(toks)
+    len_term = F.least(avg_token_len(text, 12) / F.lit(10.0), F.lit(1.0))
+    return F.round(
+        0.4 * sw_ratio + 0.3 * len_term + 0.3 * (1.0 - punct_ratio(text, 12)),
+        scale,
+    )
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts (the n-gram language-ID signal)."""
+    return {
+        lang: F.size(F.filter(toks, lambda x: _in_set(x, words))).cast("long")
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax of the marker scores with a fixed tie-break order
+    (en > de > fr > es > zh); 'und' (undetermined) when no marker hits."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es", "zh"):
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-collapsed, lower-cased
+    text — the near-exact dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), WHITESPACE, " ")))

@@ -1,0 +1,90 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference's joins are implicit — clip-by-geometry (a spatial semi-join,
+DataDownloader_V1.py:145) and map overlays (point-proximity,
+DataDownloader_V2.py:96-102). This module provides the queryable forms,
+each planned so its shuffle behavior is predictable at 100 TB:
+
+- equi joins (J3) — plain ``df.join``; Catalyst/AQE picks broadcast vs
+  sort-merge, and the helpers here only add explicit ``broadcast()`` where
+  one side is known dimension-sized.
+- interval/as-of joins (J4) — a broadcast range join against a bucketized
+  spine. Spark has no native as-of join; the scalable form equi-joins on a
+  coarse bucket of the range key first so the theta predicate only runs
+  within a bucket.
+- proximity joins (J2) — bbox prefilter + haversine, with a grid-cell
+  (bucketed) variant that turns the cross product into an equi-join on
+  cell id; see ``functions.geo`` for the geo-specific pieces.
+- anti/semi joins (J1/J5) — ``left_semi`` / ``left_anti``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J3 — pixel-grid / star-schema equi-join."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on), how=how)
+
+
+def interval_join(
+    facts: DataFrame,
+    spine: DataFrame,
+    ts_col: str,
+    start_col: str = "month_start",
+    end_col: str = "month_end",
+    broadcast_spine: bool = True,
+) -> DataFrame:
+    """J4 — attach each fact row to the calendar interval containing it
+    (the monthly-composite attachment of DataDownloader_V2.py:170-183).
+
+    The spine is calendar-sized (hundreds of rows), so it broadcasts and
+    the range predicate is evaluated map-side — a BroadcastNestedLoopJoin
+    whose inner side is tiny, which is the right physical plan. For a
+    non-tiny right side, bucketize both sides on ``date_trunc`` first and
+    equi-join on the bucket.
+    """
+    s = F.broadcast(spine) if broadcast_spine else spine
+    cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    return facts.join(s, cond, "inner")
+
+
+def value_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: Sequence[str],
+    left_val: str,
+    right_val: str,
+    tolerance: float,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """J2 (1-D form) — rows whose values lie within ``tolerance`` after an
+    equi prefilter. The equi keys do the heavy pruning (hash join), the
+    theta predicate is a post-join filter — the same shape as the spatial
+    bbox-prefilter + haversine join."""
+    r = F.broadcast(right) if broadcast_right else right
+    joined = left.join(r, on=list(equi_keys), how="inner")
+    return joined.filter(
+        F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(tolerance)
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, cond, how: str = "left_semi"):
+    """J1 — EXISTS-style pruning (clip semantics)."""
+    return left.join(right, cond, how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, cond):
+    """J5 — NOT EXISTS (gap detection)."""
+    return left.join(right, cond, "left_anti")

@@ -1,0 +1,81 @@
+"""Window-function operators (SURVEY.md §2.5, §2.6).
+
+W1 — the reference min-max-normalizes every raster against its own global
+min/max: ``(img - min) / (max - min + 1e-6)`` (DataDownloader_V1.py:62).
+Set-based, that is an unbounded window over the image key: the min/max
+travel with each row instead of being collected to the driver. Spark plans
+this as a single shuffle on the partition key shared by all three window
+aggregates — no extra pass versus the eager two-phase NumPy version.
+
+O3 — top-k per group ("most intense fires per district") via row_number.
+For a *global* top-k, prefer ``orderBy(...).limit(k)`` which Spark plans
+as TakeOrderedAndProject (no total sort at scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NORMALIZE_EPS = 1e-6  # division guard, DataDownloader_V1.py:62
+
+
+def minmax_normalize(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    value: str = "value",
+    out: str = "norm_value",
+    scale: int = 6,
+    zero_preserving: bool = False,
+) -> DataFrame:
+    """W1 — per-image min-max normalization.
+
+    ``zero_preserving=True`` reproduces the FRP variant
+    (DataDownloader_SNPP_VIIRS_V1.py:78-82, fix_transparency.py:21-28):
+    zeros stay zero (transparent pixels), only positive values are scaled
+    against the positive min/max.
+    """
+    w = Window.partitionBy(*partition_keys)
+    v = F.col(value)
+    if zero_preserving:
+        pos = F.when(v > 0, v)
+        lo, hi = F.min(pos).over(w), F.max(pos).over(w)
+        norm = F.when(
+            v > 0, (v - lo) / (hi - lo + F.lit(NORMALIZE_EPS))
+        ).otherwise(F.lit(0.0))
+    else:
+        lo, hi = F.min(v).over(w), F.max(v).over(w)
+        norm = (v - lo) / (hi - lo + F.lit(NORMALIZE_EPS))
+    return df.withColumn(out, F.round(norm, scale))
+
+
+def latest_per_group(
+    df: DataFrame, partition_keys: Sequence[str], order_col: Column | str
+) -> DataFrame:
+    """W2 — latest row per group (the slider's latest-date default,
+    index_viirs_frp.html:186)."""
+    c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*partition_keys).orderBy(c.desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_keys: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """O3 — top-k rows per group. ``order_cols`` must form a deterministic
+    total order (append a unique id as tiebreaker) or results are
+    partition-order dependent."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

@@ -1,0 +1,403 @@
+"""Relational operator queries over the star-schema driver tables.
+
+These exercise the join/calendar/string surface of SURVEY.md §2.3/§2.8 on
+``lineitem/orders/customer/supplier/part/nation`` — the shapes the engine
+must plan well at 100 TB: broadcast the dimension side, shuffle the fact
+side once, push every filter into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from ..operators.joins import interval_join, value_proximity_join
+from .registry import Query, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ------------------------------------------------- TPC-H Q1 flagship agg
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic pricing-summary report: scan-side filter + 8-way
+    aggregate. The same shape as the reference's composite+stats pass
+    (A1/A3/A5 in one group-by). Filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity").alias("sum_qty"),
+            stable_sum("l_extendedprice").alias("sum_base_price"),
+            stable_sum(disc_price).alias("sum_disc_price"),
+            stable_sum(charge).alias("sum_charge"),
+            stable_avg("l_quantity").alias("avg_qty"),
+            stable_avg("l_extendedprice").alias("avg_price"),
+            stable_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    Query(
+        name="pricing_summary",
+        spark=_pricing_summary,
+        oracle=f"""
+            SELECT l_returnflag, l_linestatus,
+                   {sql_stable_sum('l_quantity')} AS sum_qty,
+                   {sql_stable_sum('l_extendedprice')} AS sum_base_price,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   {sql_stable_avg('l_quantity')} AS avg_qty,
+                   {sql_stable_avg('l_extendedprice')} AS avg_price,
+                   {sql_stable_avg('l_discount')} AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-08-06 00:00:00'
+            GROUP BY 1, 2
+        """,
+        tags=("A1", "A3", "A5", "aggregation", "tpch"),
+    )
+)
+
+# ------------------------------------------------------ J3 star join + O3
+
+
+def _star_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 + O3 — three-way star join with a global top-k
+    (TakeOrderedAndProject; no total sort at scale). The customer
+    dimension filter is applied before the join so only BUILDING
+    customers shuffle."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(stable_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+register(
+    Query(
+        name="star_join_topk",
+        spark=_star_join_topk,
+        oracle=f"""
+            SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+              AND l_shipdate  > TIMESTAMP '2000-01-01 00:00:00'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        tags=("J3", "O3", "join", "tpch"),
+    )
+)
+
+# ------------------------------------------------- J2 value-proximity join
+
+
+def _proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (1-D analog) — equi-prefiltered theta join: customer/supplier
+    pairs in the same nation with account balances within ±5. The same
+    plan shape as the spatial bbox-prefilter + haversine join: hash join
+    on the coarse key, theta predicate as a residual filter, small side
+    broadcast (the amenity tables are 12-5130 rows, SURVEY.md §0)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_acctbal"
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_suppkey", "s_acctbal"
+    )
+    pairs = value_proximity_join(
+        cust, supp, ["nationkey"], "c_acctbal", "s_acctbal", tolerance=5.0
+    )
+    return pairs.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+register(
+    Query(
+        name="proximity_pairs",
+        spark=_proximity_pairs,
+        oracle="""
+            SELECT c_nationkey AS nationkey, count(*) AS n_pairs
+            FROM customer JOIN supplier
+              ON c_nationkey = s_nationkey
+             AND abs(c_acctbal - s_acctbal) <= 5.0
+            GROUP BY 1
+        """,
+        tags=("J2", "join"),
+    )
+)
+
+# ---------------------------------------------------- J4 interval join
+
+
+def _interval_join_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — attach facts to the calendar interval containing them (the
+    monthly-composite loop, DataDownloader_V2.py:170-183, as a broadcast
+    range join against a month spine)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.to_date("l_shipdate")
+    )
+    months = (
+        li.select(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("month_start")
+        )
+        .distinct()
+        .select(
+            "month_start",
+            F.last_day(F.col("month_start")).alias("month_end"),
+            F.date_format("month_start", "yyyy-MM").alias("month_label"),
+        )
+    )
+    joined = interval_join(li, months, "ship_date")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("month_label").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum(revenue).alias("revenue"),
+    )
+
+
+register(
+    Query(
+        name="interval_join_monthly",
+        spark=_interval_join_monthly,
+        oracle=f"""
+            WITH months AS (
+                SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start
+                FROM lineitem
+            ),
+            spine AS (
+                SELECT month_start, last_day(month_start) AS month_end,
+                       strftime(month_start, '%Y-%m') AS month_label
+                FROM months
+            )
+            SELECT month_label, count(*) AS n_items,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem JOIN spine
+              ON CAST(l_shipdate AS DATE) BETWEEN month_start AND month_end
+            GROUP BY 1
+        """,
+        tags=("J4", "F1", "join"),
+    )
+)
+
+# ------------------------------------------------------------ J5 anti join
+
+
+def _parts_no_recent_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — anti-join gap detection on a dimension: parts with no
+    shipment after 2001-06-01 (the "No … data available" check,
+    DataDownloader_V1.py:100-129, as NOT EXISTS)."""
+    part = _t(spark, sf_dir, "part")
+    recent = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    missing = part.join(
+        recent, part.p_partkey == recent.l_partkey, "left_anti"
+    )
+    return missing.groupBy("p_type").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+register(
+    Query(
+        name="parts_no_recent_ship",
+        spark=_parts_no_recent_ship,
+        oracle="""
+            SELECT p_type, count(*) AS n_parts
+            FROM part
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey
+                  AND l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+            )
+            GROUP BY 1
+        """,
+        tags=("J5", "join"),
+    )
+)
+
+# ------------------------------------------------------------ J1 semi join
+
+
+def _active_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — semi-join pruning (clip semantics,
+    DataDownloader_V1.py:145): customers with ≥1 order in 2001."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    active = cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_semi"
+    )
+    return active.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+register(
+    Query(
+        name="active_customers_semi",
+        spark=_active_customers_semi,
+        oracle="""
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+            )
+            GROUP BY 1
+        """,
+        tags=("J1", "join"),
+    )
+)
+
+# ---------------------------------------------------------- set operations
+
+
+def _set_except_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — partition-diff via EXCEPT: months with shipments but no
+    new orders (which months exported vs expected,
+    DataDownloader_V2.py:189)."""
+    li_months = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month"))
+        .distinct()
+    )
+    o_months = (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .distinct()
+    )
+    return li_months.exceptAll(o_months)
+
+
+register(
+    Query(
+        name="set_except_months",
+        spark=_set_except_months,
+        oracle="""
+            SELECT DISTINCT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), '%Y-%m-%d') AS month
+            FROM lineitem
+            EXCEPT
+            SELECT DISTINCT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month
+            FROM orders
+        """,
+        tags=("setop",),
+    )
+)
+
+# ------------------------------------------------------------ F1 date math
+
+
+def _month_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — the monthly driver's date arithmetic as columns: month
+    bucket, clamped month end, next month, label
+    (DataDownloader_V2.py:170-183; December wrap SNPP:229-232)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.withColumn(
+            "month_start", F.date_trunc("month", "o_orderdate").cast("date")
+        )
+        .groupBy("month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_sum("o_totalprice").alias("total_price"),
+        )
+    )
+    return monthly.select(
+        F.date_format("month_start", "yyyy-MM-dd").alias("month_start_s"),
+        F.date_format(F.last_day("month_start"), "yyyy-MM-dd").alias("month_end_s"),
+        F.date_format(F.add_months("month_start", 1), "yyyy-MM-dd").alias("next_month_s"),
+        F.date_format("month_start", "yyyy-MM").alias("month_label"),
+        "n_orders",
+        "total_price",
+    )
+
+
+register(
+    Query(
+        name="month_math",
+        spark=_month_math,
+        oracle=f"""
+            SELECT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start_s,
+                   strftime(last_day(CAST(date_trunc('month', o_orderdate) AS DATE)), '%Y-%m-%d') AS month_end_s,
+                   strftime(CAST(CAST(date_trunc('month', o_orderdate) AS DATE)
+                        + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS next_month_s,
+                   strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m') AS month_label,
+                   count(*) AS n_orders,
+                   {sql_stable_sum('o_totalprice')} AS total_price
+            FROM orders
+            GROUP BY 1, 2, 3, 4
+        """,
+        tags=("F1", "scalar"),
+    )
+)
+
+# ---------------------------------------------------------- F5 string funcs
+
+
+def _string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — the filename-templating string surface: upper, concat_ws,
+    prefix test, replace (DataDownloader_V2.py:49,77,87;
+    fix_transparency.py:48)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_type").alias("type_u"),
+        F.concat_ws("_", F.col("p_brand"), F.col("p_size").cast("string")).alias(
+            "part_tag"
+        ),
+        F.when(F.col("p_name").startswith("small"), 1).otherwise(0).alias(
+            "is_small"
+        ),
+        F.regexp_replace("p_name", " ", "-").alias("slug"),
+    )
+
+
+register(
+    Query(
+        name="string_funcs",
+        spark=_string_funcs,
+        oracle="""
+            SELECT p_partkey,
+                   upper(p_type) AS type_u,
+                   concat_ws('_', p_brand, CAST(p_size AS VARCHAR)) AS part_tag,
+                   CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END AS is_small,
+                   replace(p_name, ' ', '-') AS slug
+            FROM part
+        """,
+        tags=("F5", "scalar"),
+    )
+)

@@ -1,0 +1,171 @@
+"""Similarity-search queries over the ``embeddings`` table
+(LLM-data-pipeline surface; BASELINE.json north star).
+
+Brute-force cosine top-k is the oracle-checked correctness baseline; the
+LSH-bucketed scale path is registered separately (rows-only + recall test
+against this baseline in ``tests/test_similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.similarity import (
+    cosine,
+    decimal_dot,
+    sq_norm,
+    sql_decimal_dot,
+)
+from ..functions.stable import sql_stable_avg, stable_avg
+from .registry import Query, register
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# -------------------------------------------------------------- norms
+
+
+def _embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene scan: dimensionality + squared L2 norm per vector
+    (catches truncated/unnormalized vectors before they poison ANN)."""
+    e = _emb(spark, sf_dir)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq_norm(F.col("embedding")), 6).alias("sq_norm"),
+    )
+
+
+register(
+    Query(
+        name="embedding_norms",
+        spark=_embedding_norms,
+        oracle=f"""
+            SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+                   round({sql_decimal_dot('embedding', 'embedding')}, 6) AS sq_norm
+            FROM embeddings
+        """,
+        tags=("similarity",),
+    )
+)
+
+# ---------------------------------------------------------- centroids
+
+
+def _embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids via posexplode → group-by(label, dim) — the
+    unpivot-then-aggregate shape that scales (no giant array reduce on a
+    single node)."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    return exploded.groupBy("label", "dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)").alias("centroid"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+
+
+register(
+    Query(
+        name="embedding_centroids",
+        spark=_embedding_centroids,
+        oracle=f"""
+            WITH flat AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT label, dim,
+                   {sql_stable_avg('v', 6, 'decimal(38,12)')} AS centroid,
+                   count(*) AS n_vecs
+            FROM flat
+            GROUP BY 1, 2
+        """,
+        tags=("similarity", "aggregation"),
+    )
+)
+
+# ------------------------------------------------------ brute-force ANN
+
+
+def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for the probe vectors.
+
+    Plan shape: the tiny probe set broadcasts; candidates stream through
+    a map-side nested-loop against it (no shuffle of the big side until
+    the final per-probe top-k window, which is k-bounded)."""
+    e = _emb(spark, sf_dir)
+    with_norm = e.withColumn("norm", F.sqrt(sq_norm(F.col("embedding"))))
+    probes = (
+        with_norm.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    cands = with_norm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    pairs = cands.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "neighbor_id",
+        F.round(
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= TOP_K
+    )
+
+
+register(
+    Query(
+        name="ann_bruteforce",
+        spark=_ann_bruteforce,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       sqrt({sql_decimal_dot('embedding', 'embedding')}) AS norm
+                FROM embeddings
+            ),
+            probes AS (
+                SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm
+                FROM base WHERE vec_id < {N_QUERIES}
+            ),
+            pairs AS (
+                SELECT q_id, c.vec_id AS neighbor_id,
+                       round({sql_decimal_dot('q_emb', 'c.embedding')}
+                             / (q_norm * c.norm), 6) AS cos_sim
+                FROM probes CROSS JOIN base c
+                WHERE c.vec_id != q_id
+            )
+            SELECT q_id, neighbor_id, cos_sim, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+                FROM pairs
+            ) WHERE rk <= {TOP_K}
+        """,
+        tags=("similarity", "join", "window"),
+    )
+)

@@ -1,0 +1,325 @@
+"""Text-analysis + dedup queries over the ``documents`` table
+(LLM-data-pipeline surface; BASELINE.json north star).
+
+All SQL-expressible variants carry a DuckDB oracle. MinHash-LSH and
+SimHash (hash-function-dependent, not portably SQL-expressible) are
+registered in this module as rows-only queries and verified against exact
+Jaccard in ``tests/test_text_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from ..functions.stable import sql_stable_avg, stable_avg
+from .registry import Query, register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+    At 100 TB this is one shuffle on the 128-bit content hash (never on
+    the raw text)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+register(
+    Query(
+        name="dedup_exact",
+        spark=_dedup_exact,
+        oracle="""
+            SELECT md5(text) AS text_hash, count(*) AS dup_count,
+                   min(doc_id) AS keeper_id
+            FROM documents
+            GROUP BY 1
+        """,
+        tags=("dedup",),
+    )
+)
+
+# ------------------------------------------------------ fingerprint dedup
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup key: md5 over whitespace-normalized lowercase
+    text."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", X.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+register(
+    Query(
+        name="doc_fingerprint",
+        spark=_doc_fingerprint,
+        oracle=r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        tags=("dedup", "F5"),
+    )
+)
+
+# ------------------------------------------------------------ token count
+
+
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (the BPE-ish regex variant is in
+    functions.text)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+register(
+    Query(
+        name="token_count",
+        spark=_token_count,
+        oracle=r"""
+            SELECT doc_id,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+                   len(text) AS n_chars_actual
+            FROM documents
+        """,
+        tags=("text",),
+    )
+)
+
+# ----------------------------------------------------------- text quality
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token stats + punctuation/stopword ratios +
+    composite score, all Catalyst expressions."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    toks = X.tokens(t)
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.avg_token_len(t).alias("avg_token_len"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        F.round(X.stopword_count(toks) / F.size(toks), 6).alias(
+            "stopword_ratio"
+        ),
+        X.quality_score(t).alias("quality_score"),
+    )
+
+
+_SW = "', '".join(X.STOPWORDS)
+
+register(
+    Query(
+        name="text_quality",
+        spark=_text_quality,
+        oracle=rf"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks,
+                       len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+                       len(regexp_replace(trim(text), '\s+', '', 'g'))
+                           / CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS atl,
+                       (len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                           / CAST(len(text) AS DOUBLE) AS pr
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(atl, 6) AS avg_token_len,
+                   round(pr, 6) AS punct_ratio,
+                   round(len(list_filter(toks, x -> x IN ('{_SW}')))
+                         / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+                   round(0.4 * (len(list_filter(toks, x -> x IN ('{_SW}')))
+                                / CAST(n_tokens AS DOUBLE))
+                         + 0.3 * least(round(atl, 12) / 10.0, 1.0)
+                         + 0.3 * (1.0 - round(pr, 12)), 6) AS quality_score
+            FROM base
+        """,
+        tags=("text",),
+    )
+)
+
+# ----------------------------------------------------------- lang profile
+
+
+def _lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        stable_avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+register(
+    Query(
+        name="lang_profile",
+        spark=_lang_profile,
+        oracle=f"""
+            SELECT lang, count(*) AS n_docs,
+                   {sql_stable_avg('n_chars')} AS avg_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents
+            GROUP BY 1
+        """,
+        tags=("text", "aggregation"),
+    )
+)
+
+# ------------------------------------------------------- lang-ID heuristic
+
+
+def _lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-set language ID: per-language hit counts + argmax with a
+    fixed tie-break (functions.text.lang_id)."""
+    docs = _docs(spark, sf_dir)
+    toks = X.tokens(F.col("text"))
+    scores = X.lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(X.LANG_MARKERS)],
+        X.lang_id(toks).alias("pred_lang"),
+    )
+
+
+def _sql_lang_score(words: tuple[str, ...]) -> str:
+    ws = "', '".join(words)
+    return (
+        rf"len(list_filter(string_split_regex(lower(trim(text)), '\s+'), "
+        rf"x -> x IN ('{ws}')))"
+    )
+
+
+_SCORES = {lang: _sql_lang_score(w) for lang, w in X.LANG_MARKERS.items()}
+_BEST = "greatest({})".format(", ".join(_SCORES.values()))
+
+register(
+    Query(
+        name="lang_id_heuristic",
+        spark=_lang_id_heuristic,
+        oracle=f"""
+            SELECT doc_id,
+                   {_SCORES['de']} AS score_de,
+                   {_SCORES['en']} AS score_en,
+                   {_SCORES['es']} AS score_es,
+                   {_SCORES['fr']} AS score_fr,
+                   {_SCORES['zh']} AS score_zh,
+                   CASE WHEN {_BEST} = 0 THEN 'und'
+                        WHEN {_SCORES['en']} = {_BEST} THEN 'en'
+                        WHEN {_SCORES['de']} = {_BEST} THEN 'de'
+                        WHEN {_SCORES['fr']} = {_BEST} THEN 'fr'
+                        WHEN {_SCORES['es']} = {_BEST} THEN 'es'
+                        ELSE 'zh' END AS pred_lang
+            FROM documents
+        """,
+        tags=("text",),
+    )
+)
+
+# ------------------------------------------------- n-gram Jaccard near-dup
+
+
+JACCARD_THRESHOLD = 0.05
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact word-3-gram Jaccard.
+
+    Shape: shingle-explode → self equi-join on shingle → per-pair common
+    count → Jaccard from per-doc shingle counts. The equi-join on the
+    shingle key is the scalable trick — no all-pairs cross product; at
+    100 TB hot shingles are the skew risk and AQE skew-join handles them
+    (salting hook in functions.dedup for the extreme tail)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(X.shingles(X.tokens(F.col("text")))).alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+register(
+    Query(
+        name="ngram_jaccard_pairs",
+        spark=_ngram_jaccard_pairs,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE round(n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE), 6)
+                  >= {JACCARD_THRESHOLD}
+        """,
+        tags=("dedup", "join"),
+    )
+)

@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[N]`` (single JVM); the configuration is chosen
+so the same code is correct and fast on a multi-executor cluster:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic join strategy) —
+  at 100 TB the static plan is always wrong somewhere; AQE re-plans from
+  observed shuffle statistics.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster this should be ~2-3x total executor cores (AQE coalesces
+  down, it never splits a too-small setting).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Arrow enabled for every pandas interchange (pandas_udf / applyInPandas /
+  toPandas) — the only acceptable Python boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "gee_datapipeline_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
