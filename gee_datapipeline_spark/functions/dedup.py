@@ -1,0 +1,293 @@
+"""Near-duplicate detection at scale: MinHash + LSH and SimHash.
+
+Why these exist (LLM-data-pipeline surface): exact dedup
+(``plans.text_queries.dedup_exact``) and exact n-gram Jaccard
+(``ngram_jaccard_pairs``) are the correctness baselines, but the exact
+pairwise path is quadratic in candidate density. MinHash-LSH reduces it to
+an equi-join on band buckets — the only shape that survives 100 TB:
+
+    shingle → k minhashes (per-row, no shuffle)
+    → b bands of r rows each (k = b·r)
+    → explode bands → equi-join on (band_id, band_hash)
+    → estimate Jaccard from signature agreement, threshold.
+
+Everything is Catalyst higher-order functions over the shingle array —
+signatures are computed per row with zero shuffles; the only shuffle is
+the band-bucket join, which AQE skew-handles. ``xxhash64(seed, value)``
+supplies the k hash families (JVM-side, deterministic).
+
+SimHash: 64-bit fingerprint whose Hamming distance approximates cosine
+distance over the token multiset; banded by 16-bit chunks for the same
+equi-join trick.
+
+Hash-function outputs are engine-specific, so these operators are
+rows-only in the oracle gate; ``tests/test_text_dedup.py`` verifies the
+MinHash Jaccard estimate against the exact Jaccard oracle query and the
+SimHash/ LSH recall on constructed near-duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8  # 8 bands x 4 rows = 32 hashes
+
+
+def minhash_signature(
+    shingle_arr: Column, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """k-permutation MinHash signature of a string-array column.
+
+    ``sig[i] = min over shingles of xxhash64(i, shingle)`` — one pass per
+    row. Empty shingle sets yield an all-NULL signature.
+
+    PERFORMANCE: nested higher-order functions are interpreted (no
+    whole-stage codegen), so this per-row form is only for small inputs
+    (tests, ad-hoc). The pipeline path is :func:`minhash_signatures_df`
+    — explode + codegen'd hash aggregate — which is both ~100x faster
+    per core and shuffle-parallel at cluster scale."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingle_arr, lambda s: F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_signatures_df(
+    shingle_rows: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Signatures from (doc_id, shingle) rows via a 32-way min
+    hash-aggregate (codegen'd, map-side partial aggregation; the shuffle
+    carries one 32-long row per doc per input partition). Returns
+    (doc_id, sig array<long>). Input comes from
+    ``functions.text.shingles_df``."""
+    mins = shingle_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_bands(
+    sig: Column, num_bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES
+) -> Column:
+    """Hash each band (contiguous signature slice) to one bucket key.
+
+    Returns ``array<struct<band_id int, band_hash bigint>>``; explode and
+    equi-join on both fields. Two docs collide in a band iff that whole
+    slice agrees — the classic (b, r) S-curve. Band indices are Python
+    constants, so this is a flat (codegen-friendly) expression — no
+    nested lambdas."""
+    rows_per_band = num_hashes // num_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.get(sig, b * rows_per_band + j).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                ).alias("band_hash"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def signature_agreement(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing minhash positions."""
+    eq = F.zip_with(
+        sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)
+    )
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.size(sig_a)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: Column,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    Plan: shingle rows (codegen, shuffle-parallel) → 32-way min
+    aggregate → band explode → self equi-join on (band_id, band_hash) →
+    distinct pairs → signature agreement filter. The band join replaces
+    the all-pairs cross product; candidate count is driven by the
+    (b, r) S-curve, not n²."""
+    from .text import shingles_df
+
+    sh = shingles_df(docs, id_col, text_col, shingle_n)
+    sigs = minhash_signatures_df(sh, num_hashes)
+
+    # Signatures ride along through the band join (they're k longs per
+    # row — cheap) so no extra join recomputes them; the two join sides
+    # are identical subplans, which Spark's ReuseExchange shares.
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            signature_agreement(F.col("sig_a"), F.col("sig_b")), 6
+        ).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash64(tokens_arr: Column, num_bits: int = 64) -> Column:
+    """64-bit SimHash of a token array.
+
+    For each bit b: sum over token hashes of (+1 if bit b set else -1);
+    fingerprint bit b is 1 iff the sum is positive. The token array is
+    hashed once (``transform``), then each bit's vote is one ``aggregate``
+    over the hash array — all JVM-side, per-row, no shuffle. Bit indices
+    are compile-time constants (shift amounts must be Python ints), so
+    the expression is built with a Python loop, not a SQL lambda."""
+    hashes = F.transform(tokens_arr, lambda t: F.xxhash64(t))
+
+    # NB: the bit index must be captured via a closure, not a lambda
+    # default arg — PySpark introspects lambda arity and would turn the
+    # extra parameter into a phantom higher-order-function variable.
+    def vote(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(num_bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                vote(b) > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return fp
+
+
+def simhash_df(
+    docs: DataFrame, id_col: str, tokens_col: Column, num_bits: int = 64
+) -> DataFrame:
+    """SimHash via explode → 64 vote-sum hash-aggregates (codegen'd;
+    the scalable pipeline form of :func:`simhash64`). Returns
+    (doc_id, fp long). Docs with no tokens are dropped (no content)."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(num_bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(num_bits):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("fp"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bit_count of
+    XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_bands(fp: Column, num_bands: int = 4) -> Column:
+    """Split a 64-bit fingerprint into 16-bit band keys: two docs within
+    Hamming distance (num_bands - 1) share at least one band exactly
+    (pigeonhole) — the standard SimHash blocking scheme."""
+    width = 64 // num_bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.shiftrightunsigned(fp, b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-bucket equi-join then exact
+    Hamming filter. Guaranteed recall for distance <= num_bands - 1."""
+    fps = simhash_df(docs, id_col, tokens_col)
+    banded = fps.select(
+        "doc_id", "fp", F.explode(simhash_bands(F.col("fp"), num_bands)).alias("b")
+    ).select("doc_id", "fp", "b.band_id", "b.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,183 @@
+"""Geospatial column functions (SURVEY.md §2.2 P5/P6, §2.3 J1/J2).
+
+Pure Catalyst expressions wherever geometry allows (bbox tests, haversine,
+grid cells — all codegen'd JVM math); the only Python is the
+point-in-polygon pandas UDF (Arrow-batched NumPy ray casting), and it must
+always run *behind* a bbox prefilter — the reference itself defaulted to
+bbox-only clipping (``apply_mask=False``, DataDownloader_V1.py:50).
+
+Scale notes: radius joins never cross-join — ``proximity_join`` buckets
+both sides onto a grid of cell size >= radius and equi-joins pixel cells
+against the 3x3 neighborhood of each point's cell, so the theta predicate
+only evaluates within adjacent cells. With dimension-sized amenity tables
+(12–5,130 rows, SURVEY.md §0) the bucketed side broadcasts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def bbox_contains(
+    lon: Column, lat: Column,
+    min_lon: Column | float, min_lat: Column | float,
+    max_lon: Column | float, max_lat: Column | float,
+) -> Column:
+    """P5 — ``filterBounds`` for rectangles (ee.Geometry.Rectangle,
+    DataDownloader_V1.py:25): a pair of BETWEENs, fully pushdown-able."""
+    return lon.between(min_lon, max_lon) & lat.between(min_lat, max_lat)
+
+
+def haversine_km(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in km — pure column math, codegen'd."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) ** 2
+    )
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def grid_cell(lon: Column, lat: Column, cell_deg: float) -> Column:
+    """Integer grid-cell id at ``cell_deg`` resolution — the geohash-style
+    bucketing key for proximity joins. Encoded as one long
+    (row-major over a global grid)."""
+    cols = int(math.ceil(360.0 / cell_deg))
+    cx = F.floor((lon + 180.0) / cell_deg).cast("long")
+    cy = F.floor((lat + 90.0) / cell_deg).cast("long")
+    return cy * F.lit(cols) + cx
+
+
+def neighbor_cells(lon: Column, lat: Column, cell_deg: float) -> Column:
+    """The 3x3 cell neighborhood around a point — points are exploded to
+    all 9 cells so any pixel within ``cell_deg`` of the point shares at
+    least one cell (no missed pairs at cell borders)."""
+    cols = int(math.ceil(360.0 / cell_deg))
+    cx = F.floor((lon + 180.0) / cell_deg).cast("long")
+    cy = F.floor((lat + 90.0) / cell_deg).cast("long")
+    return F.array(
+        *[
+            (cy + dy) * F.lit(cols) + (cx + dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+
+
+def proximity_join(
+    pixels: DataFrame,
+    points: DataFrame,
+    radius_km: float,
+    pixel_lon: str = "lon",
+    pixel_lat: str = "lat",
+    point_lon: str = "lon",
+    point_lat: str = "lat",
+    broadcast_points: bool = True,
+) -> DataFrame:
+    """J2 — pixels within ``radius_km`` of any point (the power-plant
+    overlay, DataDownloader_V2.py:96-102, made queryable).
+
+    Grid-bucketed: cell size is chosen >= radius in degrees (worst-case
+    latitude shrink of the lon degree is handled by using the lat-only
+    bound), points explode to their 3x3 neighborhood, and the join is an
+    equi-join on cell id followed by the exact haversine test."""
+    # 1 deg lat ~ 111.32 km; take a cell at least as big as the radius.
+    cell_deg = max(radius_km / 111.32, 1e-4)
+    px = pixels.withColumn(
+        "__cell", grid_cell(F.col(pixel_lon), F.col(pixel_lat), cell_deg)
+    )
+    pt = points.withColumn(
+        "__cell",
+        F.explode(
+            neighbor_cells(F.col(point_lon), F.col(point_lat), cell_deg)
+        ),
+    )
+    if broadcast_points:
+        pt = F.broadcast(pt)
+    pl, pr = F.col(pixel_lon), F.col(pixel_lat)
+    # Points carry possibly-colliding column names; alias them.
+    pt = pt.select(
+        F.col("__cell"),
+        *[
+            F.col(c).alias(f"pt_{c}")
+            for c in pt.columns
+            if c != "__cell"
+        ],
+    )
+    joined = px.join(pt, on="__cell", how="inner")
+    dist = haversine_km(
+        pl, pr, F.col(f"pt_{point_lon}"), F.col(f"pt_{point_lat}")
+    )
+    return joined.withColumn("distance_km", dist).filter(
+        F.col("distance_km") <= radius_km
+    ).drop("__cell")
+
+
+# --------------------------------------------------- point in polygon UDF
+
+
+def _parse_ring(poly: str) -> np.ndarray:
+    """Parse 'lon lat, lon lat, ...' into an (n, 2) array."""
+    pts = [p.strip().split() for p in poly.split(",") if p.strip()]
+    return np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
+
+
+def _ray_cast(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: point vs one polygon ring."""
+    inside = np.zeros(len(lons), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        cond = (y1 > lats) != (y2 > lats)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (lats - y1) / (y2 - y1) + x1
+        inside ^= cond & (lons < xint)
+    return inside
+
+
+def make_point_in_polygon_udf(polygon: str):
+    """P6/J1 — exact polygon containment (the ``rasterio.mask.mask``
+    clip, DataDownloader_V1.py:54) as an Arrow-batched pandas UDF.
+
+    The ring is parsed once per executor (closure), the test is
+    vectorized NumPy over the whole Arrow batch — never per-row Python.
+    Always apply after a bbox prefilter (bbox_contains) so the UDF sees
+    only candidate rows."""
+    ring = _parse_ring(polygon)
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        res = _ray_cast(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), ring
+        )
+        return pd.Series(res)
+
+    return pip
+
+
+def clip_to_polygon(
+    pixels: DataFrame, polygon: str, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """J1 — clip: bbox prefilter (pushdown-able) + exact ray-cast test."""
+    ring = _parse_ring(polygon)
+    lo_lon, lo_lat = ring.min(axis=0)
+    hi_lon, hi_lat = ring.max(axis=0)
+    pip = make_point_in_polygon_udf(polygon)
+    return pixels.filter(
+        bbox_contains(
+            F.col(lon), F.col(lat), lo_lon, lo_lat, hi_lon, hi_lat
+        )
+    ).filter(pip(F.col(lon), F.col(lat)))

@@ -55,3 +55,178 @@ def sql_decimal_dot(a: str, b: str) -> str:
         f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
         f"AS DECIMAL(38,12)))) as double)"
     )
+
+
+# ----------------------------------------------- hyperplane LSH (scale path)
+
+
+def _plane_component(table: int, plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1),
+    derived from xxhash64 — no stored model, reproducible everywhere."""
+    h = F.pmod(
+        F.xxhash64(F.lit("plane"), F.lit(table), F.lit(plane), dim_idx),
+        F.lit(100003),
+    )
+    return (h / F.lit(100003.0)) * 2.0 - 1.0
+
+
+def hyperplane_buckets(
+    emb: Column, num_tables: int = 8, num_planes: int = 4
+) -> Column:
+    """Multi-table sign-LSH bucket ids for an embedding.
+
+    Returns ``array<struct<table_id int, bucket bigint>>`` — one bucket
+    per table; bucket bit j is the sign of <emb, plane_{t,j}>. Explode
+    and equi-join on (table_id, bucket): vectors close in cosine agree on
+    all signs of some table with high probability (the OR-of-ANDs
+    amplification). Table/plane indices are compile-time constants
+    (shift amounts must be Python ints), so the expression is assembled
+    with Python loops; only the dim reduction is a SQL lambda."""
+    dim_seq = F.sequence(F.lit(0), F.size(emb) - 1)
+
+    # NB: closures, not lambda default args — PySpark introspects lambda
+    # arity, and extra parameters become phantom HOF variables.
+    def plane_dot(t: int, p: int) -> Column:
+        return F.aggregate(
+            dim_seq,
+            F.lit(0.0),
+            lambda a, d: a
+            + F.get(emb, d).cast("double") * _plane_component(t, p, d),
+        )
+
+    def bucket(t: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for p in range(num_planes):
+            acc = acc.bitwiseOR(
+                F.when(
+                    plane_dot(t, p) > 0,
+                    F.shiftleft(F.lit(1).cast("long"), p),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return acc
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                bucket(t).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+
+
+def hyperplane_buckets_df(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_tables: int = 8,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Bucket ids via posexplode → per-(table, plane) dot-product
+    hash-aggregate (codegen'd; the scalable form of
+    :func:`hyperplane_buckets`, whose per-row nested lambdas are
+    interpreted). Returns (id, table_id, bucket) — one row per table,
+    ready for the equi-join."""
+    flat = vectors.select(
+        F.col(id_col).alias("__id"), F.posexplode(emb_col).alias("d", "v")
+    )
+    dots = flat.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.col("v").cast("double") * _plane_component(t, p, F.col("d"))
+            ).alias(f"dot_{t}_{p}")
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    )
+
+    def bucket(t: int) -> Column:
+        acc = F.lit(0).cast("long")
+        for p in range(num_planes):
+            acc = acc.bitwiseOR(
+                F.when(
+                    F.col(f"dot_{t}_{p}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), p),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return acc
+
+    buckets = dots.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("table_id"),
+                        bucket(t).alias("bucket"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("b"),
+    )
+    return buckets.select(
+        F.col("__id").alias(id_col), F.col("b.table_id"), F.col("b.bucket")
+    )
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    num_tables: int = 8,
+    num_planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
+
+    Plan: bucket via the codegen'd aggregate path → equi-join on
+    (table_id, bucket) → distinct candidate pairs → exact cosine
+    re-rank, top-k per probe. Against brute force this replaces the full
+    cross product with per-bucket joins; recall is tuned by
+    (num_tables, num_planes) and measured in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    def banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(emb_col).alias(emb_alias),
+            F.sqrt(sq_norm(F.col(emb_col))).alias(f"{id_alias}_norm"),
+        )
+        buckets = hyperplane_buckets_df(
+            df, id_col, emb_col, num_tables, num_planes
+        ).withColumnRenamed(id_col, id_alias)
+        return base.join(buckets, on=id_alias)
+
+    p = banded(probes, "q_id", "q_emb")
+    c = banded(vectors, "neighbor_id", "c_emb")
+    cand = (
+        p.join(c, on=["table_id", "bucket"])
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .select(
+            "q_id", "q_emb", "q_id_norm", "neighbor_id", "c_emb",
+            "neighbor_id_norm",
+        )
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        "neighbor_id",
+        F.round(
+            cosine(
+                F.col("q_emb"),
+                F.col("c_emb"),
+                F.col("q_id_norm"),
+                F.col("neighbor_id_norm"),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )

@@ -38,7 +38,12 @@ def token_count(text: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash/Jaccard input unit)."""
+    """Distinct word n-gram shingles (the MinHash/Jaccard input unit).
+
+    PERFORMANCE: higher-order functions are interpreted (CodegenFallback)
+    — fine for small/ad-hoc inputs, but the pipeline path is
+    :func:`shingles_df` (posexplode + window lead), which is codegen'd
+    end-to-end and parallelizes across the shuffle."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     gram = F.transform(
         idx,
@@ -48,6 +53,32 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
     return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingles_df(docs, id_col: str, text: Column, n: int = 3):
+    """(doc_id, shingle) rows — distinct word n-grams per document.
+
+    Shape: split (codegen) → posexplode (codegen) → window ``lead`` to
+    assemble n-grams (one shuffle on doc id, codegen) → dropDuplicates.
+    No interpreted HOFs anywhere; the shuffle distributes small-file
+    inputs across the cluster (a 5 MB parquet file is one input split —
+    without the shuffle every downstream expression runs on one core)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(text)).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    return grams.select("doc_id", "shingle").dropDuplicates(
+        ["doc_id", "shingle"]
     )
 
 

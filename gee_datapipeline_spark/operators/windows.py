@@ -33,17 +33,18 @@ def minmax_normalize(
     """W1 — per-image min-max normalization.
 
     ``zero_preserving=True`` reproduces the FRP variant
-    (DataDownloader_SNPP_VIIRS_V1.py:78-82, fix_transparency.py:21-28):
-    zeros stay zero (transparent pixels), only positive values are scaled
-    against the positive min/max.
+    (DataDownloader_SNPP_VIIRS_V1.py:74-82, fix_transparency.py:17-25):
+    min/max are GLOBAL (zeros included), but only positive values are
+    scaled — zeros stay exactly zero (transparent pixels). The guard is
+    the reference's ``if max_val > min_val`` (else everything is 0),
+    not the epsilon.
     """
     w = Window.partitionBy(*partition_keys)
     v = F.col(value)
     if zero_preserving:
-        pos = F.when(v > 0, v)
-        lo, hi = F.min(pos).over(w), F.max(pos).over(w)
+        lo, hi = F.min(v).over(w), F.max(v).over(w)
         norm = F.when(
-            v > 0, (v - lo) / (hi - lo + F.lit(NORMALIZE_EPS))
+            (v > 0) & (hi > lo), (v - lo) / (hi - lo)
         ).otherwise(F.lit(0.0))
     else:
         lo, hi = F.min(v).over(w), F.max(v).over(w)

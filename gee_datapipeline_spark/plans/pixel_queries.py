@@ -425,6 +425,65 @@ register(
 # ----------------------------------------------------------- union stack
 
 
+# -------------------------------------------------------- session windows
+
+
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — incident sessionization in batch: contiguous activity per
+    user with <30 min gaps forms one session (``session_window``; the
+    "active and historic incidents" semantics of README.md:2). The
+    DuckDB oracle is the classic gaps-and-islands rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sess")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+register(
+    Query(
+        name="session_windows",
+        spark=_session_windows,
+        oracle="""
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            numbered AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ),
+            sessions AS (
+                SELECT user_id, sid, count(*) AS n_events
+                FROM numbered GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   CAST(sum(n_events) AS BIGINT) AS total_events
+            FROM sessions
+            GROUP BY 1
+        """,
+        tags=("streaming", "window", "session"),
+    )
+)
+
+# ----------------------------------------------------------- union stack
+
+
 def _union_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 — UNION ALL stacking of homogeneous dataset slices
     (the four-pollutant loop, DataDownloader_V1.py:131-140)."""

@@ -139,6 +139,27 @@ def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: multi-table hyperplane LSH bucketing + exact
+    re-rank (functions.similarity.ann_lsh_topk). Rows-only in the gate;
+    recall vs ann_bruteforce is unit-tested."""
+    from ..functions.similarity import ann_lsh_topk
+
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_QUERIES)
+    return ann_lsh_topk(e, probes, k=TOP_K)
+
+
+register(
+    Query(
+        name="ann_lsh",
+        spark=_ann_lsh,
+        oracle=None,
+        tags=("similarity", "lsh"),
+    )
+)
+
+
 register(
     Query(
         name="ann_bruteforce",

@@ -247,15 +247,13 @@ JACCARD_THRESHOLD = 0.05
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by exact word-3-gram Jaccard.
 
-    Shape: shingle-explode → self equi-join on shingle → per-pair common
-    count → Jaccard from per-doc shingle counts. The equi-join on the
-    shingle key is the scalable trick — no all-pairs cross product; at
-    100 TB hot shingles are the skew risk and AQE skew-join handles them
-    (salting hook in functions.dedup for the extreme tail)."""
+    Shape: shingle rows (codegen'd posexplode + window lead) → self
+    equi-join on shingle → per-pair common count → Jaccard from per-doc
+    shingle counts. The equi-join on the shingle key is the scalable
+    trick — no all-pairs cross product; at 100 TB hot shingles are the
+    skew risk and AQE skew-join handles them."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        "doc_id", F.explode(X.shingles(X.tokens(F.col("text")))).alias("shingle")
-    )
+    sh = X.shingles_df(docs, "doc_id", F.col("text"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -287,6 +285,53 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# ------------------------------------------- MinHash-LSH + SimHash (scale)
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: MinHash signatures + LSH band join
+    (functions.dedup). Rows-only in the gate (hash outputs are
+    engine-specific); estimate quality vs exact Jaccard is unit-tested."""
+    from ..functions.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(docs, "doc_id", F.col("text"), threshold=0.3)
+
+
+register(
+    Query(
+        name="minhash_lsh_pairs",
+        spark=_minhash_lsh_pairs,
+        oracle=None,
+        tags=("dedup", "lsh"),
+    )
+)
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup #2: 64-bit SimHash with banded Hamming join
+    (functions.dedup.simhash_pairs)."""
+    from ..functions.dedup import simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    return simhash_pairs(
+        docs.select("doc_id", X.tokens(F.col("text")).alias("toks")),
+        "doc_id",
+        F.col("toks"),
+        max_hamming=3,
+    )
+
+
+register(
+    Query(
+        name="simhash_pairs",
+        spark=_simhash_pairs,
+        oracle=None,
+        tags=("dedup", "lsh"),
+    )
+)
 
 
 register(

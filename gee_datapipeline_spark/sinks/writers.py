@@ -1,0 +1,113 @@
+"""Sinks (SURVEY.md §2.1 S6-S10).
+
+- Parquet partitioned by (dataset, date): the engine's materialized
+  store — the reference's ``exported_data/<date>/{layer}.tif`` tree
+  (DataDownloader_V2.py:49,158-162) as a real partitioned table. The
+  printed contract "reload from these files without invoking EE"
+  (DataDownloader_V1.py:151) is exactly Parquet re-read semantics.
+- CSV point export: the reference's raster→(lat,lon,mean) unpivot
+  (fix_transparency.py:54-83) — in the long model it is a plain
+  projection, no unpivot needed.
+- PNG/HTML rendering (S7/S9/S10): presentation-layer stubs. PIL/folium
+  are not in this container; the data-side contract (RGBA uint8 rows per
+  image, bounded image size guard) is implemented and tested, the final
+  encode raises NotImplementedError behind an import-try.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Image-shaped sinks need all pixels of one image in one place; safe only
+# because images are bounded (~7.2e3–6.3e5 px, SURVEY.md §6). Guard it.
+MAX_IMAGE_PIXELS = 2_000_000
+
+
+def write_pixels(
+    df: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """S6 — the canonical partitioned store. Partition pruning on
+    (dataset, date) makes P1/P4 filters metadata-only at read time."""
+    df.write.mode(mode).partitionBy("dataset", "date").parquet(path)
+
+
+def write_points_csv(
+    df: DataFrame,
+    path: str,
+    value_col: str = "value",
+    mode: str = "overwrite",
+    scale: int = 6,
+) -> None:
+    """S8 — lat,lon,mean CSV (fix_transparency.py:76-83; '%.6f' at :82)."""
+    out = df.select(
+        F.round("lat", scale).alias("lat"),
+        F.round("lon", scale).alias("lon"),
+        F.round(F.col(value_col), scale).alias("mean"),
+    )
+    out.write.mode(mode).option("header", "true").csv(path)
+
+
+def rgba_rows(
+    df: DataFrame,
+    value_col: str = "norm_value",
+    colormap: str = "jet",
+) -> DataFrame:
+    """S7 (data side) — colormap a normalized [0,1] value to RGBA uint8
+    channels as columns (DataDownloader_V1.py:64-68: matplotlib jet +
+    alpha=0 where nodata; fix_transparency.py:35-41 transparency rule).
+
+    A 5-stop piecewise-linear 'jet' approximation in pure column math —
+    good enough for rendering parity and keeps the hot path JVM-side."""
+    v = F.least(F.greatest(F.col(value_col), F.lit(0.0)), F.lit(1.0))
+
+    def chan(expr: F.Column) -> F.Column:
+        clamped = F.least(F.greatest(expr, F.lit(0.0)), F.lit(1.0))
+        return F.round(clamped * 255).cast("int")
+
+    if colormap == "jet":
+        r = chan(1.5 - F.abs(v - 0.75) * 4)
+        g = chan(1.5 - F.abs(v - 0.50) * 4)
+        b = chan(1.5 - F.abs(v - 0.25) * 4)
+    elif colormap == "reds":
+        r = chan(F.lit(1.0) - v * 0.0)
+        g = chan(1.0 - v)
+        b = chan(1.0 - v)
+    else:
+        raise ValueError(f"unknown colormap {colormap!r}")
+    alpha = F.when(
+        F.col(value_col).isNull() | (F.col(value_col) <= 0), 0
+    ).otherwise(255)
+    return df.withColumns(
+        {"r": r, "g": g, "b": b, "a": alpha.cast("int")}
+    )
+
+
+def render_png(df: DataFrame, path: str) -> None:
+    """S7 (encode side) — collect ONE image's RGBA rows and encode.
+
+    PIL is not available in this environment; the guard + collection
+    contract are real, the encode is stubbed."""
+    n = df.count()
+    if n > MAX_IMAGE_PIXELS:
+        raise ValueError(
+            f"refusing to render {n} px (> {MAX_IMAGE_PIXELS}): image-"
+            "shaped sinks require bounded images (SURVEY.md §7 watch-list #5)"
+        )
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "PNG encoding requires Pillow, not present in this "
+            "environment; rgba_rows() provides the full data-side result"
+        ) from e
+    # pragma: no cover — executed only where PIL exists.
+    import numpy as np
+
+    rows = df.select("x", "y", "r", "g", "b", "a").collect()
+    w = max(r.x for r in rows) + 1
+    h = max(r.y for r in rows) + 1
+    img = np.zeros((h, w, 4), dtype="uint8")
+    for r in rows:
+        img[r.y, r.x] = (r.r, r.g, r.b, r.a)
+    Image.fromarray(img, "RGBA").save(path)

@@ -1,0 +1,97 @@
+"""Raster (GeoTIFF) ingest → pixel rows (SURVEY.md §2.1 S3, §2.10 UDTF).
+
+The reference reads materialized GeoTIFFs with rasterio
+(``rasterio.open(path); src.read(1)``, DataDownloader_V1.py:39,57) and
+flattens them to (lat, lon, value) rows (fix_transparency.py:54-83).
+Here the same ingest is a Spark job: ``binaryFile`` source → per-file
+decode inside ``mapInPandas`` (UDTF-shaped: one input row fans out to
+height×width pixel rows) → the long pixel table.
+
+rasterio is not in this container, so the decode step is pluggable:
+``decode=None`` raises NotImplementedError (real GeoTIFF bytes), while
+tests inject ``fake_raster_decoder`` — a deterministic header-parsed
+format ("FAKETIF") that exercises the identical plumbing: bytes in,
+(transform, grid, values) out, NaN→NULL nodata conversion
+(watch-list #1).
+
+Scale: one task per file; files are the parallelism unit (steady state
+reads the Parquet pixel store, this path is ingest/backfill only).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+PIXEL_ROWS_SCHEMA = (
+    "path string, x int, y int, lon double, lat double, value double"
+)
+
+# FAKETIF layout: magic(7s) | width(i) | height(i) | min_lon(d) | min_lat(d)
+# | cell_deg(d) | float64 values row-major (NaN = nodata)
+_FAKE_MAGIC = b"FAKETIF"
+_HDR = struct.Struct("<7sii3d")
+
+
+def encode_fake_raster(
+    values: np.ndarray, min_lon: float, min_lat: float, cell_deg: float
+) -> bytes:
+    h, w = values.shape
+    return _HDR.pack(_FAKE_MAGIC, w, h, min_lon, min_lat, cell_deg) + (
+        values.astype("<f8").tobytes()
+    )
+
+
+def fake_raster_decoder(payload: bytes):
+    """bytes → (values 2-D array, min_lon, min_lat, cell_deg)."""
+    magic, w, h, min_lon, min_lat, cell = _HDR.unpack_from(payload)
+    if magic != _FAKE_MAGIC:
+        raise ValueError("not a FAKETIF payload")
+    vals = np.frombuffer(payload, dtype="<f8", offset=_HDR.size).reshape(h, w)
+    return vals, min_lon, min_lat, cell
+
+
+def read_rasters(
+    spark: SparkSession,
+    path_glob: str,
+    decode: Callable | None = None,
+) -> DataFrame:
+    """Scan raster files (S5 file-glob discovery is free via the path
+    glob) and unpivot each to pixel rows."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    if decode is None:
+        def decode(payload: bytes):  # pragma: no cover - env without rasterio
+            raise NotImplementedError(
+                "GeoTIFF decode requires rasterio (not in this container); "
+                "inject a decoder (tests use fake_raster_decoder)"
+            )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                vals, min_lon, min_lat, cell = decode(bytes(r["content"]))
+                h, w = vals.shape
+                ys, xs = np.mgrid[0:h, 0:w]
+                flat = vals.ravel()
+                out = pd.DataFrame(
+                    {
+                        "path": r["path"],
+                        "x": xs.ravel().astype("int32"),
+                        "y": ys.ravel().astype("int32"),
+                        # pixel centers, like rasterio.transform.xy
+                        # (fix_transparency.py:68)
+                        "lon": min_lon + (xs.ravel() + 0.5) * cell,
+                        "lat": min_lat + (ys.ravel() + 0.5) * cell,
+                        "value": flat,
+                    }
+                )
+                # NaN nodata → NULL (watch-list #1)
+                out["value"] = out["value"].where(~np.isnan(flat), None)
+                yield out
+
+    return files.select("path", "content").mapInPandas(run, PIXEL_ROWS_SCHEMA)

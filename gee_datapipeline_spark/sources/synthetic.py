@@ -1,0 +1,118 @@
+"""Deterministic synthetic geo fixtures (FIXTURES.md §A).
+
+Models the reference's data shapes for golden/unit tests: the Delhi-NCR
+pollutant grid (1 km cells over the 0.8°x0.8° bbox,
+DataDownloader_V2.py:24-25) and the Punjab VIIRS fire grid, with ~5%
+NULL nodata, all-NULL groups (the empty-collection case,
+DataDownloader_V1.py:100-102) and zero-inflated FRP (transparency logic,
+DataDownloader_SNPP_VIIRS_V1.py:81-95). Seeded NumPy → Arrow →
+createDataFrame; never written to /root/testdata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import PIXELS_SCHEMA, REGIONS_SCHEMA, THRESHOLDS_SCHEMA
+
+# Delhi-NCR bbox (DataDownloader_V2.py:24-25).
+DELHI_BBOX = (76.85, 28.2, 77.65, 29.0)
+# Punjab extent (index_viirs_frp.html:144).
+PUNJAB_BBOX = (73.5, 29.0, 77.0, 32.0)
+
+DATASETS = {
+    "aerosol": ("absorbing_aerosol_index", 0.0, 1.2),
+    "no2": ("NO2_column_number_density", 0.0, 0.1),
+    "so2": ("SO2_column_number_density", 0.0, 0.05),
+    "co": ("CO_column_number_density", 0.0, 0.12),
+}
+
+STANDARD_VALUES = {"aerosol": 0.5, "no2": 0.04, "so2": 0.02, "co": 0.05}
+
+
+def make_pixels(
+    spark: SparkSession,
+    months: int = 3,
+    grid: int = 12,
+    datasets: tuple[str, ...] = ("no2", "co"),
+    seed: int = 42,
+    null_frac: float = 0.05,
+) -> DataFrame:
+    """Long pixel table over a ``grid x grid`` Delhi sub-grid for
+    ``months`` months, a few observations per month per pixel."""
+    rng = np.random.default_rng(seed)
+    min_lon, min_lat, max_lon, max_lat = DELHI_BBOX
+    lon_step = (max_lon - min_lon) / grid
+    lat_step = (max_lat - min_lat) / grid
+    rows = []
+    for ds in datasets:
+        band, lo, hi = DATASETS[ds]
+        for m in range(months):
+            month_start = pd.Timestamp(2025, m + 1, 1)
+            for obs in range(3):  # 3 observations per month
+                day = month_start + pd.Timedelta(days=int(obs * 9 + 1))
+                for y in range(grid):
+                    for x in range(grid):
+                        v = rng.uniform(lo, hi)
+                        if rng.random() < null_frac:
+                            v = None
+                        # one all-NULL pixel-month (empty-collection case)
+                        if x == 0 and y == 0 and m == 0:
+                            v = None
+                        rows.append(
+                            (
+                                ds,
+                                band,
+                                day.date(),
+                                day.to_pydatetime(),
+                                x,
+                                y,
+                                min_lon + (x + 0.5) * lon_step,
+                                min_lat + (y + 0.5) * lat_step,
+                                v,
+                            )
+                        )
+    return spark.createDataFrame(rows, PIXELS_SCHEMA)
+
+
+def make_regions(spark: SparkSession) -> DataFrame:
+    """Study areas incl. an exact polygon (a diamond inside Delhi bbox)
+    for point-in-polygon tests."""
+    diamond = (
+        "77.25 28.3, 77.55 28.6, 77.25 28.9, 76.95 28.6, 77.25 28.3"
+    )
+    rows = [
+        ("delhi_ncr", *DELHI_BBOX, None),
+        ("punjab", *PUNJAB_BBOX, None),
+        ("delhi_diamond", 76.95, 28.3, 77.55, 28.9, diamond),
+    ]
+    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def make_thresholds(spark: SparkSession) -> DataFrame:
+    """WHO standard values (DataDownloader_V3.py:172-184)."""
+    return spark.createDataFrame(
+        list(STANDARD_VALUES.items()), THRESHOLDS_SCHEMA
+    )
+
+
+def make_amenities(spark: SparkSession, n: int = 25, seed: int = 7) -> DataFrame:
+    """Point amenities inside the Delhi bbox (power-plant analog)."""
+    from ..model import FEATURES_SCHEMA
+
+    rng = np.random.default_rng(seed)
+    min_lon, min_lat, max_lon, max_lat = DELHI_BBOX
+    rows = [
+        (
+            "powerplants",
+            f"node/{i}",
+            "Point",
+            float(rng.uniform(min_lon, max_lon)),
+            float(rng.uniform(min_lat, max_lat)),
+            {"name": f"Plant {i}", "plant:source": "coal"},
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, FEATURES_SCHEMA)

@@ -1,0 +1,126 @@
+"""Structured Streaming jobs (SURVEY.md §2.9).
+
+The reference polls the NASA LANCE NRT fire feed and recomputes composites
+per period from scratch (DataDownloader_SNPP_VIIRS_V1.py:137-141,220-245).
+Streaming-native equivalents:
+
+- ``windowed_max_composite`` — the per-period max-FRP composite as an
+  event-time tumbling window with a watermark: LANCE revises detections
+  within ~24-48 h, so the watermark delay IS the reference's "re-run the
+  month" correction mechanism, made incremental.
+- ``session_incidents`` — fire *incidents* (contiguous detections at a
+  cell, the "active and historic … incidents" phrasing of README.md:2)
+  as session windows: a new detection within ``gap`` extends the
+  incident, silence closes it.
+- ``stream_from_dir`` / ``run_to_memory`` — file-source plumbing used by
+  the tests (a directory of parquet micro-batches drives the query
+  synchronously via ``processAllAvailable``).
+
+State-store sizing at 100 TB: the windowed aggregate keys state by
+(window, cell); watermarking bounds state to (delay / window) windows per
+cell. Session state is bounded by active incidents only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("cell_x", T.IntegerType(), False),
+        T.StructField("cell_y", T.IntegerType(), False),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_from_dir(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS_STREAM_SCHEMA
+) -> DataFrame:
+    """File-source stream: new parquet files under ``path`` become
+    micro-batches (the test/backfill harness; production would be Kafka
+    or a cloud queue with identical downstream code)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_max_composite(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A2, streaming — per-cell max over event-time tumbling windows.
+
+    ``append`` output mode + watermark: a window's row is emitted exactly
+    once, when the watermark passes its end — i.e. each period's
+    composite finalizes after the late-data horizon, replacing the
+    reference's full re-runs."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"), "cell_x", "cell_y"
+        )
+        .agg(
+            F.max("value").alias("max_value"),
+            F.count("value").alias("n_obs"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "cell_x",
+            "cell_y",
+            "max_value",
+            "n_obs",
+        )
+    )
+
+
+def session_incidents(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Fire incidents as session windows: contiguous detections at a
+    cell with silence < ``gap`` form one incident."""
+    return (
+        stream.filter(F.col("value") > 0)
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("sess"), "cell_x", "cell_y"
+        )
+        .agg(
+            F.max("value").alias("peak_value"),
+            F.count(F.lit(1)).alias("n_detections"),
+        )
+        .select(
+            F.col("sess.start").alias("incident_start"),
+            F.col("sess.end").alias("incident_end"),
+            "cell_x",
+            "cell_y",
+            "peak_value",
+            "n_detections",
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Start the query into an in-memory sink (test harness)."""
+    return (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,190 @@
+"""Golden tests for the geo operators DuckDB can't express
+(FIXTURES.md §A5): bbox/polygon filters, haversine proximity join,
+normalize guards, NaN/NULL composite semantics, classification buckets."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.functions.geo import (
+    bbox_contains,
+    clip_to_polygon,
+    grid_cell,
+    haversine_km,
+    proximity_join,
+)
+from gee_datapipeline_spark.operators.classify import (
+    classify_with_thresholds,
+)
+from gee_datapipeline_spark.operators.composites import mean_composite
+from gee_datapipeline_spark.operators.windows import minmax_normalize
+from gee_datapipeline_spark.sources.synthetic import (
+    DELHI_BBOX,
+    make_amenities,
+    make_pixels,
+    make_regions,
+    make_thresholds,
+)
+
+
+@pytest.fixture(scope="module")
+def pixels(spark):
+    return make_pixels(spark, months=2, grid=8).cache()
+
+
+def test_bbox_filter(spark, pixels):
+    """P5 — all synthetic pixels lie inside the Delhi bbox; a shifted
+    bbox excludes everything."""
+    inside = pixels.filter(
+        bbox_contains(F.col("lon"), F.col("lat"), *DELHI_BBOX)
+    ).count()
+    assert inside == pixels.count()
+    outside = pixels.filter(
+        bbox_contains(F.col("lon"), F.col("lat"), 80.0, 30.0, 81.0, 31.0)
+    ).count()
+    assert outside == 0
+
+
+def test_haversine_known_distance(spark):
+    """1 degree of latitude ≈ 111.2 km; same point → 0."""
+    df = spark.createDataFrame(
+        [(77.0, 28.0, 77.0, 29.0), (77.0, 28.0, 77.0, 28.0)],
+        ["lon1", "lat1", "lon2", "lat2"],
+    )
+    d = df.select(
+        haversine_km(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("d")
+    ).collect()
+    assert abs(d[0].d - 111.19) < 0.5
+    assert d[1].d == 0.0
+
+
+def test_point_in_polygon_diamond(spark):
+    """Exact ray-cast containment on the diamond region: center in,
+    bbox corner (outside the diamond but inside its bbox) out."""
+    regions = make_regions(spark)
+    poly = regions.filter(F.col("region") == "delhi_diamond").collect()[0][
+        "polygon"
+    ]
+    pts = spark.createDataFrame(
+        [
+            (1, 77.25, 28.6),   # center — inside
+            (2, 76.96, 28.31),  # bbox corner area — outside the diamond
+            (3, 77.25, 28.89),  # near top vertex — inside
+            (4, 70.0, 20.0),    # far away
+        ],
+        ["id", "lon", "lat"],
+    )
+    got = {r.id for r in clip_to_polygon(pts, poly).collect()}
+    assert got == {1, 3}
+
+
+def test_proximity_join_matches_bruteforce(spark, pixels):
+    """J2 — grid-bucketed proximity join returns exactly the brute-force
+    haversine pairs (the bucketing must not lose border candidates)."""
+    amen = make_amenities(spark, n=10)
+    px = pixels.filter(
+        (F.col("dataset") == "no2") & (F.col("date") == F.lit("2025-01-02"))
+    ).select("x", "y", "lon", "lat")
+    radius = 10.0
+
+    fast = proximity_join(px, amen.select("feature_id", "lon", "lat"), radius)
+    fast_pairs = {
+        (r.x, r.y, r.pt_feature_id) for r in fast.collect()
+    }
+
+    brute = (
+        px.crossJoin(
+            amen.select(
+                F.col("feature_id").alias("fid"),
+                F.col("lon").alias("alon"),
+                F.col("lat").alias("alat"),
+            )
+        )
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+            ),
+        )
+        .filter(F.col("d") <= radius)
+    )
+    brute_pairs = {(r.x, r.y, r.fid) for r in brute.collect()}
+    assert fast_pairs == brute_pairs
+    assert len(brute_pairs) > 0
+
+
+def test_grid_cell_stability(spark):
+    """Same coordinates → same cell; cells differ across the boundary."""
+    df = spark.createDataFrame(
+        [(77.0, 28.0), (77.0, 28.0), (77.0 + 0.2, 28.0)], ["lon", "lat"]
+    )
+    cells = [r.c for r in df.select(grid_cell(F.col("lon"), F.col("lat"), 0.1).alias("c")).collect()]
+    assert cells[0] == cells[1]
+    assert cells[0] != cells[2]
+
+
+def test_composite_null_semantics(spark, pixels):
+    """A1 + watch-list #1: avg skips NULLs; all-NULL groups yield NULL
+    mean with n_obs=0 (the empty-collection case)."""
+    comp = mean_composite(
+        pixels.filter(F.col("dataset") == "no2"),
+        ["x", "y", F.date_format(F.date_trunc("month", "date"), "yyyy-MM")],
+    )
+    # make_pixels forces pixel (0,0) in month 1 to be all-NULL
+    row = comp.filter(
+        (F.col("x") == 0) & (F.col("y") == 0)
+    ).orderBy("date_format(date_trunc(month, date), yyyy-MM)").collect()
+    assert row[0].mean_value is None
+    assert row[0].n_obs == 0
+    # non-degenerate groups have values
+    assert comp.filter(F.col("mean_value").isNotNull()).count() > 0
+
+
+def test_normalize_guard_constant_raster(spark):
+    """W1 — the +1e-6 guard: a constant raster normalizes to 0, not
+    NaN/error (DataDownloader_V1.py:62)."""
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0)], ["img", "value"]
+    )
+    out = minmax_normalize(df, ["img"]).collect()
+    assert all(r.norm_value == 0.0 for r in out)
+
+
+def test_normalize_zero_preserving(spark):
+    """W1 FRP variant — zeros stay exactly 0 (transparent), positives
+    scale within the positive range (SNPP:78-82)."""
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 10.0), ("a", 20.0)], ["img", "value"]
+    )
+    out = {
+        r.value: r.norm_value
+        for r in minmax_normalize(df, ["img"], zero_preserving=True).collect()
+    }
+    # Reference semantics: global min/max (zeros included), positives
+    # scaled, zeros pinned to 0 → 10/20 = 0.5, 20/20 = 1.0.
+    assert out[0.0] == 0.0
+    assert out[20.0] == 1.0
+    assert out[10.0] == 0.5
+
+
+def test_classification_buckets(spark, pixels):
+    """F3 — thresholds join + CASE buckets reproduce V3's rules."""
+    th = make_thresholds(spark)
+    classed = classify_with_thresholds(
+        pixels.filter(F.col("value").isNotNull()), th, on="dataset"
+    )
+    rows = classed.select("dataset", "value", "std_value", "bucket").collect()
+    for r in rows:
+        if r.value < r.std_value:
+            assert r.bucket == "below_standard"
+        elif r.value < 1.5 * r.std_value:
+            assert r.bucket == "elevated"
+        elif r.value < 2 * r.std_value:
+            assert r.bucket == "high"
+        else:
+            assert r.bucket == "severe"

@@ -1,0 +1,64 @@
+"""Semantic tests for the LSH-bucketed ANN path against the brute-force
+baseline (rows-only in the oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.functions.similarity import (
+    ann_lsh_topk,
+    decimal_dot,
+    hyperplane_buckets,
+    l2_norm,
+)
+from gee_datapipeline_spark.plans.registry import _load_all
+from gee_datapipeline_spark.plans import QUERIES
+
+from conftest import SF_SMOKE
+
+_load_all()
+
+
+def test_decimal_dot_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], ["a", "b"]
+    )
+    r = df.select(decimal_dot(F.col("a"), F.col("b")).alias("d")).collect()
+    assert r[0].d == 32.0
+
+
+def test_l2_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["a"])
+    assert df.select(l2_norm(F.col("a")).alias("n")).collect()[0].n == 5.0
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    """Same vector → same buckets across independent evaluations."""
+    df = spark.createDataFrame([([0.5] * 8,), ([0.5] * 8,)], ["e"])
+    rows = df.select(
+        hyperplane_buckets(F.col("e"), num_tables=4, num_planes=4).alias("b")
+    ).collect()
+    assert rows[0].b == rows[1].b
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Multi-table LSH top-10 must recover a solid fraction of the exact
+    top-10 on the sf0.001 embeddings (recall tuned by tables × planes)."""
+    exact_q = QUERIES["ann_bruteforce"].spark(spark, SF_SMOKE)
+    exact = {
+        (r.q_id, r.neighbor_id) for r in exact_q.collect()
+    }
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    approx_q = ann_lsh_topk(emb, probes, k=10, num_tables=8, num_planes=4)
+    approx = {(r.q_id, r.neighbor_id) for r in approx_q.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low ({len(exact)} exact)"
+
+
+def test_ann_lsh_no_self_pairs(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3)
+    res = ann_lsh_topk(emb, probes, k=5).collect()
+    assert all(r.q_id != r.neighbor_id for r in res)

@@ -1,0 +1,115 @@
+"""Tests for sinks (partitioned parquet, CSV points, RGBA data-side PNG)
+and the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.functions.multimodal import (
+    image_features,
+    sample_frames,
+)
+from gee_datapipeline_spark.model import MEDIA_SCHEMA
+from gee_datapipeline_spark.sinks.writers import (
+    MAX_IMAGE_PIXELS,
+    render_png,
+    rgba_rows,
+    write_pixels,
+    write_points_csv,
+)
+from gee_datapipeline_spark.sources.synthetic import make_pixels
+
+
+@pytest.fixture(scope="module")
+def pixels(spark):
+    return make_pixels(spark, months=1, grid=6).cache()
+
+
+def test_write_pixels_partitioned(spark, pixels, tmp_path_factory):
+    """S6 — (dataset, date) partition tree + partition-pruned re-read."""
+    out = str(tmp_path_factory.mktemp("store") / "pixels")
+    write_pixels(pixels, out)
+    dirs = glob.glob(os.path.join(out, "dataset=*/date=*"))
+    assert len(dirs) >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == pixels.count()
+    pruned = back.filter(F.col("dataset") == "no2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dataset=no2" in plan or "PartitionFilters" in plan  # pruned scan
+    assert pruned.count() == pixels.filter(F.col("dataset") == "no2").count()
+
+
+def test_write_points_csv(spark, pixels, tmp_path_factory):
+    """S8 — lat,lon,mean with 6-dp rounding (fix_transparency.py:82)."""
+    out = str(tmp_path_factory.mktemp("csv") / "points")
+    write_points_csv(pixels.filter(F.col("value").isNotNull()), out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    header = open(files[0]).readline().strip()
+    assert header == "lat,lon,mean"
+
+
+def test_rgba_rows_invariants(spark):
+    """S7 data side — the transparency invariant of
+    check_png_properties.py:7-8: alpha=0 exactly where value is 0/null;
+    channels are uint8-range ints."""
+    df = spark.createDataFrame(
+        [(0.0,), (0.25,), (0.5,), (0.75,), (1.0,), (None,)],
+        "norm_value double",
+    )
+    rows = rgba_rows(df).collect()
+    for r in rows:
+        if r.norm_value is None or r.norm_value <= 0:
+            assert r.a == 0
+        else:
+            assert r.a == 255
+        for c in (r.r, r.g, r.b):
+            assert 0 <= c <= 255
+    mid = [r for r in rows if r.norm_value == 0.5][0]
+    assert mid.g == 255  # jet: green peaks at the middle
+
+
+def test_render_png_guard(spark):
+    """Watch-list #5 — image-shaped sinks refuse unbounded images."""
+    big = spark.range(MAX_IMAGE_PIXELS + 1).select(
+        F.lit(0.5).alias("norm_value")
+    )
+    with pytest.raises(ValueError, match="refusing to render"):
+        render_png(rgba_rows(big), "/tmp/never.png")
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", bytes([1, 2, 3, 4]), None, None, None, {}),
+        (2, "image", "image/png", bytes([9, 9, 9]), None, None, None, {}),
+        (3, "image", "image/png", None, None, None, None, {}),
+        (4, "video", "video/mp4", bytes([7, 7]), None, None, 3500, {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark, media):
+    a = {r.media_id: r for r in image_features(media).collect()}
+    b = {r.media_id: r for r in image_features(media).collect()}
+    assert a[1].sha256 == b[1].sha256
+    assert a[1].mean_luma == b[1].mean_luma
+    assert a[1].width == 8 and a[1].height == 8
+    assert a[3].decode_ok is False and a[3].n_bytes == 0
+    assert a[1].sha256 != a[2].sha256
+
+
+def test_sample_frames_udtf_shape(spark, media):
+    """One input video → multiple frame rows at the sample interval."""
+    frames = sample_frames(media, every_ms=1000).collect()
+    vid = [r for r in frames if r.media_id == 4]
+    assert len(vid) == 4  # 0,1000,2000,3000 ms of a 3500 ms video
+    assert [r.frame_ts_ms for r in sorted(vid, key=lambda r: r.frame_idx)] == [
+        0, 1000, 2000, 3000,
+    ]
+    # images produce no frames
+    assert all(r.media_id == 4 for r in frames)

@@ -1,0 +1,162 @@
+"""Structured Streaming tests (SURVEY.md §5.4): file-source micro-batches
+→ windowed max composite / session incidents → memory sink, including the
+late-data watermark contract."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.streaming.jobs import (
+    EVENTS_STREAM_SCHEMA,
+    run_to_memory,
+    session_incidents,
+    stream_from_dir,
+    windowed_max_composite,
+)
+
+
+def _write_batch(spark, path, rows, n_file):
+    df = spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{path}/b{n_file}")
+
+
+def _rows(*specs):
+    return [
+        (datetime(2024, 1, 1, h, m, s), cx, cy, float(v))
+        for (h, m, s, cx, cy, v) in specs
+    ]
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    return str(src), str(tmp_path / "ckpt")
+
+
+def test_windowed_max_composite_finalizes_windows(spark, stream_dirs):
+    """Tumbling 1h windows in append mode: a window's composite emits
+    once the watermark (2h delay) passes its end — and a late row behind
+    the watermark is dropped, not recomputed (the reference's monthly
+    re-run correction, made incremental)."""
+    src, ckpt = stream_dirs
+    # batch 1: two cells in the 00:00 window, one in the 01:00 window
+    _write_batch(
+        spark,
+        src,
+        _rows((0, 10, 0, 1, 1, 50), (0, 20, 0, 1, 1, 80), (1, 10, 0, 2, 2, 30)),
+        1,
+    )
+    q = run_to_memory(
+        windowed_max_composite(
+            stream_from_dir(spark, src + "/*"), "1 hour", "2 hours"
+        ),
+        "win_max",
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event at 05:00 pushes the watermark to 03:00 at
+        # batch end — every window ending <= 03:00 finalizes.
+        _write_batch(spark, src, _rows((5, 0, 0, 3, 3, 10)), 2)
+        q.processAllAvailable()
+        # batch 3: a LATE row (00:40, far behind the 03:00 watermark)
+        # arrives after its window closed — it must be dropped.
+        _write_batch(spark, src, _rows((0, 40, 0, 1, 1, 999)), 3)
+        q.processAllAvailable()
+        out = {
+            (r.window_start.hour, r.cell_x): r
+            for r in spark.sql("SELECT * FROM win_max").collect()
+        }
+        assert out[(0, 1)].max_value == 80.0  # late 999 did NOT update it
+        assert out[(0, 1)].n_obs == 2
+        assert out[(1, 2)].max_value == 30.0
+        assert (5, 3) not in out  # its window hasn't closed yet
+    finally:
+        q.stop()
+
+
+def test_session_incidents_merge_and_close(spark, stream_dirs):
+    """Detections within the 30-min gap merge into one incident; a
+    separated detection opens a new one."""
+    src, ckpt = stream_dirs
+    _write_batch(
+        spark,
+        src,
+        _rows(
+            (0, 0, 0, 1, 1, 10),
+            (0, 20, 0, 1, 1, 60),   # 20 min later — same incident
+            (2, 0, 0, 1, 1, 5),     # 100 min silence — new incident
+            (0, 0, 0, 9, 9, 0),     # zero FRP — filtered out
+        ),
+        1,
+    )
+    q = run_to_memory(
+        session_incidents(
+            stream_from_dir(spark, src + "/*"), "30 minutes", "1 hour"
+        ),
+        "incidents",
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far enough to close all sessions
+        _write_batch(spark, src, _rows((8, 0, 0, 7, 7, 1)), 2)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM incidents WHERE cell_x = 1"
+        ).collect()
+        assert len(rows) == 2
+        first = min(rows, key=lambda r: r.incident_start)
+        assert first.n_detections == 2 and first.peak_value == 60.0
+        second = max(rows, key=lambda r: r.incident_start)
+        assert second.n_detections == 1 and second.peak_value == 5.0
+        zero = spark.sql("SELECT * FROM incidents WHERE cell_x = 9").collect()
+        assert zero == []
+    finally:
+        q.stop()
+
+
+def test_streaming_batch_parity(spark, stream_dirs):
+    """The streaming windowed composite over a closed input equals the
+    batch groupBy on the same rows (exactly-once, no dup/loss)."""
+    src, ckpt = stream_dirs
+    rows = _rows(
+        (0, 5, 0, 1, 1, 10), (0, 15, 0, 1, 1, 20), (0, 45, 0, 2, 1, 7),
+        (1, 5, 0, 1, 1, 30), (1, 10, 0, 2, 1, 40),
+    )
+    _write_batch(spark, src, rows, 1)
+    q = run_to_memory(
+        windowed_max_composite(
+            stream_from_dir(spark, src + "/*"), "30 minutes", "1 minute"
+        ),
+        "parity_stream",
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        # close all windows with a far-future row
+        _write_batch(spark, src, _rows((10, 0, 0, 5, 5, 1)), 2)
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), r.cell_x, r.cell_y): (r.max_value, r.n_obs)
+            for r in spark.sql(
+                "SELECT * FROM parity_stream WHERE cell_x != 5"
+            ).collect()
+        }
+        batch = (
+            spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "cell_x", "cell_y")
+            .agg(F.max("value").alias("mv"), F.count("value").alias("n"))
+        )
+        want = {
+            (str(r["w"].start), r.cell_x, r.cell_y): (r.mv, r.n)
+            for r in batch.collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
