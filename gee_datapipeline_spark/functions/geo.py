@@ -125,6 +125,28 @@ def proximity_join(
     ).drop("__cell")
 
 
+def z_order_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two grid indices — the sort key
+    that keeps 2-D-adjacent pixels adjacent in file order, so row-group
+    min/max statistics prune spatial ranges inside each partition.
+    Built from static shift/mask ops (codegen'd)."""
+    xl = x.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    yl = y.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.shiftleft(F.lit(1).cast("long"), b)
+        key = key.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(xl.bitwiseAND(bit), b).cast("long"), 2 * b
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(yl.bitwiseAND(bit), b).cast("long"), 2 * b + 1
+            )
+        )
+    return key
+
+
 # --------------------------------------------------- point in polygon UDF
 
 

@@ -1,0 +1,390 @@
+"""Advanced relational coverage: multi-hop star joins, selective scans,
+window frames (lag/moving average — the month-over-month advocacy deltas
+of README.md:2), cube, unpivot, distinct profiling, percentiles.
+
+Everything here carries a DuckDB oracle except the approximate-sketch
+variants (engine-specific estimators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from .registry import Query, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------- Q6-style selective scan
+
+
+def _selective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range predicates + single aggregate — the
+    query where predicate pushdown into the parquet scan is the entire
+    plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            stable_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(
+    Query(
+        name="selective_revenue",
+        spark=_selective_revenue,
+        oracle=f"""
+            SELECT {sql_stable_sum('l_extendedprice * l_discount')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        tags=("P4", "aggregation", "tpch"),
+    )
+)
+
+# ------------------------------------------- Q5-style multi-hop star join
+
+
+def _regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join through the dimension chain with the
+    dimension filter applied before the fact shuffle; region/nation
+    broadcast (they are 5/25 rows)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            stable_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+register(
+    Query(
+        name="regional_revenue",
+        spark=_regional_revenue,
+        oracle=f"""
+            SELECT n_name,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY 1
+        """,
+        tags=("J3", "join", "tpch"),
+    )
+)
+
+# --------------------------------------- month-over-month delta (lag)
+
+
+def _month_over_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The advocacy delta (README.md:2): per-dataset monthly mean and its
+    change vs the previous month — ``lag`` over the month spine."""
+    ev = _t(spark, sf_dir, "events")
+    monthly = (
+        ev.withColumn(
+            "month", F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+        )
+        .groupBy("event_type", "month")
+        .agg(stable_avg("value").alias("mean_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy("month")
+    return monthly.select(
+        "event_type",
+        "month",
+        "mean_value",
+        F.round(
+            F.col("mean_value") - F.lag("mean_value").over(w), 6
+        ).alias("delta_vs_prev"),
+    )
+
+
+register(
+    Query(
+        name="month_over_month_delta",
+        spark=_month_over_month_delta,
+        oracle=f"""
+            WITH monthly AS (
+                SELECT event_type,
+                       strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                       {sql_stable_avg('value')} AS mean_value
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT event_type, month, mean_value,
+                   round(mean_value - lag(mean_value) OVER (
+                       PARTITION BY event_type ORDER BY month), 6) AS delta_vs_prev
+            FROM monthly
+        """,
+        tags=("window", "W1", "F1"),
+    )
+)
+
+# ------------------------------------------------- moving average frame
+
+
+def _moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rowsBetween frame: 7-day trailing average of daily order totals
+    (rows-based so both engines agree on frame membership)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.withColumn(
+            "day", F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
+        )
+        .groupBy("day")
+        .agg(stable_sum("o_totalprice").alias("day_total"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "day_total",
+        F.round(F.avg("day_total").over(w), 4).alias("trailing_7d_avg"),
+    )
+
+
+register(
+    Query(
+        name="moving_average",
+        spark=_moving_average,
+        oracle=f"""
+            WITH daily AS (
+                SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+                       {sql_stable_sum('o_totalprice')} AS day_total
+                FROM orders
+                GROUP BY 1
+            )
+            SELECT day, day_total,
+                   round(avg(day_total) OVER (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                       AS trailing_7d_avg
+            FROM daily
+        """,
+        tags=("window",),
+    )
+)
+
+# ----------------------------------------------------------------- cube
+
+
+def _cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass (the dataset x month x region reporting surface the viewers
+    imply, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        stable_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+register(
+    Query(
+        name="cube_report",
+        spark=_cube_report,
+        oracle=f"""
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   {sql_stable_sum('l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        tags=("aggregation", "cube"),
+    )
+)
+
+# -------------------------------------------------------------- unpivot
+
+
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — wide→long unpivot via stack(): the reference's meshgrid/ravel
+    flattening (fix_transparency.py:65-78) as a relational operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, "
+        "'discount', l_discount) AS (measure, val)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        stable_sum("val", scale=4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    Query(
+        name="unpivot_measures",
+        spark=_unpivot_measures,
+        oracle=f"""
+            WITH long AS (
+                SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val
+                FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'discount', l_discount FROM lineitem
+            )
+            SELECT l_returnflag, measure,
+                   {sql_stable_sum('val', 4)} AS total,
+                   count(*) AS n
+            FROM long
+            GROUP BY 1, 2
+        """,
+        tags=("F7", "setop"),
+    )
+)
+
+# ----------------------------------------------------- distinct profiling
+
+
+def _distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-cardinality profile (the data-profiling surface;
+    the sketch variant is ``approx_distinct_profile``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+register(
+    Query(
+        name="distinct_profile",
+        spark=_distinct_profile,
+        oracle="""
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            GROUP BY 1
+        """,
+        tags=("aggregation",),
+    )
+)
+
+
+def _approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch profile — estimator values are
+    engine-specific, so rows-only; the exact twin above is the oracle
+    anchor. At 100 TB this is the only affordable form (no
+    distinct-shuffle; sketches merge associatively)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+register(
+    Query(
+        name="approx_distinct_profile",
+        spark=_approx_distinct_profile,
+        oracle=None,
+        tags=("aggregation", "sketch"),
+    )
+)
+
+# ------------------------------------------------------------ percentiles
+
+
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per dataset (the profiling
+    quartiles). Both engines implement the same linear interpolation on
+    the sorted values; results rounded to 6."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.round(F.get(pct, 0), 6).alias("p25"),
+        F.round(F.get(pct, 1), 6).alias("p50"),
+        F.round(F.get(pct, 2), 6).alias("p75"),
+    )
+
+
+register(
+    Query(
+        name="value_percentiles",
+        spark=_value_percentiles,
+        oracle="""
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75
+            FROM events
+            GROUP BY 1
+        """,
+        tags=("aggregation",),
+    )
+)
+
+# ------------------------------------------------- A4/O2 first per group
+
+
+def _first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O2 — ``collection.first()`` (DataDownloader_V1.py:141) per
+    dataset: the earliest event's attributes via a rank-1 window."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "event_id", "value")
+    )
+
+
+register(
+    Query(
+        name="first_per_group",
+        spark=_first_per_group,
+        oracle="""
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        tags=("A4", "O2", "window"),
+    )
+)

@@ -142,6 +142,59 @@ register(
 )
 
 
+def _geo_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 + F6 + S2 — FeatureCollection attribute filter: the chained
+    property-equality predicates (``ee.Filter.eq('ADM1_NAME','Punjab')``,
+    DataDownloader_SNPP_VIIRS_V1.py:33) against the MAP property bag."""
+    amen = make_amenities(spark, n=20)
+    return (
+        amen.filter(
+            (F.col("props")["plant:source"] == "coal")
+            & (F.col("geom_type") == "Point")
+        )
+        .select(
+            "feature_id",
+            F.col("props")["name"].alias("plant_name"),  # P9 tooltip proj
+            "lon",
+            "lat",
+        )
+    )
+
+
+register(
+    Query(
+        name="geo_feature_filter",
+        spark=_geo_feature_filter,
+        oracle=None,
+        tags=("geo", "P2", "P9", "F6", "S2"),
+    )
+)
+
+
+def _geo_region_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — geometry union as bbox envelope: dissolve each feature
+    source to its bounding box (``punjab.geometry()``,
+    DataDownloader_SNPP_VIIRS_V1.py:36)."""
+    amen = make_amenities(spark, n=20)
+    return amen.groupBy("source").agg(
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+        F.count(F.lit(1)).alias("n_features"),
+    )
+
+
+register(
+    Query(
+        name="geo_region_envelope",
+        spark=_geo_region_envelope,
+        oracle=None,
+        tags=("geo", "A6", "aggregation"),
+    )
+)
+
+
 def _geo_max_composite_frp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — the VIIRS max-FRP composite with zero-preserving normalize
     (DataDownloader_SNPP_VIIRS_V1.py:155,74-82)."""

@@ -425,6 +425,38 @@ register(
 # ----------------------------------------------------------- union stack
 
 
+# -------------------------------------------------- P3/P8 layer selection
+
+
+def _layer_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 + P8 — the parameterized layer filter: the viewers' query-string
+    projection (``layers_to_show``, DataDownloader_V2.py:38-48) and the
+    IN-list predicate (``ee.Filter.inList``, DataDownloader_V1.py:15-17)
+    as one ``isin`` filter."""
+    layers = ["purchase", "error"]  # the P8 runtime parameter
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type").isin(layers))
+        .groupBy("event_type", "date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+register(
+    Query(
+        name="layer_selection",
+        spark=_layer_selection,
+        oracle="""
+            SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+                   count(*) AS n
+            FROM events
+            WHERE event_type IN ('purchase', 'error')
+            GROUP BY 1, 2
+        """,
+        tags=("P3", "P8", "filter"),
+    )
+)
+
 # -------------------------------------------------------- session windows
 
 

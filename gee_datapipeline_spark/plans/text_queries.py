@@ -287,6 +287,142 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# ------------------------------------------------------- vocabulary stats
+
+
+def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by document frequency (stop-word
+    analysis / tokenizer sanity surface)."""
+    docs = _docs(spark, sf_dir)
+    terms = X.shingles_df(docs, "doc_id", F.col("text"), n=1).withColumnRenamed(
+        "shingle", "term"
+    )
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        df_counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+register(
+    Query(
+        name="vocab_top_terms",
+        spark=_vocab_top_terms,
+        oracle=r"""
+            WITH terms AS (
+                SELECT DISTINCT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            )
+            SELECT term, count(*) AS doc_freq
+            FROM terms
+            GROUP BY 1
+            ORDER BY doc_freq DESC, term
+            LIMIT 20
+        """,
+        tags=("text", "O3"),
+    )
+)
+
+# ------------------------------------------------------------ TF-IDF
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 terms per document (ties broken by term). TF is the
+    in-doc term count, IDF is ln(N/df) — both engines compute the same
+    formula in double."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    df_counts = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+
+
+register(
+    Query(
+        name="tfidf_top_terms",
+        spark=_tfidf_top_terms,
+        oracle=r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (
+                SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT doc_id, tf.term,
+                       round(tf * ln(n / CAST(doc_freq AS DOUBLE)), 6) AS tfidf
+                FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        tags=("text", "window"),
+    )
+)
+
+# ------------------------------------------------- doc length histogram
+
+
+def _doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket histogram (quality-filter calibration surface):
+    50-char buckets over n_chars."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            (F.floor(F.col("n_chars") / 50) * 50).alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+register(
+    Query(
+        name="doc_length_histogram",
+        spark=_doc_length_histogram,
+        oracle="""
+            SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+                   count(*) AS n_docs
+            FROM documents
+            GROUP BY 1
+        """,
+        tags=("text", "aggregation"),
+    )
+)
+
 # ------------------------------------------- MinHash-LSH + SimHash (scale)
 
 

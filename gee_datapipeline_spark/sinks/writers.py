@@ -25,11 +25,31 @@ MAX_IMAGE_PIXELS = 2_000_000
 
 
 def write_pixels(
-    df: DataFrame, path: str, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    spatial_sort: bool = False,
+    compression: str = "zstd",
 ) -> None:
     """S6 — the canonical partitioned store. Partition pruning on
-    (dataset, date) makes P1/P4 filters metadata-only at read time."""
-    df.write.mode(mode).partitionBy("dataset", "date").parquet(path)
+    (dataset, date) makes P1/P4 filters metadata-only at read time.
+
+    ``spatial_sort=True`` Z-orders rows within each output partition so
+    parquet row-group min/max stats on (x, y) prune bbox queries inside
+    a partition too — the intra-partition analog of partition pruning."""
+    if spatial_sort:
+        from ..functions.geo import z_order_key
+        from pyspark.sql import functions as F2
+
+        df = df.withColumn(
+            "__z", z_order_key(F2.col("x"), F2.col("y"))
+        ).sortWithinPartitions("__z").drop("__z")
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy("dataset", "date")
+        .parquet(path)
+    )
 
 
 def write_points_csv(

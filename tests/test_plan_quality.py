@@ -1,0 +1,135 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the engine
+relies on at 100 TB must actually appear in the executed plans —
+predicate pushdown into parquet scans, broadcast of dimension sides,
+whole-stage codegen on the hot paths, partial (map-side) aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.plans import QUERIES
+from gee_datapipeline_spark.plans.registry import _load_all
+
+from conftest import SF_SMOKE
+
+_load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    """The Q1 date filter must reach the parquet reader (PushedFilters),
+    not run as a post-scan Filter only."""
+    df = QUERIES["pricing_summary"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Composite aggregates must be partial+final hash aggregates
+    (map-side combine shrinks the shuffle by the group ratio)."""
+    plan = _plan(QUERIES["pricing_summary"].spark(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "partial" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """Customer (dimension, filtered) must broadcast — no shuffle of the
+    fact side on the dimension key."""
+    plan = _plan(QUERIES["star_join_topk"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_regional_revenue_broadcasts_tiny_dims(spark):
+    """region (5 rows) and nation (25 rows) must broadcast in the Q5
+    chain."""
+    plan = _plan(QUERIES["regional_revenue"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_star_join_topk_take_ordered(spark):
+    """Global top-k must plan TakeOrderedAndProject — never a total
+    sort."""
+    plan = _plan(QUERIES["star_join_topk"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A two-column projection must scan two columns (ReadSchema), not
+    the whole table."""
+    df = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_composite_codegen(spark):
+    """The flagship composite chain stays inside whole-stage codegen
+    (no interpreted expressions on the hot path). AQE only reveals
+    codegen spans in the finalized plan, so execute first."""
+    df = QUERIES["mean_composite"].spark(spark, SF_SMOKE)
+    df.collect()  # finalize THIS DataFrame's adaptive plan in place
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan;
+    # both the partial and final aggregate must be inside one.
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_proximity_join_is_equi_join_on_cell(spark):
+    """The geo proximity join must plan as a hash/broadcast equi-join on
+    the grid cell — NOT BroadcastNestedLoopJoin (the cross-product
+    shape that dies at scale)."""
+    from gee_datapipeline_spark.functions.geo import proximity_join
+    from gee_datapipeline_spark.sources.synthetic import (
+        make_amenities,
+        make_pixels,
+    )
+
+    px = make_pixels(spark, months=1, grid=6).select("x", "y", "lon", "lat")
+    amen = make_amenities(spark, n=5).select("feature_id", "lon", "lat")
+    plan = _plan(proximity_join(px, amen, radius_km=10.0))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_band_join_is_equi_join(spark):
+    """The LSH band join must be an equi-join (sort-merge or hash) on
+    (band_id, band_hash) — the whole point of banding."""
+    plan = _plan(QUERIES["minhash_lsh_pairs"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_interval_join_broadcasts_spine(spark):
+    """The month-spine range join must broadcast the spine side."""
+    plan = _plan(QUERIES["interval_join_monthly"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_date_filter_partition_pruning(spark, tmp_path):
+    """P4 over the partitioned pixel store: the date predicate must
+    prune partitions at planning time (PartitionFilters), scanning only
+    matching directories."""
+    from gee_datapipeline_spark.sinks.writers import write_pixels
+    from gee_datapipeline_spark.sources.synthetic import make_pixels
+
+    store = str(tmp_path / "pixels")
+    write_pixels(make_pixels(spark, months=2, grid=4), store)
+    df = spark.read.parquet(store).filter(
+        (F.col("dataset") == "no2") & (F.col("date") == F.lit("2025-01-02"))
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(dataset" in plan or "dataset#" in plan

@@ -1,0 +1,107 @@
+"""Property tests (SURVEY.md §5.3): semantics corners under generated
+inputs — normalize guard/range, month-boundary clamping incl. the
+December wrap, classification totality, salted-join equivalence."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.operators.classify import BUCKETS, classify_expr
+from gee_datapipeline_spark.operators.joins import salted_join
+from gee_datapipeline_spark.operators.windows import minmax_normalize
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_normalize_bounded_and_guarded(spark, vals):
+    """W1 — normalized values always land in [0, 1] and a constant
+    raster yields 0 (the +1e-6 guard, DataDownloader_V1.py:62)."""
+    df = spark.createDataFrame([("img", float(v)) for v in vals], ["img", "value"])
+    out = [r.norm_value for r in minmax_normalize(df, ["img"]).collect()]
+    assert all(0.0 <= v <= 1.0 for v in out)
+    if len(set(vals)) == 1:
+        assert all(v == 0.0 for v in out)
+
+
+@settings(**_SETTINGS)
+@given(
+    year=st.integers(min_value=1995, max_value=2030),
+    month=st.integers(min_value=1, max_value=12),
+)
+def test_month_end_clamping(spark, year, month):
+    """F1 — month-end = start + 1 month - 1 day for every month incl.
+    December wrap (DataDownloader_V2.py:176-178; SNPP:229-232) and
+    February leap years."""
+    df = spark.createDataFrame(
+        [(datetime.date(year, month, 1),)], ["month_start"]
+    ).select(
+        F.last_day("month_start").alias("last"),
+        F.date_sub(F.add_months("month_start", 1), 1).alias("clamped"),
+    )
+    r = df.collect()[0]
+    assert r.last == r.clamped
+    if month == 12:
+        assert r.last == datetime.date(year, 12, 31)
+
+
+@settings(**_SETTINGS)
+@given(
+    value=st.floats(
+        min_value=-10, max_value=10, allow_nan=False, allow_infinity=False
+    ),
+    std=st.floats(min_value=0.01, max_value=5),
+)
+def test_classification_total_and_ordered(spark, value, std):
+    """F3 — every (value, std) lands in exactly one bucket, and bucket
+    order respects the thresholds (DataDownloader_V3.py:62-73)."""
+    df = spark.createDataFrame([(float(value), float(std))], ["v", "s"])
+    b = df.select(
+        classify_expr(F.col("v"), F.col("s")).alias("bucket")
+    ).collect()[0].bucket
+    assert b in BUCKETS
+    if value < std:
+        assert b == "below_standard"
+    elif value >= 2 * std:
+        assert b == "severe"
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Skew salting must not change join semantics."""
+    left = spark.createDataFrame(
+        [(k, i) for k in ["hot", "cold"] for i in range(50 if k == "hot" else 3)],
+        ["key", "lv"],
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0), ("never", 3.0)], ["key", "rv"]
+    )
+    plain = {
+        (r.key, r.lv, r.rv)
+        for r in left.join(right, on=["key"]).collect()
+    }
+    salted = {
+        (r.key, r.lv, r.rv)
+        for r in salted_join(left, right, ["key"], salt_buckets=8).collect()
+    }
+    assert salted == plain and len(plain) == 53
