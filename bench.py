@@ -50,6 +50,13 @@ HEADLINE = [
     "embedding_centroids",
     "geo_flagship_v1",
     "geo_proximity_amenities",
+    "selective_revenue",
+    "regional_revenue",
+    "cube_report",
+    "moving_average",
+    "tfidf_top_terms",
+    "ngram_jaccard_pairs",
+    "multimodal_image_features",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Multimodal + streaming gate entries (rows-only).
+
+The media table is synthesized deterministically from the ``documents``
+table (payload = utf-8 bytes of the text) so the binary-column plumbing
+runs against driver data at every scale factor. The streaming entry
+drives a real Structured Streaming query (file source → windowed
+composite → memory sink) synchronously and returns its finalized result.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import Query, register
+
+
+def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media → decoded features via mapInPandas (deterministic
+    fake codec; real codecs slot into the same plumbing). Aggregated so
+    the output is stable and small."""
+    from ..functions.multimodal import image_features
+
+    feats = image_features(_media_from_docs(spark, sf_dir), fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        F.countDistinct("sha256").alias("n_distinct_payloads"),
+    )
+
+
+register(
+    Query(
+        name="multimodal_image_features",
+        spark=_multimodal_image_features,
+        oracle=None,
+        tags=("multimodal",),
+    )
+)
+
+
+def _streaming_windowed_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming run inside the gate: events (first
+    observed day) stream through the tumbling-window max composite with
+    a watermark; a sentinel batch closes all windows; the finalized
+    append-mode output is returned as a batch DataFrame."""
+    from ..streaming.jobs import (
+        run_to_memory,
+        stream_from_dir,
+        windowed_max_composite,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    slice_df = ev.filter(F.to_date("ts") == F.lit(first_day)).select(
+        "ts",
+        F.col("user_id").cast("int").alias("cell_x"),
+        F.lit(0).cast("int").alias("cell_y"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_stream_gate_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    slice_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b1")
+    )
+    # sentinel far past the watermark horizon → every window finalizes
+    sentinel = slice_df.limit(1).select(
+        (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
+        F.lit(-1).cast("int").alias("cell_x"),
+        F.col("cell_y"),
+        F.lit(0.0).alias("value"),
+    )
+    name = f"gate_stream_{abs(hash(root)) % 10**9}"
+    q = run_to_memory(
+        windowed_max_composite(
+            stream_from_dir(spark, src + "/*"), "6 hours", "1 hour"
+        ),
+        name,
+        os.path.join(root, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("cell_x") >= 0)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "cell_x",
+            "max_value",
+            "n_obs",
+        )
+    )
+
+
+register(
+    Query(
+        name="streaming_windowed_composite",
+        spark=_streaming_windowed_composite,
+        oracle=None,
+        tags=("streaming", "A2"),
+    )
+)

@@ -110,6 +110,70 @@ def session_incidents(
     )
 
 
+INCREMENTAL_MAX_SCHEMA = (
+    "cell_x int, cell_y int, max_value double, n_obs long, last_ts timestamp"
+)
+_STATE_SCHEMA = "max_value double, n_obs long, last_ts_us long"
+
+
+def incremental_max_state(
+    stream: DataFrame,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """§2.10 custom stateful operator — the reference's max-FRP composite
+    recomputed-from-scratch each run (DataDownloader_SNPP_VIIRS_V1.py:155)
+    as *incremental* per-cell state: each micro-batch folds its rows into
+    the running (max, count) per cell and emits the updated row.
+
+    ``applyInPandasWithState``: state lives in the state store keyed by
+    cell; Arrow batches in/out. Pass ``idle_timeout_ms`` to expire idle
+    cells via a processing-time timeout (bounds state at 100 TB) — note
+    that pending timeouts keep the trigger loop active, so synchronous
+    test harnesses using ``processAllAvailable`` should leave it None."""
+    import pandas as pd
+
+    timeout_conf = (
+        "ProcessingTimeTimeout" if idle_timeout_ms else "NoTimeout"
+    )
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            mx, n, last = state.get
+            state.remove()
+        else:
+            mx, n, last = state.get if state.exists else (None, 0, 0)
+            for pdf in pdfs:
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    batch_max = float(vals.max())
+                    mx = batch_max if mx is None else max(mx, batch_max)
+                    n += int(len(vals))
+                # pandas 2 reads TimestampType as datetime64[us] — the
+                # int64 view is already microseconds
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").max()
+                last = max(last, int(ts_us))
+            state.update((mx, n, last))
+            if idle_timeout_ms:
+                state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "cell_x": [key[0]],
+                "cell_y": [key[1]],
+                "max_value": [mx],
+                "n_obs": [n],
+                "last_ts": [pd.Timestamp(last, unit="us")],
+            }
+        )
+
+    return stream.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        update,
+        outputStructType=INCREMENTAL_MAX_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     query_name: str,

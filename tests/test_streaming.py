@@ -121,6 +121,41 @@ def test_session_incidents_merge_and_close(spark, stream_dirs):
         q.stop()
 
 
+def test_incremental_max_state(spark, stream_dirs):
+    """The custom stateful operator folds successive micro-batches into
+    per-cell running (max, count) instead of recomputing from scratch."""
+    from gee_datapipeline_spark.streaming.jobs import incremental_max_state
+
+    src, ckpt = stream_dirs
+    _write_batch(
+        spark, src, _rows((0, 0, 0, 1, 1, 10), (0, 5, 0, 1, 1, 30)), 1
+    )
+    q = run_to_memory(
+        incremental_max_state(stream_from_dir(spark, src + "/*")),
+        "inc_max",
+        ckpt,
+        output_mode="update",
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.cell_x, r.cell_y): (r.max_value, r.n_obs)
+            for r in spark.sql("SELECT * FROM inc_max").collect()
+        }
+        assert first[(1, 1)] == (30.0, 2)
+        # batch 2: lower value must NOT reduce the max; count accumulates
+        _write_batch(spark, src, _rows((0, 10, 0, 1, 1, 20)), 2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM inc_max").collect()
+        latest = max(
+            (r for r in rows if (r.cell_x, r.cell_y) == (1, 1)),
+            key=lambda r: r.n_obs,
+        )
+        assert (latest.max_value, latest.n_obs) == (30.0, 3)
+    finally:
+        q.stop()
+
+
 def test_streaming_batch_parity(spark, stream_dirs):
     """The streaming windowed composite over a closed input equals the
     batch groupBy on the same rows (exactly-once, no dup/loss)."""
