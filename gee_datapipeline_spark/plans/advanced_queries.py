@@ -358,6 +358,55 @@ register(
     )
 )
 
+# ----------------------------------------------------- outer join + fill
+
+
+def _outer_join_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-fill semantics: every order keeps a row
+    even with no recent shipments (the composite-over-sparse-dates shape:
+    absent observations surface as NULL → coalesce to 0, F4)."""
+    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    per_order = recent.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_recent")
+    )
+    joined = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.coalesce("n_recent", F.lit(0))).alias("recent_items"),
+        F.sum(
+            F.when(F.col("n_recent").isNull(), 1).otherwise(0)
+        ).alias("orders_without_recent"),
+    )
+
+
+register(
+    Query(
+        name="outer_join_fill",
+        spark=_outer_join_fill,
+        oracle="""
+            WITH per_order AS (
+                SELECT l_orderkey, count(*) AS n_recent
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+                GROUP BY 1
+            )
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum(coalesce(n_recent, 0)) AS BIGINT) AS recent_items,
+                   CAST(sum(CASE WHEN n_recent IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS orders_without_recent
+            FROM orders LEFT JOIN per_order ON o_orderkey = l_orderkey
+            GROUP BY 1
+        """,
+        tags=("join", "F4"),
+    )
+)
+
 # ------------------------------------------------- A4/O2 first per group
 
 

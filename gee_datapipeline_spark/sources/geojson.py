@@ -74,7 +74,9 @@ def read_geojson(
 ) -> DataFrame:
     """One GeoJSON FeatureCollection file → features rows."""
     src = source or os.path.splitext(os.path.basename(path))[0].lower()
-    raw = spark.read.option("wholetext", "true").text(path)
+    # NB: the option-string form ('option("wholetext", "true")') is
+    # silently ignored by the text source — only the kwarg applies.
+    raw = spark.read.text(path, wholetext=True)
     feats = raw.select(
         F.explode(
             F.variant_get(F.parse_json("value"), "$.features", "array<variant>")
