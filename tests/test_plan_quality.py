@@ -112,6 +112,28 @@ def test_minhash_band_join_is_equi_join(spark):
     )
 
 
+def test_ann_lsh_is_equi_join(spark):
+    """The LSH ANN candidate join must be an equi-join on (table_id,
+    bucket) — never a cross/nested-loop over all vector pairs."""
+    plan = _plan(QUERIES["ann_lsh"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_bruteforce_broadcasts_probes(spark):
+    """Brute force is allowed its nested loop ONLY because the probe
+    side broadcasts (map-side, no shuffle of candidates)."""
+    plan = _plan(QUERIES["ann_bruteforce"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_band_join_is_equi_join(spark):
+    plan = _plan(QUERIES["simhash_pairs"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_interval_join_broadcasts_spine(spark):
     """The month-spine range join must broadcast the spine side."""
     plan = _plan(QUERIES["interval_join_monthly"].spark(spark, SF_SMOKE))

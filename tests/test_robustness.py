@@ -1,0 +1,78 @@
+"""Robustness + determinism: empty inputs keep schemas and don't crash;
+re-running a query yields byte-identical results (the idempotent-backfill
+contract of SCALE.md)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.model import PIXELS_SCHEMA
+from gee_datapipeline_spark.operators.composites import mean_composite
+from gee_datapipeline_spark.operators.windows import minmax_normalize, topk_per_group
+from gee_datapipeline_spark.functions.geo import proximity_join
+from gee_datapipeline_spark.plans import QUERIES
+from gee_datapipeline_spark.plans.registry import _load_all
+
+from conftest import SF_SMOKE
+
+_load_all()
+
+
+@pytest.fixture()
+def empty_pixels(spark):
+    return spark.createDataFrame([], PIXELS_SCHEMA)
+
+
+def test_empty_composite(spark, empty_pixels):
+    out = mean_composite(empty_pixels, ["x", "y"])
+    assert out.count() == 0
+    assert set(out.columns) == {"x", "y", "mean_value", "n_obs"}
+
+
+def test_empty_normalize(spark, empty_pixels):
+    out = minmax_normalize(empty_pixels, ["dataset"])
+    assert out.count() == 0
+    assert "norm_value" in out.columns
+
+
+def test_empty_topk(spark, empty_pixels):
+    out = topk_per_group(
+        empty_pixels, ["dataset"], [F.col("value").desc()], k=3
+    )
+    assert out.count() == 0
+
+
+def test_empty_proximity_join(spark, empty_pixels):
+    pts = spark.createDataFrame(
+        [("a", 77.0, 28.0)], ["feature_id", "lon", "lat"]
+    )
+    out = proximity_join(
+        empty_pixels.select("x", "y", "lon", "lat"), pts, radius_km=5.0
+    )
+    assert out.count() == 0
+
+
+def _result_hash(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    lines = sorted(
+        "|".join(str(v) for v in row) for row in pdf.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pricing_summary", "mean_composite", "minhash_lsh_pairs",
+     "ann_bruteforce", "embedding_centroids"],
+)
+def test_rerun_determinism(spark, name):
+    """Same query, two independent executions → identical bytes
+    (different partition/evaluation orders must not leak into results)."""
+    q = QUERIES[name].spark
+    h1 = _result_hash(q(spark, SF_SMOKE))
+    h2 = _result_hash(q(spark, SF_SMOKE))
+    assert h1 == h2
