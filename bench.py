@@ -47,12 +47,17 @@ HEADLINE = [
     "simhash_pairs",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "embedding_centroids",
     "geo_flagship_v1",
     "geo_proximity_amenities",
     "selective_revenue",
     "regional_revenue",
     "cube_report",
+    "grouping_sets_report",
+    "conditional_agg",
+    "above_nation_avg",
+    "ntile_quartiles",
     "moving_average",
     "tfidf_top_terms",
     "ngram_jaccard_pairs",

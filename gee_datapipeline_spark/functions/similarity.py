@@ -171,6 +171,167 @@ def hyperplane_buckets_df(
     )
 
 
+# ------------------------------------------------------ IVF (scale path #2)
+
+
+def _with_norm(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).alias("__emb"),
+        F.sqrt(sq_norm(F.col(emb_col))).alias("__norm"),
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Train the IVF coarse quantizer as pure DataFrame algebra.
+
+    1. *seed*: the ``n_centroids`` vectors with the smallest
+       ``xxhash64('ivf-seed', id)`` — a deterministic uniform sample, no
+       stored model, reproducible across runs/partitionings. Planned as
+       TakeOrderedAndProject (k-bounded, no global sort/window).
+    2. *refine* (one k-means step): every vector keeps its nearest seed
+       (broadcast-NL against the tiny seed table) and the per-cluster
+       mean (posexplode → groupBy(cid, dim) → rebuild array) becomes the
+       centroid.
+
+    Returns ``(cid, c_emb array<double>, c_norm)`` — O(n_centroids × dim)
+    rows, always broadcastable.
+    """
+    from pyspark.sql import Window
+
+    base = _with_norm(vectors, id_col, emb_col)
+    # orderBy().limit() plans TakeOrderedAndProject; the cid window then
+    # runs over only n_centroids rows (bounded single partition).
+    seeds = (
+        base.withColumn(
+            "__h", F.xxhash64(F.lit("ivf-seed"), F.col("__id"))
+        )
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("__h", "__id")).alias("cid"),
+            F.col("__emb").alias("c_emb"),
+            F.col("__norm").alias("c_norm"),
+        )
+    )
+    first_pass = ivf_assign(base.select(
+        F.col("__id").alias(id_col),
+        F.col("__emb").alias(emb_col),
+    ), seeds, id_col, emb_col, n_probe=1)
+    flat = first_pass.select("cid", F.posexplode(emb_col).alias("dim", "v"))
+    return (
+        flat.groupBy("cid", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c_emb")
+        )
+        .withColumn("c_norm", F.sqrt(sq_norm(F.col("c_emb"))))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by cosine.
+
+    Broadcast nested-loop against the tiny centroid table (linear in
+    rows, never quadratic in them) + a k-bounded per-vector window.
+    Returns ``(id, emb, norm, cid, c_rank)``, ``c_rank ∈ [1, n_probe]``.
+    """
+    from pyspark.sql import Window
+
+    base = _with_norm(df, id_col, emb_col)
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim",
+        decimal_dot(F.col("__emb"), F.col("c_emb"))
+        / (F.col("__norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("c_rank", F.row_number().over(w))
+        .filter(F.col("c_rank") <= n_probe)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__emb").alias(emb_col),
+            F.col("__norm").alias("norm"),
+            "cid",
+            "c_rank",
+        )
+    )
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF coarse quantization.
+
+    One quantizer, trained on the base vectors, shared by both sides
+    (probes assigned against foreign centroids — NOT their own). Base
+    vectors live in exactly one cell (``n_probe=1``); probes fan out to
+    their ``n_probe`` nearest cells; candidates are the equi-join on
+    ``cid`` — the cross product shrinks to the probed cells only. Exact
+    cosine re-rank on the candidates, k-bounded window per probe.
+    Recall vs ``ann_bruteforce`` is measured in tests/test_similarity.py.
+    """
+    from pyspark.sql import Window
+
+    quantizer = ivf_centroids(vectors, id_col, emb_col, n_centroids)
+    cells = ivf_assign(vectors, quantizer, id_col, emb_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "cid",
+    )
+    probe_cells = ivf_assign(
+        probes, quantizer, id_col, emb_col, n_probe=n_probe
+    ).select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "cid",
+    )
+    cand = probe_cells.join(cells, on="cid").filter(
+        F.col("q_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "q_id",
+        "neighbor_id",
+        F.round(
+            cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_norm"), F.col("c_norm")
+            ),
+            6,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["q_id", "neighbor_id"])
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     probes: DataFrame,

@@ -407,6 +407,175 @@ register(
     )
 )
 
+# --------------------------------------------------------- grouping sets
+
+
+def _grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the middle ground between rollup and
+    cube): per-flag, per-status, and grand-total rows in one pass —
+    Spark plans a single Expand + hash aggregate, no re-scan per level."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    # sql_stable_sum is plain ANSI — the same string runs in both engines.
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               {sql_stable_sum('l_quantity')} AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+register(
+    Query(
+        name="grouping_sets_report",
+        spark=_grouping_sets_report,
+        oracle=f"""
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   {sql_stable_sum('l_quantity')} AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        tags=("aggregation", "cube"),
+    )
+)
+
+# ------------------------------------------------- ntile / percent_rank
+
+
+def _ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window surface beyond row_number: quartile bucketing
+    (ntile) + distribution position (percent_rank) over customer
+    balances per market segment, reduced to per-quartile stats.
+    Tie-broken on c_custkey so bucket membership is deterministic in
+    both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return ranked.groupBy("c_mktsegment", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+    )
+
+
+register(
+    Query(
+        name="ntile_quartiles",
+        spark=_ntile_quartiles,
+        oracle="""
+            WITH ranked AS (
+                SELECT c_mktsegment, c_acctbal,
+                       ntile(4) OVER w AS quartile,
+                       percent_rank() OVER w AS pr
+                FROM customer
+                WINDOW w AS (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey)
+            )
+            SELECT c_mktsegment, quartile, count(*) AS n,
+                   round(min(c_acctbal), 2) AS lo,
+                   round(max(c_acctbal), 2) AS hi,
+                   round(max(pr), 6) AS max_pr
+            FROM ranked
+            GROUP BY 1, 2
+        """,
+        tags=("window",),
+    )
+)
+
+# ----------------------------------------------- conditional aggregation
+
+
+def _conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 on the relational surface: CASE-gated aggregates — one scan
+    producing per-month urgent/slow counts and the urgent revenue share
+    (TPC-H Q12's shape; the reference's threshold-bucket counting,
+    DataDownloader_V3.py:62-73, as sum(CASE))."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.withColumn(
+            "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        )
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("n_normal"),
+            stable_sum(F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "urgent_revenue"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="conditional_agg",
+        spark=_conditional_agg,
+        oracle=f"""
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_normal,
+                   {sql_stable_sum("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END")} AS urgent_revenue
+            FROM orders
+            GROUP BY 1
+        """,
+        tags=("F3", "aggregation"),
+    )
+)
+
+# ------------------------------------------- correlated scalar subquery
+
+
+def _above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17/Q22 family):
+    customers whose balance exceeds their nation's average. Spark plans
+    the decorrelated form explicitly — per-nation aggregate, broadcast
+    back onto the fact — which is exactly how Catalyst rewrites the
+    correlated SQL. The comparison value goes through the decimal-stable
+    average so the boundary set is identical in both engines."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        stable_avg("c_acctbal").alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), on="c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            stable_sum("c_acctbal").alias("sum_above"),
+        )
+    )
+
+
+register(
+    Query(
+        name="above_nation_avg",
+        spark=_above_nation_avg,
+        oracle=f"""
+            WITH nation_avg AS (
+                SELECT c_nationkey, {sql_stable_avg('c_acctbal')} AS nation_avg
+                FROM customer GROUP BY 1
+            )
+            SELECT c.c_nationkey, count(*) AS n_above,
+                   {sql_stable_sum('c.c_acctbal')} AS sum_above
+            FROM customer c JOIN nation_avg na ON c.c_nationkey = na.c_nationkey
+            WHERE c.c_acctbal > na.nation_avg
+            GROUP BY 1
+        """,
+        tags=("join", "aggregation", "subquery"),
+    )
+)
+
 # ------------------------------------------------- A4/O2 first per group
 
 

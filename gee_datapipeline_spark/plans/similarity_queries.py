@@ -160,6 +160,92 @@ register(
 )
 
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN #2: IVF coarse quantization (deterministic seed
+    sample → one k-means refinement → probe the n_probe nearest cells) +
+    exact re-rank. Rows-only in the gate; recall vs ann_bruteforce is
+    unit-tested. Complements ann_lsh: IVF adapts to the data
+    distribution (centroids follow density), LSH is data-independent."""
+    from ..functions.similarity import ann_ivf_topk
+
+    e = _emb(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_QUERIES)
+    return ann_ivf_topk(e, probes, k=TOP_K, n_centroids=16, n_probe=6)
+
+
+register(
+    Query(
+        name="ann_ivf",
+        spark=_ann_ivf,
+        oracle=None,
+        tags=("similarity", "ivf"),
+    )
+)
+
+# ------------------------------------------------ embedding near-dup pairs
+
+NEAR_DUP_COS = 0.35  # sized to the synthetic table: ~0.1% of pairs qualify
+
+
+def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the dedup family's
+    semantic variant): all unordered pairs with cosine ≥ threshold.
+
+    This is the exact (quadratic) correctness baseline — the 100 TB path
+    is the same predicate over LSH/IVF candidate pairs (ann_lsh /
+    ann_ivf), which both reduce the cross product to bucket-local joins.
+    """
+    e = _emb(spark, sf_dir)
+    with_norm = e.select(
+        "vec_id", "embedding", F.sqrt(sq_norm(F.col("embedding"))).alias("norm")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    scored = pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        F.round(
+            cosine(
+                F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= NEAR_DUP_COS)
+
+
+register(
+    Query(
+        name="embedding_near_dup",
+        spark=_embedding_near_dup,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       sqrt({sql_decimal_dot('embedding', 'embedding')}) AS norm
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                       round({sql_decimal_dot('a.embedding', 'b.embedding')}
+                             / (a.norm * b.norm), 6) AS cos_sim
+                FROM base a JOIN base b ON a.vec_id < b.vec_id
+            )
+            SELECT * FROM scored WHERE cos_sim >= {NEAR_DUP_COS}
+        """,
+        tags=("similarity", "dedup", "join"),
+    )
+)
+
+
 register(
     Query(
         name="ann_bruteforce",

@@ -57,6 +57,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low ({len(exact)} exact)"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, probe 6) must recover a solid fraction of the
+    exact top-10 — the complementary scale path to LSH."""
+    from gee_datapipeline_spark.functions.similarity import ann_ivf_topk
+
+    exact_q = QUERIES["ann_bruteforce"].spark(spark, SF_SMOKE)
+    exact = {(r.q_id, r.neighbor_id) for r in exact_q.collect()}
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    approx_q = ann_ivf_topk(emb, probes, k=10, n_centroids=16, n_probe=6)
+    approx = {(r.q_id, r.neighbor_id) for r in approx_q.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low ({len(exact)} exact)"
+
+
+def test_ann_ivf_deterministic(spark):
+    """Seed selection and assignment are hash-derived — two runs give
+    identical results (idempotent backfills at scale)."""
+    from gee_datapipeline_spark.functions.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 3)
+    r1 = sorted(
+        (r.q_id, r.neighbor_id, r.rk)
+        for r in ann_ivf_topk(emb, probes, k=5).collect()
+    )
+    r2 = sorted(
+        (r.q_id, r.neighbor_id, r.rk)
+        for r in ann_ivf_topk(emb, probes, k=5).collect()
+    )
+    assert r1 == r2
+
+
 def test_ann_lsh_no_self_pairs(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 3)
