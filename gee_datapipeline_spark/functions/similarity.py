@@ -34,6 +34,20 @@ def decimal_dot(a: Column, b: Column) -> Column:
     return total.cast("double")
 
 
+def double_dot(a: Column, b: Column) -> Column:
+    """Plain-double dot product. Still run-to-run deterministic (the
+    elementwise fold is sequential within a row — no partitioning
+    dependence) but NOT bit-identical to other engines' summation
+    orders. Use for internal scoring (e.g. IVF cell assignment) where
+    only self-consistency matters; use :func:`decimal_dot` for anything
+    hash-compared against an oracle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def sq_norm(a: Column) -> Column:
     return decimal_dot(a, a)
 
@@ -254,9 +268,10 @@ def ivf_assign(
     from pyspark.sql import Window
 
     base = _with_norm(df, id_col, emb_col)
+    # double_dot: cell assignment only needs self-consistent scores.
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim",
-        decimal_dot(F.col("__emb"), F.col("c_emb"))
+        double_dot(F.col("__emb"), F.col("c_emb"))
         / (F.col("__norm") * F.col("c_norm")),
     )
     w = Window.partitionBy("__id").orderBy(

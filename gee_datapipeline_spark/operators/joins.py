@@ -80,6 +80,78 @@ def value_proximity_join(
     )
 
 
+def asof_join(
+    probe: DataFrame,
+    ref: DataFrame,
+    on: Sequence[str],
+    ts: str = "ts",
+    payload: Sequence[str] | None = None,
+    suffix: str = "_ref",
+) -> DataFrame:
+    """Backward as-of join: each probe row gets the reference row with
+    the greatest ``ts`` ≤ its own (per key group); NULLs when no prior
+    reference exists (left semantics).
+
+    Spark has no native ASOF JOIN. The naive formulation (range join +
+    per-probe max) explodes to probe×ref pairs per key. This is the
+    scalable union trick instead: tag both sides, union them, sort each
+    key group once by (ts, ref-first), and carry the reference payload
+    forward with ``last(ignorenulls)`` over an unbounded-preceding row
+    frame. Exactly ONE shuffle (the window partition on the keys), no
+    pair explosion, linear in probe+ref — at 100 TB this is the only
+    affordable shape.
+
+    Tie semantics: a reference AT the probe's timestamp matches
+    (``>=``, ref sorts first). Callers should de-duplicate references
+    per (key, ts) beforehand for fully deterministic output.
+
+    Reference payload columns arrive as ``<col><suffix>`` plus
+    ``<ts><suffix>`` (the matched timestamp).
+    """
+    from pyspark.sql import Window
+
+    keys = list(on)
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in ref.columns if c not in keys + [ts]]
+    )
+    ref_out = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    probe_extra = [c for c in probe.columns if c not in keys]
+
+    r = ref.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__is_ref"),
+        F.col(ts).alias(f"{ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_extra
+        ],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__is_ref"),
+        F.lit(None).cast(ref.schema[ts].dataType).alias(f"{ts}{suffix}"),
+        *[
+            F.lit(None).cast(ref.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in payload
+        ],
+        *[F.col(c) for c in probe_extra],
+    )
+    u = p.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in ref_out:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__is_ref") == 0).drop("__is_ref", "__ts")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -358,6 +358,31 @@ register(
     )
 )
 
+def _approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of value_percentiles: approx_percentile
+    (Greenwald-Khanna) — estimator values are engine-specific, so
+    rows-only; at 100 TB the exact form needs a full sort per group,
+    the sketch is one pass and mergeable."""
+    ev = _t(spark, sf_dir, "events")
+    pct = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(F.get(pct, 0), 6).alias("p25"),
+        F.round(F.get(pct, 1), 6).alias("p50"),
+        F.round(F.get(pct, 2), 6).alias("p75"),
+    )
+
+
+register(
+    Query(
+        name="approx_percentiles",
+        spark=_approx_percentiles,
+        oracle=None,
+        tags=("aggregation", "sketch"),
+    )
+)
+
 # ----------------------------------------------------- outer join + fill
 
 

@@ -58,6 +58,112 @@ register(
 )
 
 
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the UDTF-shaped mapInPandas path
+    (one input row → many frame rows), aggregated per media item. The
+    synthetic duration is derived from doc length so every scale factor
+    exercises variable fan-out."""
+    from ..functions.multimodal import sample_frames
+
+    media = _media_from_docs(spark, sf_dir).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.lit("video/fake").alias("mime"),
+        "payload",
+        "width",
+        "height",
+        (F.length("payload") * 10).cast("int").alias("duration_ms"),
+        "meta",
+    )
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ms"),
+        F.countDistinct("sha256").alias("n_distinct_frames"),
+    )
+
+
+register(
+    Query(
+        name="multimodal_frame_sample",
+        spark=_multimodal_frame_sample,
+        oracle=None,
+        tags=("multimodal",),
+    )
+)
+
+
+def _streaming_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window incident detection as a real streaming run: the
+    first observed day of events streams through session_window(gap=30m)
+    with a watermark; a sentinel batch closes every session (the
+    'active vs historic incidents' query, README.md:2)."""
+    from ..streaming.jobs import (
+        run_to_memory,
+        session_incidents,
+        stream_from_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    slice_df = ev.filter(F.to_date("ts") == F.lit(first_day)).select(
+        "ts",
+        F.col("user_id").cast("int").alias("cell_x"),
+        F.lit(0).cast("int").alias("cell_y"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_stream_sess_gate_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    slice_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "b1")
+    )
+    sentinel = slice_df.limit(1).select(
+        (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
+        F.lit(-1).cast("int").alias("cell_x"),
+        F.col("cell_y"),
+        F.lit(1.0).alias("value"),
+    )
+    name = f"gate_sess_{abs(hash(root)) % 10**9}"
+    q = run_to_memory(
+        session_incidents(
+            stream_from_dir(spark, src + "/*"), gap="30 minutes",
+            watermark="2 hours",
+        ),
+        name,
+        os.path.join(root, "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .filter(F.col("cell_x") >= 0)
+        .select(
+            F.date_format("incident_start", "yyyy-MM-dd HH:mm").alias("s_start"),
+            F.date_format("incident_end", "yyyy-MM-dd HH:mm").alias("s_end"),
+            "cell_x",
+            "peak_value",
+            "n_detections",
+        )
+    )
+
+
+register(
+    Query(
+        name="streaming_session_incidents",
+        spark=_streaming_session_incidents,
+        oracle=None,
+        tags=("streaming", "session"),
+    )
+)
+
+
 def _streaming_windowed_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming run inside the gate: events (first
     observed day) stream through the tumbling-window max composite with

@@ -18,7 +18,7 @@ from ..functions.stable import (
     stable_avg,
     stable_sum,
 )
-from ..operators.joins import interval_join, value_proximity_join
+from ..operators.joins import asof_join, interval_join, value_proximity_join
 from .registry import Query, register
 
 
@@ -209,6 +209,174 @@ register(
             GROUP BY 1
         """,
         tags=("J4", "F1", "join"),
+    )
+)
+
+# ------------------------------------------------------------- as-of join
+
+
+def _asof_clicks_to_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True as-of join (J4's point-in-time variant): every click event
+    picks up the latest error event of the same user at-or-before its
+    timestamp — the "state as of" attachment the NRT fire feed implies
+    (DataDownloader_SNPP_VIIRS_V1.py:138: join each detection to the
+    most recent composite). Implemented via operators.joins.asof_join
+    (single-shuffle union + running last, no pair explosion); the DuckDB
+    oracle is its native ASOF LEFT JOIN. References are pre-deduplicated
+    per (user, ts) so tie-breaking is deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("err_event_id"),
+            F.max("value").alias("err_value"),
+        )
+    )
+    joined = asof_join(
+        clicks, errors, on=["user_id"], ts="ts",
+        payload=["err_event_id", "err_value"], suffix="_ref",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", fmt).alias("click_ts"),
+        "value",
+        F.col("err_event_id_ref").alias("err_event_id"),
+        F.col("err_value_ref").alias("err_value"),
+        F.date_format("ts_ref", fmt).alias("err_ts"),
+    )
+
+
+register(
+    Query(
+        name="asof_clicks_to_errors",
+        spark=_asof_clicks_to_errors,
+        oracle="""
+            WITH clicks AS (
+                SELECT user_id, event_id, ts, value FROM events
+                WHERE event_type = 'click'
+            ),
+            errs AS (
+                SELECT user_id, ts,
+                       max(event_id) AS err_event_id,
+                       max(value) AS err_value
+                FROM events WHERE event_type = 'error'
+                GROUP BY 1, 2
+            )
+            SELECT c.user_id, c.event_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   c.value,
+                   e.err_event_id, e.err_value,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts
+            FROM clicks c ASOF LEFT JOIN errs e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
+        """,
+        tags=("J4", "join", "asof"),
+    )
+)
+
+# --------------------------------------------------- Q18 big-order filter
+
+
+def _big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact, then join the
+    qualifying keys back to the dimensions. The HAVING aggregate runs
+    BEFORE any join — at scale the filter collapses the fact table to a
+    small key set that then broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(stable_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+register(
+    Query(
+        name="big_orders",
+        spark=_big_orders,
+        oracle=f"""
+            WITH big AS (
+                SELECT l_orderkey, {sql_stable_sum('l_quantity')} AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING {sql_stable_sum('l_quantity')} > 150
+            )
+            SELECT c_name, o_orderkey,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+                   o_totalprice, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        tags=("O3", "join", "tpch", "having"),
+    )
+)
+
+# ------------------------------------------------------ Q14 promo share
+
+
+def _promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of two conditional aggregates over a
+    fact-dimension join — promo revenue share per month. The part
+    dimension broadcasts; one scan, no re-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    monthly = j.withColumn(
+        "month", F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
+    ).groupBy("month")
+    return monthly.agg(
+        stable_sum(
+            F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+        ).alias("promo_revenue"),
+        stable_sum(revenue).alias("total_revenue"),
+        F.round(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", revenue)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(30,6)")
+            ).cast("double")
+            * 100.0
+            / F.sum(revenue.cast("decimal(30,6)")).cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+register(
+    Query(
+        name="promo_share",
+        spark=_promo_share,
+        oracle=f"""
+            SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month,
+                   {sql_stable_sum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_revenue,
+                   {sql_stable_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+                   round(cast(sum(cast((CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) as decimal(30,6))) as double)
+                         * 100.0
+                         / cast(sum(cast((l_extendedprice * (1 - l_discount)) as decimal(30,6))) as double), 6) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        tags=("F3", "join", "tpch"),
     )
 )
 

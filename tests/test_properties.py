@@ -105,3 +105,31 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(left, right, ["key"], salt_buckets=8).collect()
     }
     assert salted == plain and len(plain) == 53
+
+
+def test_asof_join_golden(spark):
+    """Hand-computed as-of semantics: latest ref at-or-before each probe
+    ts per key; NULL when no prior ref; ref AT the probe ts matches."""
+    from gee_datapipeline_spark.operators.joins import asof_join
+
+    probe = spark.createDataFrame(
+        [("u1", 5, "p_a"), ("u1", 10, "p_b"), ("u1", 20, "p_c"),
+         ("u2", 3, "p_d"), ("u3", 9, "p_e")],
+        ["k", "ts", "ptag"],
+    )
+    ref = spark.createDataFrame(
+        [("u1", 4, "r_w"), ("u1", 10, "r_x"), ("u1", 15, "r_y"),
+         ("u2", 7, "r_z")],
+        ["k", "ts", "rtag"],
+    )
+    got = {
+        (r.k, r.ts, r.ptag): (r.rtag_ref, r.ts_ref)
+        for r in asof_join(probe, ref, on=["k"], ts="ts").collect()
+    }
+    assert got == {
+        ("u1", 5, "p_a"): ("r_w", 4),      # strictly before
+        ("u1", 10, "p_b"): ("r_x", 10),    # tie: ref at probe ts matches
+        ("u1", 20, "p_c"): ("r_y", 15),    # latest of several
+        ("u2", 3, "p_d"): (None, None),    # ref exists only later
+        ("u3", 9, "p_e"): (None, None),    # key has no refs at all
+    }
