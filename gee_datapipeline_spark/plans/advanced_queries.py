@@ -205,6 +205,62 @@ register(
     )
 )
 
+def _range_frame_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rangeBetween frame: trailing 7-DAY total per event type over an
+    integer day index. Unlike the rows frame in moving_average, the
+    range frame is defined by VALUE distance, so calendar gaps shrink
+    the window — the semantics a late-arriving sparse feed needs. The
+    window sum goes through decimal so frame-iteration order can't
+    perturb the float result (hash-compared against DuckDB)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(stable_sum("value", scale=6).alias("day_total"))
+        .withColumn(
+            "day_idx", F.datediff("day", F.lit("1970-01-01").cast("date"))
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_total",
+        F.round(
+            F.sum(F.col("day_total").cast("decimal(30,6)")).over(w).cast(
+                "double"
+            ),
+            6,
+        ).alias("trailing_7d_total"),
+    )
+
+
+register(
+    Query(
+        name="range_frame_daily",
+        spark=_range_frame_daily,
+        oracle=f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       {sql_stable_sum('value', scale=6)} AS day_total
+                FROM events
+                GROUP BY 1, 2
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day, day_total,
+                   round(CAST(sum(CAST(day_total AS DECIMAL(30,6))) OVER (
+                       PARTITION BY event_type
+                       ORDER BY (day - DATE '1970-01-01')
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE), 6) AS trailing_7d_total
+            FROM daily
+        """,
+        tags=("window", "range-frame"),
+    )
+)
+
 # ----------------------------------------------------------------- cube
 
 

@@ -486,6 +486,40 @@ register(
     )
 )
 
+def _set_intersect_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — INTERSECT twin of set_except_months: months present in
+    BOTH the shipment and order calendars (the layer x date matrix cell
+    is populated only when both sides exported, index.html:135-147).
+    Both inputs are distinct month spines, so the intersect shuffles a
+    few thousand rows at most regardless of fact-table size."""
+    li_months = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM-dd").alias("month"))
+        .distinct()
+    )
+    o_months = (
+        _t(spark, sf_dir, "orders")
+        .select(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .distinct()
+    )
+    return li_months.intersect(o_months)
+
+
+register(
+    Query(
+        name="set_intersect_months",
+        spark=_set_intersect_months,
+        oracle="""
+            SELECT DISTINCT strftime(CAST(date_trunc('month', l_shipdate) AS DATE), '%Y-%m-%d') AS month
+            FROM lineitem
+            INTERSECT
+            SELECT DISTINCT strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month
+            FROM orders
+        """,
+        tags=("setop",),
+    )
+)
+
 # ------------------------------------------------------------ F1 date math
 
 
