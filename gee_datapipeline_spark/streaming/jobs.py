@@ -174,6 +174,27 @@ def incremental_max_state(
     )
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a static
+    dimension table (the streaming form of the amenity overlay J2 —
+    "which district / how near a power plant is this detection",
+    DataDownloader_V2.py:96-102, resolved at ingest time instead of
+    render time).
+
+    The static side is broadcast: every executor holds the dimension
+    once, each micro-batch is a local hash join — STATELESS, so no
+    state store, no watermark interaction, and the join cannot become
+    the scale bottleneck (amenity tables are ≤ thousands of rows, §0).
+    The static side is re-read per micro-batch, so a dimension update
+    (new power plant) is picked up without restarting the query."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def run_to_memory(
     result: DataFrame,
     query_name: str,

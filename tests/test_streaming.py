@@ -238,3 +238,35 @@ def test_streaming_batch_parity(spark, stream_dirs):
         assert got == want
     finally:
         q.stop()
+
+
+def test_enrich_stream_static_broadcast(spark, stream_dirs):
+    """Stream-static join: detections pick up the district dimension
+    per micro-batch (left semantics — unknown cells keep NULL), then a
+    downstream windowed agg still works on the enriched stream."""
+    from gee_datapipeline_spark.streaming.jobs import enrich_stream
+
+    src, ckpt = stream_dirs
+    dim = spark.createDataFrame(
+        [(1, "district_a"), (2, "district_b")], ["cell_x", "district"]
+    )
+    _write_batch(
+        spark,
+        src,
+        _rows((0, 10, 0, 1, 1, 50), (0, 20, 0, 2, 2, 80), (0, 30, 0, 9, 9, 70)),
+        1,
+    )
+    q = run_to_memory(
+        enrich_stream(stream_from_dir(spark, src + "/*"), dim, on=["cell_x"]),
+        "enriched",
+        ckpt,
+    )
+    try:
+        q.processAllAvailable()
+        out = {
+            r.cell_x: r.district
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+        assert out == {1: "district_a", 2: "district_b", 9: None}
+    finally:
+        q.stop()
