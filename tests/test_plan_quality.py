@@ -155,3 +155,29 @@ def test_date_filter_partition_pruning(spark, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters" in plan
     assert "isnotnull(dataset" in plan or "dataset#" in plan
+
+
+def test_asof_join_single_probe_shuffle_no_explosion(spark):
+    """The as-of join must plan as union + ONE window shuffle on the key
+    — never a joined pair explosion (no join node at all in the plan)."""
+    plan = _plan(QUERIES["asof_clicks_to_errors"].spark(spark, SF_SMOKE))
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert node not in plan
+
+
+def test_big_orders_fact_never_shuffles_on_join(spark):
+    """Q18 shape: the HAVING key-set and the customer dim both broadcast,
+    so the orders fact is joined without a shuffle on either key."""
+    plan = _plan(QUERIES["big_orders"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_promo_share_broadcasts_part_single_agg_pass(spark):
+    """Q14 shape: part broadcasts; the conditional ratio computes in one
+    partial+final aggregation pass over a single lineitem scan."""
+    plan = _plan(QUERIES["promo_share"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
