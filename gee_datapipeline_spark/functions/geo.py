@@ -50,23 +50,30 @@ def haversine_km(
     return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
-def grid_cell(lon: Column, lat: Column, cell_deg: float) -> Column:
-    """Integer grid-cell id at ``cell_deg`` resolution — the geohash-style
-    bucketing key for proximity joins. Encoded as one long
-    (row-major over a global grid)."""
+def grid_cell(
+    lon: Column, lat: Column, cell_deg: float, cell_lat_deg: float | None = None
+) -> Column:
+    """Integer grid-cell id — the geohash-style bucketing key for
+    proximity joins. Encoded as one long (row-major over a global grid).
+    ``cell_deg`` sizes the longitude axis; ``cell_lat_deg`` (default: same)
+    sizes latitude, so the two axes can use different km-per-degree."""
+    lat_deg = cell_deg if cell_lat_deg is None else cell_lat_deg
     cols = int(math.ceil(360.0 / cell_deg))
     cx = F.floor((lon + 180.0) / cell_deg).cast("long")
-    cy = F.floor((lat + 90.0) / cell_deg).cast("long")
+    cy = F.floor((lat + 90.0) / lat_deg).cast("long")
     return cy * F.lit(cols) + cx
 
 
-def neighbor_cells(lon: Column, lat: Column, cell_deg: float) -> Column:
+def neighbor_cells(
+    lon: Column, lat: Column, cell_deg: float, cell_lat_deg: float | None = None
+) -> Column:
     """The 3x3 cell neighborhood around a point — points are exploded to
-    all 9 cells so any pixel within ``cell_deg`` of the point shares at
+    all 9 cells so any pixel within one cell size of the point shares at
     least one cell (no missed pairs at cell borders)."""
+    lat_deg = cell_deg if cell_lat_deg is None else cell_lat_deg
     cols = int(math.ceil(360.0 / cell_deg))
     cx = F.floor((lon + 180.0) / cell_deg).cast("long")
-    cy = F.floor((lat + 90.0) / cell_deg).cast("long")
+    cy = F.floor((lat + 90.0) / lat_deg).cast("long")
     return F.array(
         *[
             (cy + dy) * F.lit(cols) + (cx + dx)
@@ -85,23 +92,41 @@ def proximity_join(
     point_lon: str = "lon",
     point_lat: str = "lat",
     broadcast_points: bool = True,
+    lat_cap_deg: float = 66.0,
+    distance_round: int | None = None,
 ) -> DataFrame:
     """J2 — pixels within ``radius_km`` of any point (the power-plant
     overlay, DataDownloader_V2.py:96-102, made queryable).
 
-    Grid-bucketed: cell size is chosen >= radius in degrees (worst-case
-    latitude shrink of the lon degree is handled by using the lat-only
-    bound), points explode to their 3x3 neighborhood, and the join is an
-    equi-join on cell id followed by the exact haversine test."""
-    # 1 deg lat ~ 111.32 km; take a cell at least as big as the radius.
-    cell_deg = max(radius_km / 111.32, 1e-4)
+    Grid-bucketed: cell sizes are chosen >= radius in degrees per axis,
+    points explode to their 3x3 neighborhood, and the join is an equi-join
+    on cell id followed by the exact haversine test. The longitude cell is
+    sized for the WORST-CASE latitude shrink up to ``lat_cap_deg`` (a
+    degree of longitude is ``111.32·cos(lat)`` km, so a radius that fits
+    one lat cell can span >1 lon cell away from the equator — sizing both
+    axes from the lat bound would silently drop border pairs). Data above
+    ``lat_cap_deg`` needs an explicitly larger cap.
+
+    ``distance_round`` rounds the distance before the radius test — use
+    it when the result must be reproducible across engines whose libm
+    ulps differ (e.g. a DuckDB differential oracle)."""
+    # 1 deg lat ~ 111.32 km everywhere; 1 deg lon shrinks by cos(lat).
+    cell_lat_deg = max(radius_km / 111.32, 1e-4)
+    cell_lon_deg = max(
+        radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
+    )
     px = pixels.withColumn(
-        "__cell", grid_cell(F.col(pixel_lon), F.col(pixel_lat), cell_deg)
+        "__cell",
+        grid_cell(
+            F.col(pixel_lon), F.col(pixel_lat), cell_lon_deg, cell_lat_deg
+        ),
     )
     pt = points.withColumn(
         "__cell",
         F.explode(
-            neighbor_cells(F.col(point_lon), F.col(point_lat), cell_deg)
+            neighbor_cells(
+                F.col(point_lon), F.col(point_lat), cell_lon_deg, cell_lat_deg
+            )
         ),
     )
     if broadcast_points:
@@ -120,6 +145,8 @@ def proximity_join(
     dist = haversine_km(
         pl, pr, F.col(f"pt_{point_lon}"), F.col(f"pt_{point_lat}")
     )
+    if distance_round is not None:
+        dist = F.round(dist, distance_round)
     return joined.withColumn("distance_km", dist).filter(
         F.col("distance_km") <= radius_km
     ).drop("__cell")

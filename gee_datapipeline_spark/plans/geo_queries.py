@@ -1,11 +1,20 @@
-"""Geo-domain queries on the synthetic pixel fixtures (FIXTURES.md §A).
+"""Geo-domain queries on the materialized pixel fixtures (FIXTURES.md §A).
 
 These register the reference's actual geospatial surface — the V1
-pipeline chain, polygon clip, amenity proximity, resample — as
-``queries()`` entries. They run on the deterministic synthetic rasters
-(``sources.synthetic``, seeded), not the sf tables, so they are
-rows-only in the oracle gate; their semantics are golden-tested in
-``tests/test_geo.py``.
+pipeline chain, polygon clip, amenity proximity, resample-classify — as
+``queries()`` entries. The fixtures are seeded-deterministic parquet files
+(``sources.fixtures``) that Spark and DuckDB both read byte-identically,
+so every query here carries a full differential oracle; semantics are
+additionally golden-tested in ``tests/test_geo.py``.
+
+Oracle notes:
+- The clip oracle exploits that the ``delhi_diamond`` test polygon is an
+  L1 ball (|lon-cx|+|lat-cy| <= r): the ray-cast UDF and the closed-form
+  containment agree on every fixture pixel (no pixel sits on the
+  boundary), giving plain SQL for a genuinely non-SQL operator.
+- The proximity oracle mirrors the haversine formula term by term and
+  both sides round the distance to 6 dp before the radius test, so libm
+  ulp differences between the JVM and DuckDB cannot flip inclusion.
 """
 
 from __future__ import annotations
@@ -14,21 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.geo import bbox_contains, clip_to_polygon, proximity_join
+from ..functions.stable import sql_stable_avg
 from ..operators.classify import classify_with_thresholds
 from ..operators.composites import grid_resample, mean_composite, max_composite
 from ..operators.windows import minmax_normalize
-from ..sources.synthetic import (
-    DELHI_BBOX,
-    make_amenities,
-    make_pixels,
-    make_regions,
-    make_thresholds,
-)
+from ..sources.fixtures import ensure_geo_fixtures, fixture_path, load_fixture
+from ..sources.synthetic import DELHI_BBOX
 from .registry import Query, register
+
+# Materialize at import so the oracle's read_parquet targets exist even if
+# the driver runs DuckDB before (or without) the Spark side.
+ensure_geo_fixtures()
+
+_PX = fixture_path("pixels")
+_AMEN = fixture_path("amenities")
+_TH = fixture_path("thresholds")
+
+# Fixture bbox bounds, inlined into oracle SQL.
+_MIN_LON, _MIN_LAT, _MAX_LON, _MAX_LAT = DELHI_BBOX
 
 
 def _pixels(spark: SparkSession) -> DataFrame:
-    return make_pixels(spark, months=2, grid=10)
+    return load_fixture(spark, "pixels")
 
 
 def _geo_flagship_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +69,28 @@ register(
     Query(
         name="geo_flagship_v1",
         spark=_geo_flagship_v1,
-        oracle=None,
+        oracle=f"""
+            WITH px AS (
+                SELECT * FROM read_parquet('{_PX}')
+                WHERE dataset = 'no2'
+                  AND date >= DATE '2025-01-01' AND date < DATE '2025-03-01'
+                  AND lon BETWEEN {_MIN_LON} AND {_MAX_LON}
+                  AND lat BETWEEN {_MIN_LAT} AND {_MAX_LAT}
+            ),
+            comp AS (
+                SELECT x, y, lon, lat,
+                       strftime(date_trunc('month', date), '%Y-%m') AS month,
+                       {sql_stable_avg('value')} AS mean_value,
+                       count(value) AS n_obs
+                FROM px GROUP BY x, y, lon, lat, month
+            )
+            SELECT x, y, lon, lat, month, mean_value, n_obs,
+                   round((mean_value - min(mean_value) OVER (PARTITION BY month))
+                         / (max(mean_value) OVER (PARTITION BY month)
+                            - min(mean_value) OVER (PARTITION BY month)
+                            + 1e-6), 6) AS norm_value
+            FROM comp
+        """,
         tags=("geo", "A1", "W1", "P4", "P5"),
     )
 )
@@ -64,7 +101,7 @@ def _geo_clip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataDownloader_V1.py:145,54): bbox prefilter + ray-cast UDF, then a
     per-dataset count of surviving pixels."""
     px = _pixels(spark)
-    regions = make_regions(spark)
+    regions = load_fixture(spark, "regions")
     poly = regions.filter(F.col("region") == "delhi_diamond").first()["polygon"]
     return (
         clip_to_polygon(px, poly)
@@ -77,7 +114,16 @@ register(
     Query(
         name="geo_clip_polygon",
         spark=_geo_clip_polygon,
-        oracle=None,
+        # delhi_diamond is the L1 ball |lon-77.25|+|lat-28.6| < 0.3; no
+        # fixture pixel lies on its boundary (grid step 0.08 with +0.04
+        # offset never sums to 0.30), so ray-cast == closed form.
+        oracle=f"""
+            SELECT dataset, count(*) AS n_pixels_in_region
+            FROM read_parquet('{_PX}')
+            WHERE lon BETWEEN 76.95 AND 77.55 AND lat BETWEEN 28.3 AND 28.9
+              AND abs(lon - 77.25) + abs(lat - 28.6) < 0.3
+            GROUP BY dataset
+        """,
         tags=("geo", "J1", "P6"),
     )
 )
@@ -88,11 +134,12 @@ def _geo_proximity_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (README.md:2; power-plant overlay DataDownloader_V2.py:96-102):
     max observed value within 10 km of each amenity."""
     px = _pixels(spark).filter(F.col("value").isNotNull())
-    amen = make_amenities(spark, n=15)
+    amen = load_fixture(spark, "amenities")
     near = proximity_join(
         px.select("dataset", "lon", "lat", "value"),
         amen.select("feature_id", "lon", "lat"),
         radius_km=10.0,
+        distance_round=6,
     )
     return near.groupBy("pt_feature_id", "dataset").agg(
         F.max("value").alias("max_value_10km"),
@@ -104,7 +151,28 @@ register(
     Query(
         name="geo_proximity_amenities",
         spark=_geo_proximity_amenities,
-        oracle=None,
+        oracle=f"""
+            WITH px AS (
+                SELECT dataset, lon, lat, value
+                FROM read_parquet('{_PX}') WHERE value IS NOT NULL
+            ),
+            pt AS (
+                SELECT feature_id, lon AS alon, lat AS alat
+                FROM read_parquet('{_AMEN}')
+            ),
+            pairs AS (
+                SELECT px.dataset, px.value, pt.feature_id AS pt_feature_id
+                FROM px CROSS JOIN pt
+                WHERE round(2 * 6371.0088 * asin(sqrt(
+                          pow(sin((radians(alat) - radians(lat)) / 2), 2)
+                          + cos(radians(lat)) * cos(radians(alat))
+                            * pow(sin((radians(alon) - radians(lon)) / 2), 2)
+                      )), 6) <= 10.0
+            )
+            SELECT pt_feature_id, dataset, max(value) AS max_value_10km,
+                   count(*) AS n_pixels
+            FROM pairs GROUP BY pt_feature_id, dataset
+        """,
         tags=("geo", "J2"),
     )
 )
@@ -115,7 +183,7 @@ def _geo_resample_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataDownloader_V1.py:149) then classify cell means against the WHO
     thresholds (DataDownloader_V3.py:62-73)."""
     px = _pixels(spark)
-    th = make_thresholds(spark)
+    th = load_fixture(spark, "thresholds")
     cells = grid_resample(
         px.select("dataset", "x", "y", "value"),
         {
@@ -136,7 +204,25 @@ register(
     Query(
         name="geo_resample_classify",
         spark=_geo_resample_classify,
-        oracle=None,
+        oracle=f"""
+            WITH cells AS (
+                SELECT dataset, floor(x / 2) AS cx, floor(y / 2) AS cy,
+                       {sql_stable_avg('value')} AS cell_value
+                FROM read_parquet('{_PX}')
+                GROUP BY dataset, cx, cy
+            ),
+            classed AS (
+                SELECT c.dataset,
+                       CASE WHEN cell_value < std_value THEN 'below_standard'
+                            WHEN cell_value < 1.5 * std_value THEN 'elevated'
+                            WHEN cell_value < 2.0 * std_value THEN 'high'
+                            ELSE 'severe' END AS bucket
+                FROM cells c
+                JOIN read_parquet('{_TH}') t ON c.dataset = t.dataset
+            )
+            SELECT dataset, bucket, count(*) AS n_cells
+            FROM classed GROUP BY dataset, bucket
+        """,
         tags=("geo", "A7", "F3"),
     )
 )
@@ -146,7 +232,7 @@ def _geo_feature_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 + F6 + S2 — FeatureCollection attribute filter: the chained
     property-equality predicates (``ee.Filter.eq('ADM1_NAME','Punjab')``,
     DataDownloader_SNPP_VIIRS_V1.py:33) against the MAP property bag."""
-    amen = make_amenities(spark, n=20)
+    amen = load_fixture(spark, "amenities")
     return (
         amen.filter(
             (F.col("props")["plant:source"] == "coal")
@@ -165,7 +251,12 @@ register(
     Query(
         name="geo_feature_filter",
         spark=_geo_feature_filter,
-        oracle=None,
+        # DuckDB 1.x map extraction returns a LIST; [1] unwraps the value.
+        oracle=f"""
+            SELECT feature_id, props['name'][1] AS plant_name, lon, lat
+            FROM read_parquet('{_AMEN}')
+            WHERE props['plant:source'][1] = 'coal' AND geom_type = 'Point'
+        """,
         tags=("geo", "P2", "P9", "F6", "S2"),
     )
 )
@@ -175,7 +266,7 @@ def _geo_region_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — geometry union as bbox envelope: dissolve each feature
     source to its bounding box (``punjab.geometry()``,
     DataDownloader_SNPP_VIIRS_V1.py:36)."""
-    amen = make_amenities(spark, n=20)
+    amen = load_fixture(spark, "amenities")
     return amen.groupBy("source").agg(
         F.round(F.min("lon"), 6).alias("min_lon"),
         F.round(F.min("lat"), 6).alias("min_lat"),
@@ -189,7 +280,16 @@ register(
     Query(
         name="geo_region_envelope",
         spark=_geo_region_envelope,
-        oracle=None,
+        oracle=f"""
+            SELECT source,
+                   round(min(lon), 6) AS min_lon,
+                   round(min(lat), 6) AS min_lat,
+                   round(max(lon), 6) AS max_lon,
+                   round(max(lat), 6) AS max_lat,
+                   count(*) AS n_features
+            FROM read_parquet('{_AMEN}')
+            GROUP BY source
+        """,
         tags=("geo", "A6", "aggregation"),
     )
 )
@@ -197,8 +297,11 @@ register(
 
 def _geo_max_composite_frp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — the VIIRS max-FRP composite with zero-preserving normalize
-    (DataDownloader_SNPP_VIIRS_V1.py:155,74-82)."""
-    px = make_pixels(spark, months=1, grid=10, datasets=("co",))
+    (DataDownloader_SNPP_VIIRS_V1.py:155,74-82) over the first fixture
+    month of the 'co' dataset."""
+    px = _pixels(spark).filter(
+        (F.col("dataset") == "co") & (F.col("date") < F.lit("2025-02-01"))
+    )
     comp = max_composite(
         px.withColumn("value", F.coalesce("value", F.lit(0.0))),
         ["x", "y"],
@@ -213,7 +316,23 @@ register(
     Query(
         name="geo_max_composite_frp",
         spark=_geo_max_composite_frp,
-        oracle=None,
+        oracle=f"""
+            WITH comp AS (
+                SELECT x, y, max(coalesce(value, 0.0)) AS max_value
+                FROM read_parquet('{_PX}')
+                WHERE dataset = 'co' AND date < DATE '2025-02-01'
+                GROUP BY x, y
+            )
+            SELECT x, y, max_value, 'frp' AS img,
+                   round(CASE WHEN max_value > 0
+                              AND max(max_value) OVER ()
+                                  > min(max_value) OVER ()
+                         THEN (max_value - min(max_value) OVER ())
+                              / (max(max_value) OVER ()
+                                 - min(max_value) OVER ())
+                         ELSE 0.0 END, 6) AS norm_value
+            FROM comp
+        """,
         tags=("geo", "A2", "W1"),
     )
 )

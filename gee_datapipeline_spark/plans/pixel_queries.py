@@ -348,7 +348,8 @@ register(
         spark=_null_handling,
         oracle=f"""
             SELECT event_type, count(*) AS n,
-                   sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
                    {sql_stable_avg('coalesce(value, 0.0)')} AS avg_zero_filled
             FROM events
             GROUP BY 1

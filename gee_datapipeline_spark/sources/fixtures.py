@@ -1,0 +1,150 @@
+"""On-disk geo fixtures shared by Spark and the DuckDB oracle.
+
+The geo gate queries (``plans.geo_queries``) run on synthetic rasters, not
+the sf tables. Round 1 built those rasters in memory per-session, so the
+oracle gate could only do a rows-only check ("no_oracle"). This module
+materializes the exact same seeded rows ONCE to parquet under the repo's
+``spark-warehouse/fixtures/`` — Spark reads them with
+``spark.read.parquet`` and the DuckDB oracle reads the identical bytes
+with ``read_parquet('<abs path>')`` — which upgrades every geo query to
+the full row-count + schema + value-hash differential check.
+
+Generation is idempotent and versioned: a manifest records the builder
+parameters, and any mismatch (or missing file) triggers a rewrite. Writing
+goes through pyarrow directly (no SparkSession needed) so oracles can be
+materialized even before any Spark work starts.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+from .synthetic import (
+    amenities_rows,
+    pixels_rows,
+    regions_rows,
+    thresholds_rows,
+)
+
+# Bump when any builder or parameter below changes shape or content.
+FIXTURES_VERSION = 1
+
+FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
+
+# The parameterization the geo gate queries run on (grid=10 → 100 pixels,
+# 2 months × 3 obs × 2 datasets = 1,200 observation rows).
+PIXEL_PARAMS = dict(
+    months=2, grid=10, datasets=("no2", "co"), seed=42, null_frac=0.05
+)
+AMENITY_PARAMS = dict(n=20, seed=7)
+
+_PIXELS_ARROW = pa.schema(
+    [
+        ("dataset", pa.string()),
+        ("band", pa.string()),
+        ("date", pa.date32()),
+        ("ts", pa.timestamp("us")),
+        ("x", pa.int32()),
+        ("y", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("value", pa.float64()),
+    ]
+)
+
+_REGIONS_ARROW = pa.schema(
+    [
+        ("region", pa.string()),
+        ("min_lon", pa.float64()),
+        ("min_lat", pa.float64()),
+        ("max_lon", pa.float64()),
+        ("max_lat", pa.float64()),
+        ("polygon", pa.string()),
+    ]
+)
+
+_THRESHOLDS_ARROW = pa.schema(
+    [("dataset", pa.string()), ("std_value", pa.float64())]
+)
+
+_AMENITIES_ARROW = pa.schema(
+    [
+        ("source", pa.string()),
+        ("feature_id", pa.string()),
+        ("geom_type", pa.string()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("props", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    arrays = []
+    for field, col in zip(schema, cols):
+        vals = list(col)
+        if pa.types.is_map(field.type):
+            vals = [sorted(v.items()) if v is not None else None for v in vals]
+        arrays.append(pa.array(vals, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def _manifest() -> dict:
+    return {
+        "version": FIXTURES_VERSION,
+        "pixels": {k: list(v) if isinstance(v, tuple) else v
+                   for k, v in PIXEL_PARAMS.items()},
+        "amenities": dict(AMENITY_PARAMS),
+    }
+
+
+def ensure_geo_fixtures(base: Path | None = None) -> Path:
+    """Write the fixture parquet files if absent or stale; return the dir."""
+    base = FIXTURES_DIR if base is None else Path(base)
+    manifest_path = base / "MANIFEST.json"
+    wanted = _manifest()
+    names = ("pixels", "regions", "thresholds", "amenities")
+    if manifest_path.exists() and all(
+        (base / f"{n}.parquet").exists() for n in names
+    ):
+        try:
+            if json.loads(manifest_path.read_text()) == wanted:
+                return base
+        except (ValueError, OSError):
+            pass
+    base.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        _rows_to_table(pixels_rows(**PIXEL_PARAMS), _PIXELS_ARROW),
+        base / "pixels.parquet",
+    )
+    pq.write_table(
+        _rows_to_table(regions_rows(), _REGIONS_ARROW),
+        base / "regions.parquet",
+    )
+    pq.write_table(
+        _rows_to_table(thresholds_rows(), _THRESHOLDS_ARROW),
+        base / "thresholds.parquet",
+    )
+    pq.write_table(
+        _rows_to_table(amenities_rows(**AMENITY_PARAMS), _AMENITIES_ARROW),
+        base / "amenities.parquet",
+    )
+    manifest_path.write_text(json.dumps(wanted, indent=2))
+    return base
+
+
+def fixture_path(name: str) -> str:
+    """Absolute path of a fixture parquet file (for DuckDB read_parquet)."""
+    return str(FIXTURES_DIR / f"{name}.parquet")
+
+
+def load_fixture(spark: SparkSession, name: str) -> DataFrame:
+    """Spark-side reader; materializes the fixtures on first use."""
+    ensure_geo_fixtures()
+    return spark.read.parquet(fixture_path(name))

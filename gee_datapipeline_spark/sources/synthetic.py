@@ -1,12 +1,17 @@
 """Deterministic synthetic geo fixtures (FIXTURES.md §A).
 
-Models the reference's data shapes for golden/unit tests: the Delhi-NCR
-pollutant grid (1 km cells over the 0.8°x0.8° bbox,
+Models the reference's data shapes for golden/unit tests and the geo gate
+queries: the Delhi-NCR pollutant grid (1 km cells over the 0.8°x0.8° bbox,
 DataDownloader_V2.py:24-25) and the Punjab VIIRS fire grid, with ~5%
 NULL nodata, all-NULL groups (the empty-collection case,
 DataDownloader_V1.py:100-102) and zero-inflated FRP (transparency logic,
-DataDownloader_SNPP_VIIRS_V1.py:81-95). Seeded NumPy → Arrow →
-createDataFrame; never written to /root/testdata.
+DataDownloader_SNPP_VIIRS_V1.py:81-95).
+
+Row builders are pure functions of their parameters (seeded NumPy), so the
+same rows can be materialized either as an in-memory Spark DataFrame
+(unit tests) or written once to parquet (``sources.fixtures``) where both
+Spark AND the DuckDB oracle read identical bytes — that is what upgrades
+the geo gate queries from rows-only to full differential checks.
 """
 
 from __future__ import annotations
@@ -32,15 +37,14 @@ DATASETS = {
 STANDARD_VALUES = {"aerosol": 0.5, "no2": 0.04, "so2": 0.02, "co": 0.05}
 
 
-def make_pixels(
-    spark: SparkSession,
+def pixels_rows(
     months: int = 3,
     grid: int = 12,
     datasets: tuple[str, ...] = ("no2", "co"),
     seed: int = 42,
     null_frac: float = 0.05,
-) -> DataFrame:
-    """Long pixel table over a ``grid x grid`` Delhi sub-grid for
+) -> list[tuple]:
+    """Long pixel rows over a ``grid x grid`` Delhi sub-grid for
     ``months`` months, a few observations per month per pixel."""
     rng = np.random.default_rng(seed)
     min_lon, min_lat, max_lon, max_lat = DELHI_BBOX
@@ -74,37 +78,53 @@ def make_pixels(
                                 v,
                             )
                         )
-    return spark.createDataFrame(rows, PIXELS_SCHEMA)
+    return rows
 
 
-def make_regions(spark: SparkSession) -> DataFrame:
+def make_pixels(
+    spark: SparkSession,
+    months: int = 3,
+    grid: int = 12,
+    datasets: tuple[str, ...] = ("no2", "co"),
+    seed: int = 42,
+    null_frac: float = 0.05,
+) -> DataFrame:
+    return spark.createDataFrame(
+        pixels_rows(months, grid, datasets, seed, null_frac), PIXELS_SCHEMA
+    )
+
+
+def regions_rows() -> list[tuple]:
     """Study areas incl. an exact polygon (a diamond inside Delhi bbox)
     for point-in-polygon tests."""
     diamond = (
         "77.25 28.3, 77.55 28.6, 77.25 28.9, 76.95 28.6, 77.25 28.3"
     )
-    rows = [
+    return [
         ("delhi_ncr", *DELHI_BBOX, None),
         ("punjab", *PUNJAB_BBOX, None),
         ("delhi_diamond", 76.95, 28.3, 77.55, 28.9, diamond),
     ]
-    return spark.createDataFrame(rows, REGIONS_SCHEMA)
+
+
+def make_regions(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(regions_rows(), REGIONS_SCHEMA)
+
+
+def thresholds_rows() -> list[tuple]:
+    """WHO standard values (DataDownloader_V3.py:172-184)."""
+    return list(STANDARD_VALUES.items())
 
 
 def make_thresholds(spark: SparkSession) -> DataFrame:
-    """WHO standard values (DataDownloader_V3.py:172-184)."""
-    return spark.createDataFrame(
-        list(STANDARD_VALUES.items()), THRESHOLDS_SCHEMA
-    )
+    return spark.createDataFrame(thresholds_rows(), THRESHOLDS_SCHEMA)
 
 
-def make_amenities(spark: SparkSession, n: int = 25, seed: int = 7) -> DataFrame:
+def amenities_rows(n: int = 25, seed: int = 7) -> list[tuple]:
     """Point amenities inside the Delhi bbox (power-plant analog)."""
-    from ..model import FEATURES_SCHEMA
-
     rng = np.random.default_rng(seed)
     min_lon, min_lat, max_lon, max_lat = DELHI_BBOX
-    rows = [
+    return [
         (
             "powerplants",
             f"node/{i}",
@@ -115,4 +135,9 @@ def make_amenities(spark: SparkSession, n: int = 25, seed: int = 7) -> DataFrame
         )
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, FEATURES_SCHEMA)
+
+
+def make_amenities(spark: SparkSession, n: int = 25, seed: int = 7) -> DataFrame:
+    from ..model import FEATURES_SCHEMA
+
+    return spark.createDataFrame(amenities_rows(n, seed), FEATURES_SCHEMA)

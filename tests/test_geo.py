@@ -188,3 +188,32 @@ def test_classification_buckets(spark, pixels):
             assert r.bucket == "high"
         else:
             assert r.bucket == "severe"
+
+
+def test_proximity_join_lon_shrink_regression(spark):
+    """J2 — longitude degrees shrink by cos(lat): at Delhi's latitude a
+    10 km radius spans ~0.102° lon, more than the 0.0898° lat-derived
+    cell. A pair straddling two cell boundaries in x must still be found
+    (regression: sizing both axes from the lat bound dropped it)."""
+    # lon1 sits just left of an old-cell boundary, lon2 0.1 deg right —
+    # TWO lat-sized cells apart (verified against the old sizing), but
+    # only ~9.76 km at lat 28.6.
+    px = spark.createDataFrame(
+        [(77.004827164929, 28.6, 1.0)], ["lon", "lat", "value"]
+    )
+    pt = spark.createDataFrame(
+        [("a1", 77.104827164929, 28.6)], ["feature_id", "lon", "lat"]
+    )
+    got = proximity_join(px, pt, radius_km=10.0).collect()
+    assert len(got) == 1
+    assert got[0].pt_feature_id == "a1"
+    assert got[0].distance_km < 10.0
+
+
+def test_proximity_join_distance_round(spark):
+    """distance_round quantizes before the radius test (oracle parity)."""
+    px = spark.createDataFrame([(77.0, 28.6, 1.0)], ["lon", "lat", "value"])
+    pt = spark.createDataFrame([("a1", 77.05, 28.6)], ["feature_id", "lon", "lat"])
+    got = proximity_join(px, pt, radius_km=10.0, distance_round=6).collect()
+    assert len(got) == 1
+    assert got[0].distance_km == round(got[0].distance_km, 6)

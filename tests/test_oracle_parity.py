@@ -51,6 +51,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_cat(s: pd.Series) -> str:
+    """Coarse dtype category for cross-engine comparison."""
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(s):
+        return "bool"
+    if pt.is_integer_dtype(s):
+        return "int"
+    if pt.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(name, spark, duck):
     q = QUERIES[name]
@@ -64,6 +77,18 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    # Driver-hash parity also depends on TYPES, which stringification
+    # hides: DuckDB's sum(int) is HUGEINT (→ float64 in pandas) while
+    # Spark's is BIGINT — cast such oracles. NULLs legitimately promote
+    # ints to float64 on either side, so only null-free columns compare.
+    for col in spark_pdf.columns:
+        a, b = spark_pdf[col], duck_pdf[col]
+        if a.isna().any() or b.isna().any():
+            continue
+        assert _dtype_cat(a) == _dtype_cat(b), (
+            f"{name}.{col}: dtype {a.dtype} (spark) vs {b.dtype} (duckdb)"
+            " — HUGEINT/DECIMAL oracle cast missing?"
+        )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     mism = (a != b).any(axis=1)
     if mism.any():
