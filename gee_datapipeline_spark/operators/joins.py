@@ -106,9 +106,14 @@ def asof_join(
     per (key, ts) beforehand for fully deterministic output.
 
     Reference payload columns arrive as ``<col><suffix>`` plus
-    ``<ts><suffix>`` (the matched timestamp).
+    ``<ts><suffix>`` (the matched timestamp). The whole matched row is
+    carried as ONE struct through ``last(ignorenulls)`` and unpacked
+    after the window — so a genuinely-NULL payload value in the matched
+    reference row survives as NULL instead of being back-filled from an
+    older reference (row atomicity, matching native ASOF JOIN engines).
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     keys = list(on)
     payload = list(
@@ -119,12 +124,21 @@ def asof_join(
     ref_out = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
     probe_extra = [c for c in probe.columns if c not in keys]
 
+    ref_struct_type = T.StructType(
+        [T.StructField(f"{ts}{suffix}", ref.schema[ts].dataType)]
+        + [
+            T.StructField(f"{c}{suffix}", ref.schema[c].dataType)
+            for c in payload
+        ]
+    )
     r = ref.select(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(1).alias("__is_ref"),
-        F.col(ts).alias(f"{ts}{suffix}"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(
+            F.col(ts).alias(f"{ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("__ref"),
         *[
             F.lit(None).cast(probe.schema[c].dataType).alias(c)
             for c in probe_extra
@@ -134,11 +148,7 @@ def asof_join(
         *keys,
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__is_ref"),
-        F.lit(None).cast(ref.schema[ts].dataType).alias(f"{ts}{suffix}"),
-        *[
-            F.lit(None).cast(ref.schema[c].dataType).alias(f"{c}{suffix}")
-            for c in payload
-        ],
+        F.lit(None).cast(ref_struct_type).alias("__ref"),
         *[F.col(c) for c in probe_extra],
     )
     u = p.unionByName(r)
@@ -147,9 +157,12 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__is_ref").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in ref_out:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("__is_ref") == 0).drop("__is_ref", "__ts")
+    u = u.withColumn("__ref", F.last("__ref", ignorenulls=True).over(w))
+    return u.filter(F.col("__is_ref") == 0).select(
+        *keys,
+        *[F.col("__ref").getField(c).alias(c) for c in ref_out],
+        *probe_extra,
+    )
 
 
 def salted_join(

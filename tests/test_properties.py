@@ -133,3 +133,37 @@ def test_asof_join_golden(spark):
         ("u2", 3, "p_d"): (None, None),    # ref exists only later
         ("u3", 9, "p_e"): (None, None),    # key has no refs at all
     }
+
+
+def test_asof_join_null_payload_stays_atomic(spark):
+    """The matched reference row is carried as one struct: a NULL payload
+    value in the matched row must surface as NULL, not be back-filled
+    from an OLDER reference (native ASOF engines return the matched row
+    verbatim)."""
+    from pyspark.sql import types as T
+
+    from gee_datapipeline_spark.operators.joins import asof_join
+
+    probe = spark.createDataFrame(
+        [("u1", 10, "p_a"), ("u1", 30, "p_b")], ["k", "ts", "ptag"]
+    )
+    ref = spark.createDataFrame(
+        [("u1", 5, "r_old"), ("u1", 20, None)],
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("rtag", T.StringType()),
+            ]
+        ),
+    )
+    got = {
+        (r.k, r.ts): (r.ts_ref, r.rtag_ref)
+        for r in asof_join(probe, ref, on=["k"], ts="ts").collect()
+    }
+    assert got == {
+        ("u1", 10): (5, "r_old"),
+        # matched ref is ts=20 whose payload is genuinely NULL — it must
+        # NOT inherit "r_old" from ts=5
+        ("u1", 30): (20, None),
+    }
