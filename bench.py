@@ -123,6 +123,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": parse_sf(SF_DIR),
+                # Protocol, so rounds aren't cross-compared blindly:
+                # warmed session, N runs per query, min reported.
+                # (BENCH_r01 used the same warmup + best-of-2.)
+                "runs": 2,
+                "stat": "min",
+                "warmup": "table footers + pandas_udf pool + codegen",
             }
         )
     )

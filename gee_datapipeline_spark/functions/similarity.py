@@ -58,8 +58,12 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
     """Cosine similarity given precomputed L2 norms (precompute per side
-    before a join so norms aren't recomputed per pair)."""
-    return decimal_dot(a, b) / (a_norm * b_norm)
+    before a join so norms aren't recomputed per pair). A zero-norm
+    vector has no direction: its similarity is defined as 0.0 (never
+    NULL), so downstream top-k ranks such rows last instead of silently
+    dropping or NULL-ranking them."""
+    denom = a_norm * b_norm
+    return F.when(denom > 0, decimal_dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def sql_decimal_dot(a: str, b: str) -> str:
@@ -68,6 +72,15 @@ def sql_decimal_dot(a: str, b: str) -> str:
         f"cast(list_sum(list_transform(generate_series(1, len({a})), "
         f"i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
         f"AS DECIMAL(38,12)))) as double)"
+    )
+
+
+def sql_cosine(a: str, b: str, a_norm: str, b_norm: str) -> str:
+    """DuckDB mirror of :func:`cosine`, including the zero-norm guard."""
+    return (
+        f"CASE WHEN ({a_norm} * {b_norm}) > 0 "
+        f"THEN {sql_decimal_dot(a, b)} / ({a_norm} * {b_norm}) "
+        f"ELSE 0.0 END"
     )
 
 
@@ -269,10 +282,15 @@ def ivf_assign(
 
     base = _with_norm(df, id_col, emb_col)
     # double_dot: cell assignment only needs self-consistent scores.
+    # Zero-norm vectors score -2.0 (below any cosine) so they land in a
+    # deterministic cell via the cid tie-break instead of NULL-ranking.
+    denom = F.col("__norm") * F.col("c_norm")
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim",
-        double_dot(F.col("__emb"), F.col("c_emb"))
-        / (F.col("__norm") * F.col("c_norm")),
+        F.when(
+            denom > 0,
+            double_dot(F.col("__emb"), F.col("c_emb")) / denom,
+        ).otherwise(F.lit(-2.0)),
     )
     w = Window.partitionBy("__id").orderBy(
         F.col("__sim").desc(), F.col("cid").asc()

@@ -66,6 +66,44 @@ def latest_per_group(
     )
 
 
+def blocked_trailing_window(
+    df: DataFrame, idx_col: str, n_preceding: int, block: int = 256
+):
+    """A globally-ordered trailing ROWS frame WITHOUT a single-partition
+    window (no ``WindowExec: No Partition Defined`` collapse).
+
+    Rows are blocked on ``floor(idx/block)`` and each block is augmented
+    with the previous block's last ``n_preceding`` rows (carry rows), so
+    a partitioned window over the block key sees exactly the same frame
+    members as the global window would — carry rows provide the context
+    for the first rows of each block and are dropped afterwards.
+
+    Returns ``(augmented_df, window_spec)``; the caller applies its frame
+    aggregates over the spec, then filters ``~__carry`` and drops
+    ``__pk``/``__carry``. Requires unique ``idx_col`` values (e.g. a
+    grouped day index) so the carry rows order strictly before own rows.
+    ``block`` must exceed ``n_preceding``.
+    """
+    if block <= n_preceding:
+        raise ValueError("block must exceed n_preceding")
+    aug = df.withColumn("__pk", F.floor(F.col(idx_col) / block))
+    wdesc = Window.partitionBy("__pk").orderBy(F.col(idx_col).desc())
+    tail = (
+        aug.withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= n_preceding)
+        .drop("__rn")
+        .withColumn("__pk", F.col("__pk") + 1)
+        .withColumn("__carry", F.lit(True))
+    )
+    u = aug.withColumn("__carry", F.lit(False)).unionByName(tail)
+    w = (
+        Window.partitionBy("__pk")
+        .orderBy(idx_col)
+        .rowsBetween(-n_preceding, 0)
+    )
+    return u, w
+
+
 def topk_per_group(
     df: DataFrame,
     partition_keys: Sequence[str],

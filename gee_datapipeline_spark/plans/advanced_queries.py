@@ -167,7 +167,12 @@ register(
 
 def _moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rowsBetween frame: 7-day trailing average of daily order totals
-    (rows-based so both engines agree on frame membership)."""
+    (rows-based so both engines agree on frame membership). The global
+    frame runs through ``blocked_trailing_window`` — block partitioning
+    with a carried tail — so no single-partition WindowExec appears even
+    though the semantics are a total order."""
+    from ..operators.windows import blocked_trailing_window
+
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.withColumn(
@@ -175,12 +180,20 @@ def _moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(stable_sum("o_totalprice").alias("day_total"))
+        .withColumn(
+            "day_idx",
+            F.datediff(
+                F.to_date("day"), F.lit("1970-01-01").cast("date")
+            ),
+        )
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day",
-        "day_total",
-        F.round(F.avg("day_total").over(w), 4).alias("trailing_7d_avg"),
+    u, w = blocked_trailing_window(daily, "day_idx", n_preceding=6)
+    return (
+        u.withColumn(
+            "trailing_7d_avg", F.round(F.avg("day_total").over(w), 4)
+        )
+        .filter(~F.col("__carry"))
+        .select("day", "day_total", "trailing_7d_avg")
     )
 
 

@@ -10,6 +10,7 @@ composite → memory sink) synchronously and returns its finalized result.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -113,45 +114,50 @@ def _streaming_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     root = tempfile.mkdtemp(prefix="gee_stream_sess_gate_")
-    src = os.path.join(root, "src")
-    os.makedirs(src)
-    slice_df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src, "b1")
-    )
-    sentinel = slice_df.limit(1).select(
-        (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
-        F.lit(-1).cast("int").alias("cell_x"),
-        F.col("cell_y"),
-        F.lit(1.0).alias("value"),
-    )
-    name = f"gate_sess_{abs(hash(root)) % 10**9}"
-    q = run_to_memory(
-        session_incidents(
-            stream_from_dir(spark, src + "/*"), gap="30 minutes",
-            watermark="2 hours",
-        ),
-        name,
-        os.path.join(root, "ckpt"),
-    )
     try:
-        q.processAllAvailable()
-        sentinel.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, "b2")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        slice_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b1")
         )
-        q.processAllAvailable()
+        sentinel = slice_df.limit(1).select(
+            (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
+            F.lit(-1).cast("int").alias("cell_x"),
+            F.col("cell_y"),
+            F.lit(1.0).alias("value"),
+        )
+        name = f"gate_sess_{abs(hash(root)) % 10**9}"
+        q = run_to_memory(
+            session_incidents(
+                stream_from_dir(spark, src + "/*"), gap="30 minutes",
+                watermark="2 hours",
+            ),
+            name,
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            sentinel.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "b2")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("cell_x") >= 0)
+            .select(
+                F.date_format("incident_start", "yyyy-MM-dd HH:mm").alias("s_start"),
+                F.date_format("incident_end", "yyyy-MM-dd HH:mm").alias("s_end"),
+                "cell_x",
+                "peak_value",
+                "n_detections",
+            )
+        )
     finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .filter(F.col("cell_x") >= 0)
-        .select(
-            F.date_format("incident_start", "yyyy-MM-dd HH:mm").alias("s_start"),
-            F.date_format("incident_end", "yyyy-MM-dd HH:mm").alias("s_end"),
-            "cell_x",
-            "peak_value",
-            "n_detections",
-        )
-    )
+        # The memory sink holds the result rows driver-side; the
+        # source batches + checkpoint are not needed once stopped.
+        shutil.rmtree(root, ignore_errors=True)
 
 
 register(
@@ -184,44 +190,49 @@ def _streaming_windowed_composite(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
     )
     root = tempfile.mkdtemp(prefix="gee_stream_gate_")
-    src = os.path.join(root, "src")
-    os.makedirs(src)
-    slice_df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src, "b1")
-    )
-    # sentinel far past the watermark horizon → every window finalizes
-    sentinel = slice_df.limit(1).select(
-        (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
-        F.lit(-1).cast("int").alias("cell_x"),
-        F.col("cell_y"),
-        F.lit(0.0).alias("value"),
-    )
-    name = f"gate_stream_{abs(hash(root)) % 10**9}"
-    q = run_to_memory(
-        windowed_max_composite(
-            stream_from_dir(spark, src + "/*"), "6 hours", "1 hour"
-        ),
-        name,
-        os.path.join(root, "ckpt"),
-    )
     try:
-        q.processAllAvailable()
-        sentinel.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(src, "b2")
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        slice_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b1")
         )
-        q.processAllAvailable()
+        # sentinel far past the watermark horizon → every window finalizes
+        sentinel = slice_df.limit(1).select(
+            (F.col("ts") + F.expr("interval 30 days")).alias("ts"),
+            F.lit(-1).cast("int").alias("cell_x"),
+            F.col("cell_y"),
+            F.lit(0.0).alias("value"),
+        )
+        name = f"gate_stream_{abs(hash(root)) % 10**9}"
+        q = run_to_memory(
+            windowed_max_composite(
+                stream_from_dir(spark, src + "/*"), "6 hours", "1 hour"
+            ),
+            name,
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            sentinel.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "b2")
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("cell_x") >= 0)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
+                "cell_x",
+                "max_value",
+                "n_obs",
+            )
+        )
     finally:
-        q.stop()
-    return (
-        spark.table(name)
-        .filter(F.col("cell_x") >= 0)
-        .select(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("w_start"),
-            "cell_x",
-            "max_value",
-            "n_obs",
-        )
-    )
+        # The memory sink holds the result rows driver-side; the
+        # source batches + checkpoint are not needed once stopped.
+        shutil.rmtree(root, ignore_errors=True)
 
 
 register(

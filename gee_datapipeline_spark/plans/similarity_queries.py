@@ -16,6 +16,7 @@ from ..functions.similarity import (
     cosine,
     decimal_dot,
     sq_norm,
+    sql_cosine,
     sql_decimal_dot,
 )
 from ..functions.stable import sql_stable_avg, stable_avg
@@ -235,8 +236,8 @@ register(
             ),
             scored AS (
                 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                       round({sql_decimal_dot('a.embedding', 'b.embedding')}
-                             / (a.norm * b.norm), 6) AS cos_sim
+                       round({sql_cosine('a.embedding', 'b.embedding', 'a.norm', 'b.norm')},
+                             6) AS cos_sim
                 FROM base a JOIN base b ON a.vec_id < b.vec_id
             )
             SELECT * FROM scored WHERE cos_sim >= {NEAR_DUP_COS}
@@ -262,8 +263,8 @@ register(
             ),
             pairs AS (
                 SELECT q_id, c.vec_id AS neighbor_id,
-                       round({sql_decimal_dot('q_emb', 'c.embedding')}
-                             / (q_norm * c.norm), 6) AS cos_sim
+                       round({sql_cosine('q_emb', 'c.embedding', 'q_norm', 'c.norm')},
+                             6) AS cos_sim
                 FROM probes CROSS JOIN base c
                 WHERE c.vec_id != q_id
             )

@@ -181,3 +181,49 @@ def test_promo_share_broadcasts_part_single_agg_pass(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+
+
+def test_moving_average_no_unpartitioned_window(spark):
+    """The trailing-7d frame must not collapse to a single-partition
+    window: every windowspecdefinition in the plan carries a partition
+    key (the blocked_trailing_window pattern)."""
+    import re
+
+    plan = _plan(QUERIES["moving_average"].spark(spark, SF_SMOKE))
+    # An unpartitioned spec renders as "windowspecdefinition(<order> ASC"
+    # (no partition expressions before the ordering spec).
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        assert " ASC" not in args.split(",")[0], (
+            f"unpartitioned window spec in plan: {args!r}"
+        )
+
+
+def test_blocked_trailing_window_matches_global(spark):
+    """blocked_trailing_window == the single-partition global frame,
+    including across block seams (idx chosen to straddle multiples of
+    the block size)."""
+    from pyspark.sql import Window
+
+    from gee_datapipeline_spark.operators.windows import (
+        blocked_trailing_window,
+    )
+
+    # idx values straddle the 16-block boundaries, with gaps.
+    rows = [(i, float(i * i % 97)) for i in
+            [0, 3, 14, 15, 16, 17, 30, 31, 32, 33, 40, 47, 48, 49, 63, 64, 65]]
+    df = spark.createDataFrame(rows, ["idx", "v"])
+    gw = Window.orderBy("idx").rowsBetween(-3, 0)
+    want = {
+        (r.idx, round(r.avg, 9))
+        for r in df.select("idx", F.avg("v").over(gw).alias("avg")).collect()
+    }
+    u, w = blocked_trailing_window(df, "idx", n_preceding=3, block=16)
+    got = {
+        (r.idx, round(r.avg, 9))
+        for r in u.withColumn("avg", F.avg("v").over(w))
+        .filter(~F.col("__carry"))
+        .select("idx", "avg")
+        .collect()
+    }
+    assert got == want

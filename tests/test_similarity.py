@@ -95,3 +95,50 @@ def test_ann_lsh_no_self_pairs(spark):
     probes = emb.filter(F.col("vec_id") < 3)
     res = ann_lsh_topk(emb, probes, k=5).collect()
     assert all(r.q_id != r.neighbor_id for r in res)
+
+
+def test_cosine_zero_norm_guard(spark):
+    """Zero-norm vectors get cos_sim 0.0 (never NULL) and ivf_assign
+    still gives them a deterministic non-NULL cell."""
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.functions.similarity import (
+        cosine,
+        ivf_assign,
+        l2_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    with_norm = df.withColumn("norm", l2_norm(F.col("embedding")))
+    a = with_norm.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ida") < F.col("idb")).select(
+        "ida", "idb",
+        cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("c"),
+    )
+    got = {(r.ida, r.idb): r.c for r in pairs.collect()}
+    assert got[(1, 2)] == 0.0 and got[(2, 3)] == 0.0  # zero-norm → 0.0
+    assert got[(1, 3)] == 0.0  # orthogonal, genuinely 0
+    assert all(v is not None for v in got.values())
+
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0), (2, [0.0, 1.0], 1.0)],
+        ["cid", "c_emb", "c_norm"],
+    )
+    assigned = {
+        r.vec_id: r.cid
+        for r in ivf_assign(df, cents, "vec_id", "embedding").collect()
+    }
+    assert assigned[2] == 1  # zero vector: sim -2 everywhere → lowest cid
+    assert assigned[1] == 1 and assigned[3] == 2
