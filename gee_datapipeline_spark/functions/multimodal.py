@@ -1,12 +1,13 @@
 """Multimodal column plumbing (BASELINE.json north star).
 
 Media (image/audio/video) are opaque ``binary`` payloads + typed metadata
-(``model.MEDIA_SCHEMA``). The Spark-side architecture is real — schema,
-Arrow batch shape, ``mapInPandas`` partition streaming, deterministic
-fake decode for tests — while the actual codec calls are stubbed: the
-image/audio libraries are not in this container, so decoders raise
-``NotImplementedError`` unless ``fake=True`` (a deterministic
-payload-hash-seeded decode used by the tests).
+(``model.MEDIA_SCHEMA``). Image decode is REAL (``fake=False``): the
+in-repo pure-Python PNG/BMP codec (``functions.imagecodec``) decodes
+actual bytes on executors; audio decode is real via the WAV codec
+(``functions.audiocodec``). ``fake=True`` remains for plumbing tests
+whose payloads are not images. Only video frame *extraction* stays a
+stub (an H.264 decoder is out of scope without ffmpeg); its UDTF
+plumbing runs deterministically with ``fake=True``.
 
 Scale notes: payloads never pass through a shuffle — decode/feature
 steps are ``mapInPandas`` (narrow, per-partition); only the small derived
@@ -19,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -33,6 +36,11 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_idx int, frame_ts_ms int, sha256 string"
 )
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_bytes long, sample_rate int, n_samples long, "
+    "duration_ms double, rms double, zero_crossings long, decode_ok boolean"
+)
+
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for an image codec: payload hash seeds a
@@ -45,9 +53,14 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``.
 
-    Real pipeline would call Pillow/libvips here; with ``fake=True`` the
-    deterministic fake decoder exercises the identical plumbing
-    (binary in → Arrow batch → per-batch vectorized work → narrow out)."""
+    ``fake=False`` (the real path) decodes PNG/BMP payloads with the
+    in-repo pure-Python codec (``functions.imagecodec`` — zlib + NumPy,
+    no Pillow) and reports Rec.601 mean luma; undecodable payloads get
+    ``decode_ok=false`` with zeroed dimensions rather than failing the
+    job (corrupt media is data, not an error, in a 100 TB corpus).
+    ``fake=True`` keeps the deterministic hash-seeded decoder for
+    plumbing tests whose payloads are not real images."""
+    from .imagecodec import decode_image, mean_luma
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -61,29 +74,67 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     lambda p: "" if p is None else hashlib.sha256(p).hexdigest()
                 ),
             }
-            if fake:
-                planes = [
-                    None if p is None else _fake_decode(bytes(p))
-                    for p in pdf["payload"]
-                ]
-                out["width"] = [0 if pl is None else pl.shape[1] for pl in planes]
-                out["height"] = [0 if pl is None else pl.shape[0] for pl in planes]
-                out["mean_luma"] = [
-                    float("nan") if pl is None else round(float(pl.mean()), 6)
-                    for pl in planes
-                ]
-                out["decode_ok"] = [pl is not None for pl in planes]
-            else:  # pragma: no cover - real codecs absent in this env
-                raise NotImplementedError(
-                    "real image decode requires Pillow/libvips (not in "
-                    "this container); use fake=True for the plumbing path"
-                )
+            planes = []
+            for p in pdf["payload"]:
+                if p is None:
+                    planes.append(None)
+                    continue
+                if fake:
+                    planes.append(_fake_decode(bytes(p)))
+                    continue
+                try:
+                    planes.append(decode_image(bytes(p)))
+                except (ValueError, struct_error, zlib_error):
+                    planes.append(None)
+            out["width"] = [0 if pl is None else pl.shape[1] for pl in planes]
+            out["height"] = [0 if pl is None else pl.shape[0] for pl in planes]
+            out["mean_luma"] = [
+                float("nan")
+                if pl is None
+                else round(mean_luma(pl) if not fake else float(pl.mean()), 6)
+                for pl in planes
+            ]
+            out["decode_ok"] = [pl is not None for pl in planes]
             res = pd.DataFrame(out)
             res["width"] = res["width"].astype("int32")
             res["height"] = res["height"].astype("int32")
             yield res
 
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real audio decode via the in-repo WAV codec: duration, RMS,
+    zero-crossing count per payload. Non-WAV / corrupt payloads get
+    ``decode_ok=false`` and zeroed features (data, not an error)."""
+    from .audiocodec import wav_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                base = {
+                    "media_id": mid,
+                    "n_bytes": 0 if p is None else len(p),
+                    "sample_rate": 0,
+                    "n_samples": 0,
+                    "duration_ms": 0.0,
+                    "rms": 0.0,
+                    "zero_crossings": 0,
+                    "decode_ok": False,
+                }
+                if p is not None:
+                    try:
+                        base.update(wav_features(bytes(p)))
+                        base["decode_ok"] = True
+                    except (ValueError, struct_error):
+                        pass
+                rows.append(base)
+            res = pd.DataFrame(rows)
+            res["sample_rate"] = res["sample_rate"].astype("int32")
+            yield res
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(

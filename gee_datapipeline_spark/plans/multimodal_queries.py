@@ -94,6 +94,100 @@ register(
 )
 
 
+def _media_fixture(spark: SparkSession) -> DataFrame:
+    from ..sources.fixtures import load_fixture
+
+    return load_fixture(spark, "media")
+
+
+def _media_fixture_path() -> str:
+    from ..sources.fixtures import ensure_geo_fixtures, fixture_path
+
+    ensure_geo_fixtures()
+    return fixture_path("media")
+
+
+def _multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode differential: Spark decodes actual PNG/BMP
+    payload bytes with the in-repo pure-Python codec
+    (``functions.imagecodec``) inside ``mapInPandas``; the oracle reads
+    the generator's closed-form expected features (constant-color images
+    → exact Rec.601 luma). Undecodable payloads (WAV, binary blobs) must
+    come back ``decode_ok=false`` — corrupt media is data, not an error."""
+    from ..functions.multimodal import image_features
+
+    media = _media_fixture(spark).select("media_id", "kind", "payload")
+    feats = image_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "width",
+        "height",
+        # luma rounded to 4dp on both sides; NULL when decode failed so
+        # the oracle never has to model NaN
+        F.round(F.when(F.col("decode_ok"), F.col("mean_luma")), 4).alias(
+            "luma4"
+        ),
+        "decode_ok",
+    )
+
+
+register(
+    Query(
+        name="multimodal_decode_real",
+        spark=_multimodal_decode_real,
+        oracle=f"""
+            SELECT media_id,
+                   octet_length(payload) AS n_bytes,
+                   exp_width AS width,
+                   exp_height AS height,
+                   round(exp_mean_luma, 4) AS luma4,
+                   exp_img_ok AS decode_ok
+            FROM read_parquet('{_media_fixture_path()}')
+        """,
+        tags=("multimodal", "codec"),
+    )
+)
+
+
+def _audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode differential: Spark parses actual RIFF/WAVE
+    bytes (``functions.audiocodec``); the oracle reads closed-form
+    expectations (square wave → RMS = amplitude, crossings = n-1).
+    Image/binary payloads must fail cleanly (decode_ok=false, zeros)."""
+    from ..functions.multimodal import audio_features
+
+    media = _media_fixture(spark).select("media_id", "kind", "payload")
+    return audio_features(media).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        "decode_ok",
+    )
+
+
+register(
+    Query(
+        name="audio_decode_real",
+        spark=_audio_decode_real,
+        oracle=f"""
+            SELECT media_id,
+                   exp_sample_rate AS sample_rate,
+                   exp_n_samples AS n_samples,
+                   round(exp_duration_ms, 6) AS duration_ms,
+                   round(exp_rms, 6) AS rms,
+                   exp_zero_crossings AS zero_crossings,
+                   exp_audio_ok AS decode_ok
+            FROM read_parquet('{_media_fixture_path()}')
+        """,
+        tags=("multimodal", "codec"),
+    )
+)
+
+
 def _streaming_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window incident detection as a real streaming run: the
     first observed day of events streams through session_window(gap=30m)

@@ -8,10 +8,11 @@
 - CSV point export: the reference's raster→(lat,lon,mean) unpivot
   (fix_transparency.py:54-83) — in the long model it is a plain
   projection, no unpivot needed.
-- PNG/HTML rendering (S7/S9/S10): presentation-layer stubs. PIL/folium
-  are not in this container; the data-side contract (RGBA uint8 rows per
-  image, bounded image size guard) is implemented and tested, the final
-  encode raises NotImplementedError behind an import-try.
+- PNG rendering (S7): real end-to-end — RGBA uint8 rows (data side,
+  pure column math) + the in-repo pure-Python PNG encoder
+  (``functions.imagecodec``; zlib/struct, no Pillow needed).
+- HTML rendering (S9/S10): self-contained Leaflet-free HTML in
+  ``sinks/html.py``.
 """
 
 from __future__ import annotations
@@ -106,28 +107,26 @@ def rgba_rows(
 def render_png(df: DataFrame, path: str) -> None:
     """S7 (encode side) — collect ONE image's RGBA rows and encode.
 
-    PIL is not available in this environment; the guard + collection
-    contract are real, the encode is stubbed."""
+    Encoding uses the in-repo pure-Python PNG codec
+    (``functions.imagecodec``, zlib + struct only — no Pillow), so the
+    reference's primary artifact (DataDownloader_V1.py:70-72) is real
+    here end-to-end. The driver-side collect is safe only because images
+    are bounded; the guard enforces it (SURVEY.md §7 watch-list #5)."""
+    import numpy as np
+
+    from ..functions.imagecodec import encode_png
+
     n = df.count()
     if n > MAX_IMAGE_PIXELS:
         raise ValueError(
             f"refusing to render {n} px (> {MAX_IMAGE_PIXELS}): image-"
             "shaped sinks require bounded images (SURVEY.md §7 watch-list #5)"
         )
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - env without PIL
-        raise NotImplementedError(
-            "PNG encoding requires Pillow, not present in this "
-            "environment; rgba_rows() provides the full data-side result"
-        ) from e
-    # pragma: no cover — executed only where PIL exists.
-    import numpy as np
-
     rows = df.select("x", "y", "r", "g", "b", "a").collect()
     w = max(r.x for r in rows) + 1
     h = max(r.y for r in rows) + 1
     img = np.zeros((h, w, 4), dtype="uint8")
     for r in rows:
         img[r.y, r.x] = (r.r, r.g, r.b, r.a)
-    Image.fromarray(img, "RGBA").save(path)
+    with open(path, "wb") as fh:
+        fh.write(encode_png(img))

@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 1
+FIXTURES_VERSION = 2
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -42,6 +42,7 @@ PIXEL_PARAMS = dict(
     months=2, grid=10, datasets=("no2", "co"), seed=42, null_frac=0.05
 )
 AMENITY_PARAMS = dict(n=20, seed=7)
+MEDIA_PARAMS = dict(n=60)
 
 _PIXELS_ARROW = pa.schema(
     [
@@ -84,6 +85,91 @@ _AMENITIES_ARROW = pa.schema(
 )
 
 
+_MEDIA_ARROW = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        # Expected features, computed in closed form by the generator —
+        # the DuckDB oracle reads these while Spark decodes the actual
+        # payload bytes, making the codec path a full differential check.
+        ("exp_img_ok", pa.bool_()),
+        ("exp_width", pa.int32()),
+        ("exp_height", pa.int32()),
+        ("exp_mean_luma", pa.float64()),
+        ("exp_audio_ok", pa.bool_()),
+        ("exp_sample_rate", pa.int32()),
+        ("exp_n_samples", pa.int64()),
+        ("exp_duration_ms", pa.float64()),
+        ("exp_rms", pa.float64()),
+        ("exp_zero_crossings", pa.int64()),
+    ]
+)
+
+
+def media_rows(n: int = 60) -> list[tuple]:
+    """Deterministic media payloads with closed-form expected features.
+
+    Five kinds cycle by ``media_id``: constant-gray PNG, constant-RGB
+    PNG, constant-RGB BMP, ±amp square-wave WAV, and an undecodable
+    binary blob. Constant images make the expected mean luma an exact
+    closed form (Rec.601 of the constant color); the square wave makes
+    RMS exactly the amplitude and zero-crossings exactly n-1 — so the
+    oracle needs no codec, only these stored expectations."""
+    import numpy as np
+
+    from ..functions.audiocodec import encode_wav
+    from ..functions.imagecodec import encode_bmp, encode_png
+
+    rows = []
+    for i in range(n):
+        m = i % 5
+        w, h = 4 + i % 13, 3 + i % 7
+        img_ok = audio_ok = False
+        width = height = 0
+        luma = None
+        sr, ns, dur, rms, zc = 0, 0, 0.0, 0.0, 0
+        if m == 0:
+            v = (i * 37) % 256
+            payload = encode_png(np.full((h, w), v, dtype=np.uint8))
+            kind, mime = "image", "image/png"
+            img_ok, width, height, luma = True, w, h, float(v)
+        elif m == 1:
+            r, g, b = i % 256, (7 * i) % 256, (13 * i) % 256
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            arr[:, :] = (r, g, b)
+            payload = encode_png(arr)
+            kind, mime = "image", "image/png"
+            img_ok, width, height = True, w, h
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+        elif m == 2:
+            r, g, b = (11 * i) % 256, (3 * i) % 256, (29 * i) % 256
+            arr = np.zeros((h, w, 3), dtype=np.uint8)
+            arr[:, :] = (r, g, b)
+            payload = encode_bmp(arr)
+            kind, mime = "image", "image/bmp"
+            img_ok, width, height = True, w, h
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+        elif m == 3:
+            amp = 1000 + (i % 50) * 100
+            ns = 800 + (i % 5) * 160  # multiple of 16 → exact ms
+            samples = np.empty(ns, dtype=np.int16)
+            samples[0::2], samples[1::2] = amp, -amp
+            payload = encode_wav(samples, 16_000)
+            kind, mime = "audio", "audio/wav"
+            audio_ok, sr = True, 16_000
+            dur, rms, zc = 1000.0 * ns / 16_000, float(amp), ns - 1
+        else:
+            payload = f"opaque payload #{i} - not decodable media".encode()
+            kind, mime, ns = "binary", "application/octet-stream", 0
+        rows.append(
+            (i, kind, mime, payload, img_ok, width, height, luma,
+             audio_ok, sr, ns if m == 3 else 0, dur, rms, zc)
+        )
+    return rows
+
+
 def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in schema]
     arrays = []
@@ -101,6 +187,7 @@ def _manifest() -> dict:
         "pixels": {k: list(v) if isinstance(v, tuple) else v
                    for k, v in PIXEL_PARAMS.items()},
         "amenities": dict(AMENITY_PARAMS),
+        "media": dict(MEDIA_PARAMS),
     }
 
 
@@ -109,7 +196,7 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     base = FIXTURES_DIR if base is None else Path(base)
     manifest_path = base / "MANIFEST.json"
     wanted = _manifest()
-    names = ("pixels", "regions", "thresholds", "amenities")
+    names = ("pixels", "regions", "thresholds", "amenities", "media")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
     ):
@@ -134,6 +221,10 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     pq.write_table(
         _rows_to_table(amenities_rows(**AMENITY_PARAMS), _AMENITIES_ARROW),
         base / "amenities.parquet",
+    )
+    pq.write_table(
+        _rows_to_table(media_rows(**MEDIA_PARAMS), _MEDIA_ARROW),
+        base / "media.parquet",
     )
     manifest_path.write_text(json.dumps(wanted, indent=2))
     return base
