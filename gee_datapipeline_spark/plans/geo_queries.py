@@ -336,3 +336,39 @@ register(
         tags=("geo", "A2", "W1"),
     )
 )
+
+
+def _raster_ingest_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoTIFF ingest (S3, no injected decoder): binaryFile scan →
+    pure-Python strip decode (sources.tiffcodec) → UDTF-shaped unpivot to
+    pixel rows, exactly the reference's rasterio read + flatten
+    (DataDownloader_V1.py:39,57; fix_transparency.py:54-83). The oracle
+    reads the parquet twin written from the same pre-encode arrays, so
+    decode correctness (incl. NaN nodata → NULL and the row-flip
+    orientation contract) is a bit-exact differential."""
+    from ..sources.fixtures import FIXTURES_DIR, ensure_geo_fixtures
+    from ..sources.raster import read_rasters
+
+    ensure_geo_fixtures()
+    df = read_rasters(spark, str(FIXTURES_DIR / "rasters" / "*.tif"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+
+
+register(
+    Query(
+        name="raster_ingest_tif",
+        spark=_raster_ingest_tif,
+        oracle=f"""
+            SELECT file, x, y, lon, lat, value
+            FROM read_parquet('{fixture_path("raster_pixels")}')
+        """,
+        tags=("geo", "S3", "S5"),
+    )
+)

@@ -43,6 +43,10 @@ PIXEL_PARAMS = dict(
 )
 AMENITY_PARAMS = dict(n=20, seed=7)
 MEDIA_PARAMS = dict(n=60)
+RASTER_PARAMS = dict(
+    dates=("2025-01-15", "2025-02-15", "2025-03-15"),
+    w=12, h=10, seed=5, cell=0.01, nan_frac=0.1,
+)
 
 _PIXELS_ARROW = pa.schema(
     [
@@ -170,6 +174,58 @@ def media_rows(n: int = 60) -> list[tuple]:
     return rows
 
 
+_RASTER_PX_ARROW = pa.schema(
+    [
+        ("file", pa.string()),
+        ("x", pa.int32()),
+        ("y", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("value", pa.float64()),
+    ]
+)
+
+
+def raster_fixture(
+    dates: tuple[str, ...], w: int, h: int, seed: int, cell: float,
+    nan_frac: float,
+) -> tuple[dict[str, bytes], list[tuple]]:
+    """Real uncompressed GeoTIFF payloads + their expected pixel rows.
+
+    The .tif bytes come from ``tiffcodec.encode_geotiff``; the twin rows
+    are computed from the pre-encode arrays with the exact float
+    expression ``read_rasters`` uses (min + (idx + 0.5) * cell), so the
+    decode → unpivot path is a bit-exact differential against DuckDB."""
+    import numpy as np
+
+    from .synthetic import DELHI_BBOX
+    from .tiffcodec import encode_geotiff
+
+    min_lon, min_lat = DELHI_BBOX[0], DELHI_BBOX[1]
+    files: dict[str, bytes] = {}
+    rows: list[tuple] = []
+    for d in dates:
+        rng = np.random.default_rng(seed + int(d.replace("-", "")))
+        vals = rng.uniform(0.0, 300.0, size=(h, w))
+        vals[rng.random((h, w)) < nan_frac] = np.nan
+        name = f"no2_{d}.tif"
+        files[name] = encode_geotiff(vals, min_lon, min_lat, cell)
+        for y in range(h):
+            for x in range(w):
+                v = vals[y, x]
+                rows.append(
+                    (
+                        name,
+                        x,
+                        y,
+                        min_lon + (float(x) + 0.5) * cell,
+                        min_lat + (float(y) + 0.5) * cell,
+                        None if np.isnan(v) else float(v),
+                    )
+                )
+    return files, rows
+
+
 def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in schema]
     arrays = []
@@ -188,6 +244,8 @@ def _manifest() -> dict:
                    for k, v in PIXEL_PARAMS.items()},
         "amenities": dict(AMENITY_PARAMS),
         "media": dict(MEDIA_PARAMS),
+        "rasters": {k: list(v) if isinstance(v, tuple) else v
+                    for k, v in RASTER_PARAMS.items()},
     }
 
 
@@ -196,7 +254,8 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     base = FIXTURES_DIR if base is None else Path(base)
     manifest_path = base / "MANIFEST.json"
     wanted = _manifest()
-    names = ("pixels", "regions", "thresholds", "amenities", "media")
+    names = ("pixels", "regions", "thresholds", "amenities", "media",
+             "raster_pixels")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
     ):
@@ -225,6 +284,15 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     pq.write_table(
         _rows_to_table(media_rows(**MEDIA_PARAMS), _MEDIA_ARROW),
         base / "media.parquet",
+    )
+    tif_files, tif_rows = raster_fixture(**RASTER_PARAMS)
+    raster_dir = base / "rasters"
+    raster_dir.mkdir(parents=True, exist_ok=True)
+    for name, payload in tif_files.items():
+        (raster_dir / name).write_bytes(payload)
+    pq.write_table(
+        _rows_to_table(tif_rows, _RASTER_PX_ARROW),
+        base / "raster_pixels.parquet",
     )
     manifest_path.write_text(json.dumps(wanted, indent=2))
     return base

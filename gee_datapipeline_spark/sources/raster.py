@@ -7,12 +7,12 @@ Here the same ingest is a Spark job: ``binaryFile`` source → per-file
 decode inside ``mapInPandas`` (UDTF-shaped: one input row fans out to
 height×width pixel rows) → the long pixel table.
 
-rasterio is not in this container, so the decode step is pluggable:
-``decode=None`` raises NotImplementedError (real GeoTIFF bytes), while
-tests inject ``fake_raster_decoder`` — a deterministic header-parsed
-format ("FAKETIF") that exercises the identical plumbing: bytes in,
-(transform, grid, values) out, NaN→NULL nodata conversion
-(watch-list #1).
+Decode is REAL and dependency-free: the default decoder sniffs the
+payload magic and dispatches to the in-repo pure-Python GeoTIFF codec
+(``sources.tiffcodec`` — uncompressed strips, the shape the reference's
+own exports take) or to the FAKETIF test format. A custom ``decode``
+callable can still be injected (e.g. a rasterio-backed one where that
+library exists, for compressed/tiled TIFFs).
 
 Scale: one task per file; files are the parallelism unit (steady state
 reads the Parquet pixel store, this path is ingest/backfill only).
@@ -55,6 +55,19 @@ def fake_raster_decoder(payload: bytes):
     return vals, min_lon, min_lat, cell
 
 
+def default_raster_decoder(payload: bytes):
+    """Magic-sniffing decode: real GeoTIFF (II*/MM*) via the pure-Python
+    codec, FAKETIF for plumbing tests. bytes → (values, min_lon,
+    min_lat, cell_deg)."""
+    if payload[:2] in (b"II", b"MM"):
+        from .tiffcodec import decode_geotiff
+
+        return decode_geotiff(payload)
+    if payload[: len(_FAKE_MAGIC)] == _FAKE_MAGIC:
+        return fake_raster_decoder(payload)
+    raise ValueError("unknown raster format (magic not TIFF/FAKETIF)")
+
+
 def read_rasters(
     spark: SparkSession,
     path_glob: str,
@@ -65,11 +78,7 @@ def read_rasters(
     files = spark.read.format("binaryFile").load(path_glob)
 
     if decode is None:
-        def decode(payload: bytes):  # pragma: no cover - env without rasterio
-            raise NotImplementedError(
-                "GeoTIFF decode requires rasterio (not in this container); "
-                "inject a decoder (tests use fake_raster_decoder)"
-            )
+        decode = default_raster_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

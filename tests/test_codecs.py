@@ -156,3 +156,52 @@ def test_render_png_real_file(spark, tmp_path):
     img = decode_png(open(path, "rb").read())
     assert img.shape == (3, 4, 4)
     assert tuple(img[1, 2]) == (80, 90, 7, 255)
+
+
+def test_geotiff_roundtrip():
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-5, 5, size=(7, 11))
+    vals[2, 3] = np.nan
+    payload = encode_geotiff(vals, 77.0, 28.0, 0.25)
+    out, min_lon, min_lat, cell = decode_geotiff(payload)
+    assert (min_lon, min_lat, cell) == (77.0, 28.0, 0.25)
+    assert out.shape == (7, 11)
+    assert np.isnan(out[2, 3])
+    m = ~np.isnan(vals)
+    assert (out[m] == vals[m]).all()  # float64 bit-exact
+
+
+def test_geotiff_numeric_nodata():
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    vals = np.array([[1.0, np.nan], [3.0, 4.0]])
+    payload = encode_geotiff(vals, 0.0, 0.0, 1.0, nodata=-9999.0)
+    assert b"-9999" in payload  # GDAL_NODATA ascii tag
+    out, *_ = decode_geotiff(payload)
+    assert np.isnan(out[0, 1]) and out[1, 1] == 4.0
+
+
+def test_read_rasters_real_geotiff(spark, tmp_path):
+    """S3 end-to-end with NO injected decoder: encode real .tif files,
+    scan + decode + unpivot in Spark, check values and georeferencing."""
+    from gee_datapipeline_spark.sources.raster import read_rasters
+    from gee_datapipeline_spark.sources.tiffcodec import encode_geotiff
+
+    vals = np.array([[10.0, np.nan], [30.0, 40.0]])
+    (tmp_path / "a.tif").write_bytes(encode_geotiff(vals, 70.0, 20.0, 0.5))
+    df = read_rasters(spark, str(tmp_path / "*.tif"))
+    rows = {(r["x"], r["y"]): r for r in df.collect()}
+    assert len(rows) == 4
+    # row 0 = south: value 10 sits at y=0 → lat = 20 + 0.5*0.5
+    assert rows[(0, 0)]["value"] == 10.0
+    assert rows[(0, 0)]["lat"] == 20.25 and rows[(0, 0)]["lon"] == 70.25
+    assert rows[(1, 0)]["value"] is None  # NaN nodata → NULL
+    assert rows[(1, 1)]["value"] == 40.0
