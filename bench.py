@@ -65,7 +65,33 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_jaccard_pairs",
     "multimodal_image_features",
+    "multimodal_decode_real",
+    "audio_decode_real",
+    "raster_ingest_tif",
 ]
+
+
+def latest_bench_baseline() -> tuple[str, dict] | None:
+    """Most recent BENCH_r{N}.json next to this script, for the
+    round-over-round regression gate."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    # The driver records bench stdout under a "parsed" wrapper.
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
+    return os.path.basename(paths[-1]), data
 
 
 def parse_sf(path: str) -> float:
@@ -88,8 +114,13 @@ def main() -> None:
 
     from gee_datapipeline_spark.catalog import TABLES, load_table
 
+    # count() alone is served by parquet metadata (count pushdown) and
+    # never touches data pages — hash(*) forces a real full-column scan
+    # so the OS page cache + Arrow readers are warm before timing.
     for t in TABLES:
-        load_table(spark, SF_DIR, t).count()
+        load_table(spark, SF_DIR, t).selectExpr(
+            "sum(hash(*)) AS h"
+        ).write.mode("overwrite").format("noop").save()
 
     # lambda form: immune to `from __future__ import annotations`
     _warm = F.pandas_udf(lambda s: s, "double")
@@ -100,13 +131,13 @@ def main() -> None:
         "noop"
     ).save()
 
-    # Best-of-2 per query: the second run reports steady-state execution
-    # (plan compilation cached, JIT warm) while the min guards against a
-    # GC pause landing in either run.
+    # Best-of-3 per query: later runs report steady-state execution
+    # (plan compilation cached, JIT warm) while the min guards against
+    # GC pauses and the intermittent vCPU-steal noise this VM shows.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.mode("overwrite").format(
                 "noop"
@@ -115,6 +146,20 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Round-over-round regression gate: any query >2× its time in the
+    # latest recorded BENCH_r{N}.json is flagged (and fails the run
+    # under SPARK_GRAFT_BENCH_STRICT=1). New queries have no baseline
+    # and are skipped.
+    regressions: dict[str, str] = {}
+    baseline = latest_bench_baseline()
+    if baseline is not None:
+        base_name, base = baseline
+        for name, sec in timings.items():
+            prev = base.get("queries", {}).get(name)
+            if prev and prev > 0 and sec > 2.0 * prev:
+                regressions[name] = f"{prev}s -> {sec}s vs {base_name}"
+
     print(
         json.dumps(
             {
@@ -125,13 +170,18 @@ def main() -> None:
                 "sf": parse_sf(SF_DIR),
                 # Protocol, so rounds aren't cross-compared blindly:
                 # warmed session, N runs per query, min reported.
-                # (BENCH_r01 used the same warmup + best-of-2.)
-                "runs": 2,
+                # (BENCH_r01 used footer-only warmup + best-of-2.)
+                "runs": 3,
                 "stat": "min",
                 "warmup": "table footers + pandas_udf pool + codegen",
+                "regressions": regressions,
             }
         )
     )
+    if regressions:
+        print(f"REGRESSIONS >2x: {regressions}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -373,17 +373,28 @@ def ann_lsh_topk(
     k: int = 10,
     num_tables: int = 8,
     num_planes: int = 4,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH
+    with Hamming-1 multi-probe.
 
     Plan: bucket via the codegen'd aggregate path → equi-join on
     (table_id, bucket) → distinct candidate pairs → exact cosine
     re-rank, top-k per probe. Against brute force this replaces the full
-    cross product with per-bucket joins; recall is tuned by
-    (num_tables, num_planes) and measured in tests/test_similarity.py."""
+    cross product with per-bucket joins.
+
+    ``probe_bits=1`` also probes, per table, every bucket whose code
+    differs in one plane sign (the standard multi-probe trick: a near
+    neighbor most often misses a bucket by exactly one marginal
+    hyperplane). Only the PROBE side fans out (×(1+num_planes) rows
+    pre-join) — the vector index is built once, so at scale the extra
+    cost is per-query, not per-corpus. Recall vs brute force is asserted
+    ≥0.9 in tests/test_similarity.py."""
     from pyspark.sql import Window
 
-    def banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+    def banded(
+        df: DataFrame, id_alias: str, emb_alias: str, fanout: bool
+    ) -> DataFrame:
         base = df.select(
             F.col(id_col).alias(id_alias),
             F.col(emb_col).alias(emb_alias),
@@ -392,10 +403,23 @@ def ann_lsh_topk(
         buckets = hyperplane_buckets_df(
             df, id_col, emb_col, num_tables, num_planes
         ).withColumnRenamed(id_col, id_alias)
+        if fanout and probe_bits >= 1:
+            variants = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+                    for p in range(num_planes)
+                ],
+            )
+            buckets = buckets.select(
+                id_alias,
+                "table_id",
+                F.explode(variants).alias("bucket"),
+            )
         return base.join(buckets, on=id_alias)
 
-    p = banded(probes, "q_id", "q_emb")
-    c = banded(vectors, "neighbor_id", "c_emb")
+    p = banded(probes, "q_id", "q_emb", fanout=True)
+    c = banded(vectors, "neighbor_id", "c_emb", fanout=False)
     cand = (
         p.join(c, on=["table_id", "bucket"])
         .filter(F.col("q_id") != F.col("neighbor_id"))

@@ -277,3 +277,33 @@ register(
         tags=("similarity", "join", "window"),
     )
 )
+
+
+def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH scale path vs exact brute force, as a gate row
+    the driver can watch round-over-round. Multi-probe (Hamming-1)
+    keeps this ≥0.9 (measured 0.98 at sf0.01, 1.0 at sf0.001); the
+    floor is asserted in tests/test_similarity.py. Genuinely
+    non-SQL-expressible (the LSH side), so rows-only in the gate."""
+    exact = _ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = _ann_lsh(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = exact.join(approx, ["q_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+register(
+    Query(
+        name="ann_lsh_recall",
+        spark=_ann_lsh_recall,
+        oracle=None,
+        tags=("similarity", "ann", "recall"),
+    )
+)

@@ -54,7 +54,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     approx_q = ann_lsh_topk(emb, probes, k=10, num_tables=8, num_planes=4)
     approx = {(r.q_id, r.neighbor_id) for r in approx_q.collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall {recall:.2f} too low ({len(exact)} exact)"
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low ({len(exact)} exact)"
+
+
+def test_ann_lsh_multiprobe_lifts_recall(spark):
+    """probe_bits=1 must strictly beat probe_bits=0 on the same tables —
+    the Hamming-1 fan-out is what buys the ≥0.9 floor."""
+    exact_q = QUERIES["ann_bruteforce"].spark(spark, SF_SMOKE)
+    exact = {(r.q_id, r.neighbor_id) for r in exact_q.collect()}
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def recall(pb):
+        got = {
+            (r.q_id, r.neighbor_id)
+            for r in ann_lsh_topk(
+                emb, probes, k=10, num_tables=8, num_planes=4, probe_bits=pb
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    assert recall(1) > recall(0)
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
