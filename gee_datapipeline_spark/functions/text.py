@@ -141,3 +141,46 @@ def normalized_fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-collapsed, lower-cased
     text — the near-exact dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), WHITESPACE, " ")))
+
+
+def chunk_df(
+    docs,
+    id_col: str,
+    text: Column,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """Sliding-window document chunking (the context-window prep step of
+    a training pipeline): token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``.
+
+    Pure Catalyst — tokens via split, window starts via sequence +
+    posexplode, chunk text via slice + array_join — so the fan-out is
+    codegen'd and narrow (no shuffle at all: each doc's chunks are
+    produced where the doc row lives)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            n.alias("__n"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .filter(F.col("__start") < F.col("__n"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens), F.col("__n") - F.col("__start")
+            ).cast("long").alias("n_tokens"),
+        )
+    )

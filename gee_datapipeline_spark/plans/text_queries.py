@@ -504,3 +504,199 @@ register(
         tags=("dedup", "join"),
     )
 )
+
+
+# ------------------------------------------- dedup clustering (components)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    word-3-gram Jaccard pair graph (operators.graph, large-star/
+    small-star — O(log n) rounds of key-shuffled joins, no driver
+    state). Every document gets a row; ``cluster_id`` is the min doc_id
+    of its component (singletons map to themselves) and
+    ``is_canonical`` marks the one doc per cluster a dedup pass keeps.
+    The oracle computes the same closure with a recursive CTE."""
+    from ..operators.graph import connected_components
+
+    pairs = _ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+register(
+    Query(
+        name="dedup_clusters",
+        spark=_dedup_clusters,
+        oracle=rf"""
+            WITH RECURSIVE
+            toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT doc_a, doc_b
+                FROM common
+                JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+                WHERE round(n_common / CAST(ca.n_sh + cb.n_sh - n_common
+                            AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+            ),
+            edges AS (
+                SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(node, lbl) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+            ),
+            labels AS (
+                SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                   coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d
+            LEFT JOIN labels l ON l.node = d.doc_id
+        """,
+        tags=("dedup", "graph"),
+    )
+)
+
+
+# -------------------------------------------------- sliding-window chunking
+
+CHUNK_TOKENS = 48
+CHUNK_OVERLAP = 12
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: token windows of CHUNK_TOKENS advancing
+    by CHUNK_TOKENS-CHUNK_OVERLAP, produced entirely narrow (sequence +
+    posexplode + slice — no shuffle; chunks materialize where the doc
+    partition lives, which is what lets this run over 100 TB of text as
+    a pure map stage)."""
+    docs = _docs(spark, sf_dir)
+    return X.chunk_df(
+        docs, "doc_id", F.col("text"), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
+register(
+    Query(
+        name="doc_chunks",
+        spark=_doc_chunks,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            st AS (
+                SELECT doc_id, t, len(t) AS n,
+                       unnest(generate_series(
+                           0, greatest(len(t) - 1, 0),
+                           {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+                FROM toks
+            )
+            SELECT doc_id,
+                   s // {CHUNK_TOKENS - CHUNK_OVERLAP} AS chunk_idx,
+                   array_to_string(t[s + 1 : s + {CHUNK_TOKENS}], ' ')
+                       AS chunk_text,
+                   CAST(least({CHUNK_TOKENS}, n - s) AS BIGINT) AS n_tokens
+            FROM st WHERE s < n
+        """,
+        tags=("text", "chunking"),
+    )
+)
+
+
+# ------------------------------------------------- deterministic sampling
+
+SAMPLE_K = 3
+SAMPLE_FRACTION = 0.1
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible k-per-(lang, source) sample via Knuth-hash ranking
+    (operators.sampling) — same rows every run on any engine, which is
+    what makes corpus downsampling auditable. One hash-shuffle + a
+    k-bounded window."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(docs, ["lang", "source"], "doc_id", SAMPLE_K)
+
+
+register(
+    Query(
+        name="stratified_sample",
+        spark=_stratified_sample,
+        oracle=f"""
+            WITH ranked AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                       ) AS sample_rank
+                FROM documents
+            )
+            SELECT doc_id, lang, source, sample_rank
+            FROM ranked WHERE sample_rank <= {SAMPLE_K}
+        """,
+        tags=("sampling", "window"),
+    )
+)
+
+
+def _bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% Bernoulli sample as a pure narrow filter (the
+    hash predicate rides the parquet scan; no shuffle, no RNG state —
+    the only sampling shape that stays trivially correct across
+    re-partitioning at 100 TB)."""
+    from ..operators.sampling import bernoulli_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return bernoulli_sample(docs, "doc_id", SAMPLE_FRACTION)
+
+
+register(
+    Query(
+        name="bernoulli_sample",
+        spark=_bernoulli_sample,
+        oracle=f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296
+                  < CAST({SAMPLE_FRACTION} * 4294967296 AS BIGINT)
+        """,
+        tags=("sampling", "filter"),
+    )
+)

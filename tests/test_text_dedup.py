@@ -157,3 +157,55 @@ def test_shingles_df_matches_hof_shingles(spark, near_dup_docs):
         for r in X.shingles_df(near_dup_docs, "doc_id", F.col("text")).collect()
     }
     assert a == b
+
+
+def test_chunk_df_shapes(spark):
+    from gee_datapipeline_spark.functions.text import chunk_df
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_df(docs, "doc_id", F.col("text"), chunk_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: 8 tokens, step 3 → starts 0,3,6 → 3 chunks
+    assert rows[(1, 0)].chunk_text == "a b c d"
+    assert rows[(1, 1)].chunk_text == "d e f g"
+    assert rows[(1, 2)].chunk_text == "g h" and rows[(1, 2)].n_tokens == 2
+    # short docs: single chunk, n_tokens = doc length
+    assert rows[(2, 0)].chunk_text == "x y" and rows[(2, 0)].n_tokens == 2
+    assert rows[(3, 0)].n_tokens == 1
+    assert len(rows) == 5
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert rows[(1, 0)].chunk_text.split()[-1:] == rows[(1, 1)].chunk_text.split()[:1]
+
+
+def test_chunk_df_rejects_bad_overlap(spark):
+    from gee_datapipeline_spark.functions.text import chunk_df
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_df(docs, "doc_id", F.col("text"), chunk_tokens=4, overlap=4)
+
+
+def test_sampling_deterministic_and_bounded(spark):
+    from gee_datapipeline_spark.operators.sampling import (
+        bernoulli_sample,
+        stratified_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    )
+    s1 = {r.doc_id for r in bernoulli_sample(df, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in bernoulli_sample(df, "doc_id", 0.2).collect()}
+    assert s1 == s2  # reproducible
+    assert 100 < len(s1) < 300  # ~200 expected
+    # nested property: a smaller fraction is a subset of a larger one
+    s_small = {r.doc_id for r in bernoulli_sample(df, "doc_id", 0.05).collect()}
+    assert s_small <= s1
+    strat = stratified_sample(df, ["grp"], "doc_id", 5)
+    per_group = (
+        strat.groupBy("grp").count().select(F.max("count")).first()[0]
+    )
+    assert per_group == 5
