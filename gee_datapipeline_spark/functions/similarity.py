@@ -214,6 +214,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_centroids: int = 16,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """Train the IVF coarse quantizer as pure DataFrame algebra.
 
@@ -221,10 +222,12 @@ def ivf_centroids(
        ``xxhash64('ivf-seed', id)`` — a deterministic uniform sample, no
        stored model, reproducible across runs/partitionings. Planned as
        TakeOrderedAndProject (k-bounded, no global sort/window).
-    2. *refine* (one k-means step): every vector keeps its nearest seed
-       (broadcast-NL against the tiny seed table) and the per-cluster
-       mean (posexplode → groupBy(cid, dim) → rebuild array) becomes the
-       centroid.
+    2. *refine* (``lloyd_iters`` k-means steps): every vector keeps its
+       nearest centroid (broadcast-NL against the tiny centroid table)
+       and the per-cluster mean (posexplode → groupBy(cid, dim) →
+       rebuild array) becomes the next centroid. Each step is one
+       bounded shuffle; the centroid table is localCheckpointed between
+       steps so the plan stays flat.
 
     Returns ``(cid, c_emb array<double>, c_norm)`` — O(n_centroids × dim)
     rows, always broadcastable.
@@ -234,7 +237,7 @@ def ivf_centroids(
     base = _with_norm(vectors, id_col, emb_col)
     # orderBy().limit() plans TakeOrderedAndProject; the cid window then
     # runs over only n_centroids rows (bounded single partition).
-    seeds = (
+    centroids = (
         base.withColumn(
             "__h", F.xxhash64(F.lit("ivf-seed"), F.col("__id"))
         )
@@ -246,23 +249,29 @@ def ivf_centroids(
             F.col("__norm").alias("c_norm"),
         )
     )
-    first_pass = ivf_assign(base.select(
-        F.col("__id").alias(id_col),
-        F.col("__emb").alias(emb_col),
-    ), seeds, id_col, emb_col, n_probe=1)
-    flat = first_pass.select("cid", F.posexplode(emb_col).alias("dim", "v"))
-    return (
-        flat.groupBy("cid", "dim")
-        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
-                lambda s: s["cv"],
-            ).alias("c_emb")
-        )
-        .withColumn("c_norm", F.sqrt(sq_norm(F.col("c_emb"))))
+    plain = base.select(
+        F.col("__id").alias(id_col), F.col("__emb").alias(emb_col)
     )
+    for step in range(lloyd_iters):
+        assigned = ivf_assign(plain, centroids, id_col, emb_col, n_probe=1)
+        flat = assigned.select(
+            "cid", F.posexplode(emb_col).alias("dim", "v")
+        )
+        centroids = (
+            flat.groupBy("cid", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c_emb")
+            )
+            .withColumn("c_norm", F.sqrt(sq_norm(F.col("c_emb"))))
+        )
+        if step < lloyd_iters - 1:
+            centroids = centroids.localCheckpoint(eager=True)
+    return centroids
 
 
 def ivf_assign(
@@ -316,6 +325,7 @@ def ann_ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF coarse quantization.
 
@@ -329,7 +339,9 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    quantizer = ivf_centroids(vectors, id_col, emb_col, n_centroids)
+    quantizer = ivf_centroids(
+        vectors, id_col, emb_col, n_centroids, lloyd_iters
+    )
     cells = ivf_assign(vectors, quantizer, id_col, emb_col, n_probe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),

@@ -53,7 +53,9 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
         out = out.unionByName(
             mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
         )
-    return out.filter(F.col("a") != F.col("b")).distinct()
+    # no distinct here: the following _symmetric() dedups, and one
+    # shuffle per star beats two
+    return out.filter(F.col("a") != F.col("b"))
 
 
 def _symmetric(pairs: DataFrame) -> DataFrame:
@@ -76,29 +78,28 @@ def connected_components(
     edges = pairs.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
+    def _stats(df: DataFrame):
+        # decimal sum: full-range longs would overflow BIGINT
+        h = F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(h.cast("decimal(30,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     cur = _symmetric(edges).localCheckpoint(eager=True)
+    stats_prev = _stats(cur)
     for _ in range(max_iter):
         after_large = _symmetric(_star_round(cur, large=True))
         after_small = _symmetric(_star_round(after_large, large=False))
-        nxt = after_small.localCheckpoint(eager=True)
-        # fixpoint: the edge multiset stopped changing (cheap symmetric
-        # check: same count and same unordered-pair checksum)
-        def _stats(df: DataFrame):
-            # decimal sum: full-range longs would overflow BIGINT
-            h = F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))
-            return df.select(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(h.cast("decimal(30,0)")).alias("h"),
-            ).first()
-
-        stats_prev = _stats(cur)
-        stats_next = _stats(nxt)
-        cur = nxt
-        if (stats_prev["n"], stats_prev["h"]) == (
-            stats_next["n"],
-            stats_next["h"],
-        ):
+        cur = after_small.localCheckpoint(eager=True)
+        # fixpoint: the edge set stopped changing (same count + same
+        # unordered-pair checksum; one stats job per round — the
+        # previous round's stats carry over)
+        stats_next = _stats(cur)
+        if stats_next == stats_prev:
             break
+        stats_prev = stats_next
     # At fixpoint the graph is a union of stars centered at each
     # component's min node: every node's min neighbor IS the center
     # (and centers keep themselves via the union below).

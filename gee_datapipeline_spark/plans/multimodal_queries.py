@@ -1,10 +1,14 @@
-"""Multimodal + streaming gate entries (rows-only).
+"""Multimodal + streaming gate entries.
 
-The media table is synthesized deterministically from the ``documents``
-table (payload = utf-8 bytes of the text) so the binary-column plumbing
-runs against driver data at every scale factor. The streaming entry
-drives a real Structured Streaming query (file source → windowed
-composite → memory sink) synchronously and returns its finalized result.
+Two tiers: plumbing entries synthesize media from the ``documents``
+table (payload = utf-8 text bytes, fake codec) so the binary-column
+path runs against driver data at every scale factor (rows-only); the
+``*_decode_real`` entries decode ACTUAL PNG/BMP/WAV bytes from the
+media fixture with the in-repo pure-Python codecs and carry FULL
+DuckDB oracles against the generator's closed-form expectations.
+The streaming entries drive real Structured Streaming queries (file
+source → transform → memory sink) synchronously; ``streaming_dedup``
+is oracle-checked (replayed day == batch DISTINCT).
 """
 
 from __future__ import annotations
@@ -335,5 +339,74 @@ register(
         spark=_streaming_windowed_composite,
         oracle=None,
         tags=("streaming", "A2"),
+    )
+)
+
+
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with a FULL oracle: the first observed day of
+    events is delivered TWICE (two identical micro-batches — an
+    at-least-once replay), streamed through
+    dropDuplicatesWithinWatermark, and the surviving rows must equal
+    plain batch DISTINCT over that day — which IS SQL-expressible, so
+    this is the one streaming entry the driver can value-hash against
+    DuckDB."""
+    from ..streaming.jobs import dedup_stream, run_to_memory, stream_from_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    slice_df = ev.filter(F.to_date("ts") == F.lit(first_day)).select(
+        "ts",
+        F.col("user_id").alias("cell_x"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_stream_dedup_gate_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        for batch in ("b1", "b2"):  # identical payload = replayed delivery
+            slice_df.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, batch)
+            )
+        name = f"gate_dedup_{abs(hash(root)) % 10**9}"
+        schema = "ts timestamp, cell_x long, value double"
+        from pyspark.sql import types as T
+
+        q = run_to_memory(
+            dedup_stream(
+                stream_from_dir(
+                    spark, src + "/*", T._parse_datatype_string(schema)
+                )
+            ),
+            name,
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            "cell_x",
+            "value",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="streaming_dedup",
+        spark=_streaming_dedup,
+        oracle="""
+            SELECT DISTINCT
+                   strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f')
+                       AS ts_s,
+                   user_id AS cell_x,
+                   value
+            FROM events
+            WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+        """,
+        tags=("streaming", "dedup"),
     )
 )

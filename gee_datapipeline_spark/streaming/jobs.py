@@ -209,3 +209,22 @@ def run_to_memory(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("ts", "cell_x", "value"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop repeats of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The state store holds one entry per key only until the watermark
+    passes it — bounded by (event rate × horizon), never by stream
+    lifetime, which is the property that makes dedup viable on an
+    unbounded 100 TB/day feed. Exact duplicates from at-least-once
+    sources (replayed files, Kafka redelivery) are the target; the
+    batch equivalent is plain DISTINCT over the same window."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
