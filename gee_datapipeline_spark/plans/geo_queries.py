@@ -27,7 +27,12 @@ from ..functions.stable import sql_stable_avg
 from ..operators.classify import classify_with_thresholds
 from ..operators.composites import grid_resample, mean_composite, max_composite
 from ..operators.windows import minmax_normalize
-from ..sources.fixtures import ensure_geo_fixtures, fixture_path, load_fixture
+from ..sources.fixtures import (
+    FIXTURES_DIR,
+    ensure_geo_fixtures,
+    fixture_path,
+    load_fixture,
+)
 from ..sources.synthetic import DELHI_BBOX
 from .registry import Query, register
 
@@ -36,6 +41,7 @@ from .registry import Query, register
 ensure_geo_fixtures()
 
 _PX = fixture_path("pixels")
+_FIXDIR = str(FIXTURES_DIR)
 _AMEN = fixture_path("amenities")
 _TH = fixture_path("thresholds")
 
@@ -370,5 +376,76 @@ register(
             FROM read_parquet('{fixture_path("raster_pixels")}')
         """,
         tags=("geo", "S3", "S5"),
+    )
+)
+
+
+def _csv_points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest differential (S8 inverse): both engines parse the
+    SAME text bytes (fixture written by plain Python at fixed 6 dp), so
+    any float-parsing or header/schema drift shows up as a hash
+    mismatch. Explicit schema — no inference pass."""
+    from ..sources.delimited import read_points_csv
+    from ..sources.fixtures import ensure_geo_fixtures, FIXTURES_DIR
+
+    ensure_geo_fixtures()
+    return read_points_csv(spark, str(FIXTURES_DIR / "points.csv"))
+
+
+register(
+    Query(
+        name="csv_points_source",
+        spark=_csv_points_source,
+        oracle=f"""
+            SELECT lat, lon, mean
+            FROM read_csv('{_FIXDIR}/points.csv',
+                          header = true,
+                          columns = {{'lat': 'DOUBLE', 'lon': 'DOUBLE',
+                                      'mean': 'DOUBLE'}})
+        """,
+        tags=("source", "S8"),
+    )
+)
+
+
+def _jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest + aggregate: newline-delimited JSON (the splittable
+    form — each line parses independently, so 100 TB of logs fan out
+    across executors with no coordination) with an explicit schema,
+    rolled up per (dataset, date)."""
+    from ..functions.stable import stable_avg
+    from ..sources.delimited import read_jsonl
+    from ..sources.fixtures import ensure_geo_fixtures, FIXTURES_DIR
+
+    ensure_geo_fixtures()
+    logs = read_jsonl(spark, str(FIXTURES_DIR / "logs.jsonl"))
+    return logs.groupBy(
+        "dataset", F.date_format("date", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_values"),
+        stable_avg("value").alias("avg_value"),
+    )
+
+
+register(
+    Query(
+        name="jsonl_source_agg",
+        spark=_jsonl_source_agg,
+        oracle=f"""
+            SELECT dataset,
+                   strftime(CAST(date AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n_rows,
+                   count(value) AS n_values,
+                   {sql_stable_avg("value")} AS avg_value
+            FROM read_json('{_FIXDIR}/logs.jsonl',
+                           format = 'newline_delimited',
+                           columns = {{'dataset': 'VARCHAR',
+                                       'date': 'VARCHAR',
+                                       'x': 'INTEGER', 'y': 'INTEGER',
+                                       'value': 'DOUBLE'}})
+            GROUP BY 1, 2
+        """,
+        tags=("source", "json"),
     )
 )

@@ -226,6 +226,32 @@ def raster_fixture(
     return files, rows
 
 
+def _write_delimited(base: Path) -> None:
+    """Text-format twins of the pixel fixture, written by plain Python
+    so both engines read IDENTICAL bytes: ``points.csv`` is the
+    reference's lat,lon,mean export shape (fix_transparency.py:76-83,
+    '%.6f'), ``logs.jsonl`` is a newline-delimited JSON event log. Value
+    formatting is fixed-precision text so the parse is unambiguous."""
+    rows = pixels_rows(**PIXEL_PARAMS)
+    # pixels_rows tuple: (dataset, band, date, ts, x, y, lon, lat, value)
+    with open(base / "points.csv", "w", newline="") as fh:
+        fh.write("lat,lon,mean\n")
+        for r in rows:
+            if r[8] is None:
+                continue
+            fh.write(f"{r[7]:.6f},{r[6]:.6f},{r[8]:.6f}\n")
+    with open(base / "logs.jsonl", "w") as fh:
+        for r in rows:
+            rec = {
+                "dataset": r[0],
+                "date": str(r[2]),
+                "x": r[4],
+                "y": r[5],
+                "value": None if r[8] is None else round(r[8], 6),
+            }
+            fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
+
+
 def _rows_to_table(rows: list[tuple], schema: pa.Schema) -> pa.Table:
     cols = list(zip(*rows)) if rows else [[] for _ in schema]
     arrays = []
@@ -256,9 +282,10 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     wanted = _manifest()
     names = ("pixels", "regions", "thresholds", "amenities", "media",
              "raster_pixels")
+    extra = ("points.csv", "logs.jsonl")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
-    ):
+    ) and all((base / n).exists() for n in extra):
         try:
             if json.loads(manifest_path.read_text()) == wanted:
                 return base
@@ -294,6 +321,7 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
         _rows_to_table(tif_rows, _RASTER_PX_ARROW),
         base / "raster_pixels.parquet",
     )
+    _write_delimited(base)
     manifest_path.write_text(json.dumps(wanted, indent=2))
     return base
 

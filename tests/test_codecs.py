@@ -205,3 +205,85 @@ def test_read_rasters_real_geotiff(spark, tmp_path):
     assert rows[(0, 0)]["lat"] == 20.25 and rows[(0, 0)]["lon"] == 70.25
     assert rows[(1, 0)]["value"] is None  # NaN nodata → NULL
     assert rows[(1, 1)]["value"] == 40.0
+
+
+# ------------------------- property tests (hypothesis) -------------------
+
+from hypothesis import given, settings, strategies as st
+from hypothesis.extra import numpy as hnp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(1, 12), st.integers(1, 12), st.sampled_from([3, 4])
+        ),
+    )
+)
+def test_png_roundtrip_property(arr):
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(st.integers(1, 10), st.integers(1, 10)),
+    )
+)
+def test_png_gray_roundtrip_property(arr):
+    out = decode_png(encode_png(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(1, 9), st.integers(1, 9), st.just(3)
+        ),
+    )
+)
+def test_bmp_roundtrip_property(arr):
+    out = decode_bmp(encode_bmp(arr))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=hnp.arrays(
+        dtype=np.int16, shape=st.integers(1, 2000)
+    ),
+    rate=st.sampled_from([8_000, 16_000, 44_100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    arr, r = decode_wav(encode_wav(samples, rate))
+    assert r == rate and (arr[:, 0] == samples).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=hnp.arrays(
+        dtype=np.float64,
+        shape=st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        elements=st.floats(
+            allow_nan=False, allow_infinity=False, width=64,
+            min_value=-1e6, max_value=1e6,
+        ),
+    )
+)
+def test_geotiff_roundtrip_property(vals):
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    out, min_lon, min_lat, cell = decode_geotiff(
+        encode_geotiff(vals, -10.0, 5.0, 0.125)
+    )
+    assert (min_lon, min_lat, cell) == (-10.0, 5.0, 0.125)
+    assert (out == vals).all()
