@@ -25,7 +25,9 @@ from .registry import Query, register
 
 
 def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").limit(200)
+    # doc_id < 200, not limit(200): LIMIT over an unordered scan is
+    # nondeterministic, and the frame-sample oracle value-hashes rows.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -92,7 +94,29 @@ register(
     Query(
         name="multimodal_frame_sample",
         spark=_multimodal_frame_sample,
-        oracle=None,
+        # Closed-form oracle: the fake frame extractor is deterministic —
+        # duration = 10·octet_length(utf-8 text), frames at every 1000 ms
+        # of [0, max(duration, 1)), and each frame hash is sha256(payload
+        # ‖ ts) so all frames of a video are distinct. The decode itself
+        # is covered by the *_decode_real differential entries.
+        oracle="""
+            WITH media AS (
+                SELECT doc_id AS media_id,
+                       greatest(octet_length(encode(text)) * 10, 1) AS dur
+                FROM documents
+                WHERE doc_id < 200 AND text IS NOT NULL
+            ),
+            f AS (
+                SELECT media_id,
+                       CAST((dur + 999) // 1000 AS BIGINT) AS n_frames
+                FROM media
+            )
+            SELECT media_id,
+                   n_frames,
+                   CAST((n_frames - 1) * 1000 AS INTEGER) AS last_frame_ms,
+                   n_frames AS n_distinct_frames
+            FROM f
+        """,
         tags=("multimodal",),
     )
 )
@@ -262,7 +286,46 @@ register(
     Query(
         name="streaming_session_incidents",
         spark=_streaming_session_incidents,
-        oracle=None,
+        # Batch-equivalence oracle: over a bounded replay whose sentinel
+        # pushes the watermark past every session, Structured Streaming's
+        # finalized append output MUST equal the batch session
+        # computation. Spark merges sessions when the gap is < 30 min
+        # (new session iff ts - prev >= gap); session end = last ts + gap.
+        oracle="""
+            WITH slice AS (
+                SELECT ts, CAST(user_id AS INTEGER) AS cell_x, value
+                FROM events
+                WHERE CAST(ts AS DATE) =
+                      (SELECT min(CAST(ts AS DATE)) FROM events)
+                  AND value > 0
+            ),
+            o AS (
+                SELECT cell_x, ts, value,
+                       lag(ts) OVER (PARTITION BY cell_x ORDER BY ts) AS prev
+                FROM slice
+            ),
+            marked AS (
+                SELECT cell_x, ts, value,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            numbered AS (
+                SELECT cell_x, ts, value,
+                       sum(new_s) OVER (PARTITION BY cell_x ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M') AS s_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M') AS s_end,
+                   cell_x,
+                   max(value) AS peak_value,
+                   CAST(count(*) AS BIGINT) AS n_detections
+            FROM numbered
+            GROUP BY cell_x, sid
+        """,
         tags=("streaming", "session"),
     )
 )
@@ -337,7 +400,27 @@ register(
     Query(
         name="streaming_windowed_composite",
         spark=_streaming_windowed_composite,
-        oracle=None,
+        # Batch-equivalence oracle: the sentinel closes every 6-hour
+        # tumbling window, so the finalized stream output must equal the
+        # batch epoch-aligned 6 h bucket aggregate (pure interval
+        # arithmetic — no to_timestamp, so the check is timezone-free).
+        oracle="""
+            WITH slice AS (
+                SELECT ts, CAST(user_id AS INTEGER) AS cell_x, value
+                FROM events
+                WHERE CAST(ts AS DATE) =
+                      (SELECT min(CAST(ts AS DATE)) FROM events)
+            )
+            SELECT strftime(
+                       ts - to_microseconds(
+                           CAST(epoch_us(ts) % 21600000000 AS BIGINT)),
+                       '%Y-%m-%d %H:%M') AS w_start,
+                   cell_x,
+                   max(value) AS max_value,
+                   CAST(count(value) AS BIGINT) AS n_obs
+            FROM slice
+            GROUP BY 1, 2
+        """,
         tags=("streaming", "A2"),
     )
 )
