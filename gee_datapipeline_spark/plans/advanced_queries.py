@@ -375,14 +375,31 @@ register(
 
 
 def _approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch profile — estimator values are
-    engine-specific, so rows-only; the exact twin above is the oracle
-    anchor. At 100 TB this is the only affordable form (no
-    distinct-shuffle; sketches merge associatively)."""
+    """HyperLogLog++ sketch profile as an ACCURACY GATE: the raw
+    estimates are engine-specific (never hashable against DuckDB), so
+    the hashed output carries the exact cardinalities plus a boolean
+    asserting the sketch landed within 5 % of exact (rsd pinned to 0.01
+    — the default 0.05 realizes up to ~9 % error on these key counts).
+    HLL++ is hash-deterministic, so the boolean is stable — if the
+    sketch path breaks, the gate flips to false and hash-fails. At
+    100 TB the sketch is the only affordable form (no distinct-shuffle;
+    sketches merge associatively)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+
+    def within(approx, exact):  # noqa: ANN001 - Column helpers
+        return (F.abs(approx - exact) <= 0.05 * exact).alias
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("__ap"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("__ao"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts",
+        "n_orders",
+        within(F.col("__ap"), F.col("n_parts"))("parts_within_5pct"),
+        within(F.col("__ao"), F.col("n_orders"))("orders_within_5pct"),
     )
 
 
@@ -390,7 +407,15 @@ register(
     Query(
         name="approx_distinct_profile",
         spark=_approx_distinct_profile,
-        oracle=None,
+        oracle="""
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   true AS parts_within_5pct,
+                   true AS orders_within_5pct
+            FROM lineitem
+            GROUP BY 1
+        """,
         tags=("aggregation", "sketch"),
     )
 )
@@ -429,12 +454,14 @@ register(
 
 def _approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of value_percentiles: approx_percentile
-    (Greenwald-Khanna) — estimator values are engine-specific, so
-    rows-only; at 100 TB the exact form needs a full sort per group,
-    the sketch is one pass and mergeable."""
+    (Greenwald-Khanna). At 100 TB the exact form needs a full sort per
+    group; the sketch is one pass and mergeable. Oracle-checkable
+    because GK with accuracy ≥ group size never compresses — it returns
+    the exact lower-nearest-rank element, which is precisely DuckDB's
+    quantile_disc convention (verified element-for-element at sf0.01)."""
     ev = _t(spark, sf_dir, "events")
     pct = F.percentile_approx(
-        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(100000)
     )
     return ev.groupBy("event_type").agg(
         F.round(F.get(pct, 0), 6).alias("p25"),
@@ -447,7 +474,14 @@ register(
     Query(
         name="approx_percentiles",
         spark=_approx_percentiles,
-        oracle=None,
+        oracle="""
+            SELECT event_type,
+                   round(quantile_disc(value, 0.25), 6) AS p25,
+                   round(quantile_disc(value, 0.50), 6) AS p50,
+                   round(quantile_disc(value, 0.75), 6) AS p75
+            FROM events
+            GROUP BY 1
+        """,
         tags=("aggregation", "sketch"),
     )
 )
