@@ -20,10 +20,13 @@ SimHash: 64-bit fingerprint whose Hamming distance approximates cosine
 distance over the token multiset; banded by 16-bit chunks for the same
 equi-join trick.
 
-Hash-function outputs are engine-specific, so these operators are
-rows-only in the oracle gate; ``tests/test_text_dedup.py`` verifies the
-MinHash Jaccard estimate against the exact Jaccard oracle query and the
-SimHash/ LSH recall on constructed near-duplicates.
+Both operators take a ``family`` parameter: ``xxhash64`` (default,
+fastest JVM hash) and ``md5hex`` (cross-engine reproducible — DuckDB's
+md5() emits identical hex, letting the gate queries value-hash the FULL
+LSH pipelines against a SQL mirror). ``tests/test_text_dedup.py``
+additionally verifies the MinHash Jaccard estimate against the exact
+Jaccard oracle query and the SimHash/LSH recall on constructed
+near-duplicates.
 """
 
 from __future__ import annotations
@@ -56,18 +59,35 @@ def minhash_signature(
     )
 
 
+def _mh_hash(i: int, col: Column, family: str) -> Column:
+    """One member of the k-hash family.
+
+    ``xxhash64`` (default) is the fast production path. ``md5hex`` is
+    cross-engine reproducible: DuckDB's md5() emits the identical
+    lowercase hex, and fixed-width lowercase hex compares
+    lexicographically == numerically, so ``min()`` picks the same
+    element in both engines — which is what lets the LSH gate query
+    carry a FULL value-hash oracle instead of a rows-only check."""
+    if family == "xxhash64":
+        return F.xxhash64(F.lit(i), col)
+    if family == "md5hex":
+        return F.md5(F.concat(F.lit(f"{i}:"), col))
+    raise ValueError(f"unknown hash family: {family}")
+
+
 def minhash_signatures_df(
     shingle_rows: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Signatures from (doc_id, shingle) rows via a 32-way min
     hash-aggregate (codegen'd, map-side partial aggregation; the shuffle
     carries one 32-long row per doc per input partition). Returns
-    (doc_id, sig array<long>). Input comes from
-    ``functions.text.shingles_df``."""
+    (doc_id, sig array<long>) — array<string> for ``family="md5hex"``.
+    Input comes from ``functions.text.shingles_df``."""
     mins = shingle_rows.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            F.min(_mh_hash(i, F.col("shingle"), family)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )
@@ -124,6 +144,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     num_bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs with estimated Jaccard >= threshold.
 
@@ -135,7 +156,7 @@ def minhash_lsh_pairs(
     from .text import shingles_df
 
     sh = shingles_df(docs, id_col, text_col, shingle_n)
-    sigs = minhash_signatures_df(sh, num_hashes)
+    sigs = minhash_signatures_df(sh, num_hashes, family)
 
     # Signatures ride along through the band join (they're k longs per
     # row — cheap) so no extra join recomputes them; the two join sides
@@ -209,14 +230,31 @@ def simhash64(tokens_arr: Column, num_bits: int = 64) -> Column:
 
 
 def simhash_df(
-    docs: DataFrame, id_col: str, tokens_col: Column, num_bits: int = 64
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    num_bits: int = 64,
+    family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash via explode → 64 vote-sum hash-aggregates (codegen'd;
-    the scalable pipeline form of :func:`simhash64`). Returns
-    (doc_id, fp long). Docs with no tokens are dropped (no content)."""
+    """SimHash via explode → per-bit vote-sum hash-aggregates
+    (codegen'd; the scalable pipeline form of :func:`simhash64`).
+    Returns (doc_id, fp long). Docs with no tokens are dropped (no
+    content).
+
+    ``family="md5hex"`` derives the token hash from the first 15 hex
+    chars of md5 (60 bits, fits a signed long with no sign games) —
+    cross-engine reproducible, so callers should pair it with
+    ``num_bits=60``. DuckDB reconstructs the same value from md5 hex
+    nibbles."""
+    if family == "xxhash64":
+        h = F.xxhash64("t")
+    elif family == "md5hex":
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash family: {family}")
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    ).select("doc_id", h.alias("h"))
     votes = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -243,11 +281,12 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_bands(fp: Column, num_bands: int = 4) -> Column:
-    """Split a 64-bit fingerprint into 16-bit band keys: two docs within
-    Hamming distance (num_bands - 1) share at least one band exactly
-    (pigeonhole) — the standard SimHash blocking scheme."""
-    width = 64 // num_bands
+def simhash_bands(fp: Column, num_bands: int = 4, num_bits: int = 64) -> Column:
+    """Split a fingerprint into ``num_bits // num_bands``-wide band
+    keys: two docs within Hamming distance (num_bands - 1) share at
+    least one band exactly (pigeonhole) — the standard SimHash blocking
+    scheme."""
+    width = num_bits // num_bands
     mask = (1 << width) - 1
     return F.array(
         *[
@@ -268,12 +307,16 @@ def simhash_pairs(
     tokens_col: Column,
     max_hamming: int = 3,
     num_bands: int = 4,
+    num_bits: int = 64,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-bucket equi-join then exact
     Hamming filter. Guaranteed recall for distance <= num_bands - 1."""
-    fps = simhash_df(docs, id_col, tokens_col)
+    fps = simhash_df(docs, id_col, tokens_col, num_bits, family)
     banded = fps.select(
-        "doc_id", "fp", F.explode(simhash_bands(F.col("fp"), num_bands)).alias("b")
+        "doc_id",
+        "fp",
+        F.explode(simhash_bands(F.col("fp"), num_bands, num_bits)).alias("b"),
     ).select("doc_id", "fp", "b.band_id", "b.band_key")
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -428,27 +428,75 @@ register(
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: MinHash signatures + LSH band join
-    (functions.dedup). Rows-only in the gate (hash outputs are
-    engine-specific); estimate quality vs exact Jaccard is unit-tested."""
+    (functions.dedup). The gate runs the md5hex hash family so the
+    ENTIRE pipeline (shingle → 32 min-hashes → 8×4 band collision →
+    agreement estimate) value-hashes against a DuckDB mirror; the
+    xxhash64 production family is plan-identical and unit-tested."""
     from ..functions.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    return minhash_lsh_pairs(docs, "doc_id", F.col("text"), threshold=0.3)
+    return minhash_lsh_pairs(
+        docs, "doc_id", F.col("text"), threshold=0.3, family="md5hex"
+    )
+
+
+def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
+    """DuckDB mirror of the md5hex MinHash-LSH pipeline, generated so
+    the 32 hash members / 8 band predicates stay in lockstep with the
+    Spark constants. Band collision is expressed as slice equality —
+    equivalent to band-hash equality because the band hash is a
+    deterministic function of the slice."""
+    r = k // bands
+    mins = ",\n                   ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+    )
+    band_eq = "\n                  OR ".join(
+        "("
+        + " AND ".join(f"a.mh{b * r + j} = b.mh{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return rf"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(({agree}) / {k}.0, 6) AS est_jaccard
+            FROM sig a JOIN sig b
+              ON a.doc_id < b.doc_id AND ({band_eq})
+            WHERE round(({agree}) / {k}.0, 6) >= {threshold}
+    """
 
 
 register(
     Query(
         name="minhash_lsh_pairs",
         spark=_minhash_lsh_pairs,
-        oracle=None,
+        oracle=_minhash_oracle(),
         tags=("dedup", "lsh"),
     )
 )
 
 
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path near-dup #2: 64-bit SimHash with banded Hamming join
-    (functions.dedup.simhash_pairs)."""
+    """Scale-path near-dup #2: SimHash with banded Hamming join
+    (functions.dedup.simhash_pairs). The gate runs the md5hex family at
+    60 bits (15 md5 hex chars → signed long, no sign games) so the
+    whole vote → fingerprint → band-block → Hamming pipeline
+    value-hashes against a DuckDB mirror; the 64-bit xxhash64
+    production family is plan-identical and unit-tested."""
     from ..functions.dedup import simhash_pairs
 
     docs = _docs(spark, sf_dir)
@@ -457,14 +505,70 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("toks"),
         max_hamming=3,
+        num_bits=60,
+        family="md5hex",
     )
+
+
+def _simhash_oracle(max_hamming: int = 3, bands: int = 4, bits: int = 60) -> str:
+    """DuckDB mirror of the md5hex SimHash pipeline. The 60-bit token
+    hash is rebuilt from md5 hex nibbles (strpos over '0123456789abcdef'
+    == int(h[:15], 16)); votes, fingerprint assembly, band keys and
+    bit_count(xor) Hamming are then plain integer arithmetic that both
+    engines evaluate identically."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    val = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    votes = ",\n                       ".join(
+        f"sum(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    band_eq = "\n                  OR ".join(
+        f"((a.fp >> {b * width}) & {mask}) = ((b.fp >> {b * width}) & {mask})"
+        for b in range(bands)
+    )
+    return rf"""
+            WITH th AS (
+                SELECT doc_id,
+                       CAST({val} AS BIGINT) AS v
+                FROM (
+                    SELECT doc_id, md5(t) AS h
+                    FROM (
+                        SELECT doc_id,
+                               unnest(string_split_regex(
+                                   lower(trim(text)), '\s+')) AS t
+                        FROM documents
+                    )
+                )
+            ),
+            votes AS (
+                SELECT doc_id,
+                       {votes}
+                FROM th GROUP BY doc_id
+            ),
+            fps AS (
+                SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+            FROM fps a JOIN fps b
+              ON a.doc_id < b.doc_id AND ({band_eq})
+            WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
 
 
 register(
     Query(
         name="simhash_pairs",
         spark=_simhash_pairs,
-        oracle=None,
+        oracle=_simhash_oracle(),
         tags=("dedup", "lsh"),
     )
 )
