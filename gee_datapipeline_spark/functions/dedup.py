@@ -59,6 +59,21 @@ def minhash_signature(
     )
 
 
+# Universal-hash family for the md5perm mode: mh_i = (A_i·h + B_i) mod P
+# over a 32-bit md5-derived base hash. P is the smallest prime > 2^32;
+# A_i < 2^30 keeps every product < 2^62 (no int64 overflow in either
+# engine). Constants are a fixed LCG so the DuckDB oracle generator can
+# emit the identical arithmetic.
+MH_PERM_P = 4294967311
+
+
+def mh_perm_constants(num_hashes: int = DEFAULT_NUM_HASHES):
+    a = [((i * 2654435761 + 1013904223) % ((1 << 30) - 1)) + 1
+         for i in range(num_hashes)]
+    b = [(i * 975319753 + 123456789) % MH_PERM_P for i in range(num_hashes)]
+    return a, b
+
+
 def _mh_hash(i: int, col: Column, family: str) -> Column:
     """One member of the k-hash family.
 
@@ -84,13 +99,37 @@ def minhash_signatures_df(
     hash-aggregate (codegen'd, map-side partial aggregation; the shuffle
     carries one 32-long row per doc per input partition). Returns
     (doc_id, sig array<long>) — array<string> for ``family="md5hex"``.
-    Input comes from ``functions.text.shingles_df``."""
-    mins = shingle_rows.groupBy("doc_id").agg(
-        *[
-            F.min(_mh_hash(i, F.col("shingle"), family)).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    Input comes from ``functions.text.shingles_df``.
+
+    ``family="md5perm"`` hashes each shingle ONCE (32-bit md5 prefix)
+    and derives the k family members as universal-hash permutations
+    (A_i·h + B_i) mod P — pure int64 arithmetic, so it is BOTH as fast
+    as the xxhash64 path (one digest per shingle, k cheap mults) AND
+    bit-reproducible in DuckDB for the oracle gate."""
+    if family == "md5perm":
+        a_c, b_c = mh_perm_constants(num_hashes)
+        base = shingle_rows.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("__h"),
+        )
+        mins = base.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a_c[i]) * F.col("__h") + F.lit(b_c[i]))
+                    % F.lit(MH_PERM_P)
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        mins = shingle_rows.groupBy("doc_id").agg(
+            *[
+                F.min(_mh_hash(i, F.col("shingle"), family)).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ]
+        )
     return mins.select(
         "doc_id",
         F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),

@@ -428,27 +428,39 @@ register(
 
 def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: MinHash signatures + LSH band join
-    (functions.dedup). The gate runs the md5hex hash family so the
-    ENTIRE pipeline (shingle → 32 min-hashes → 8×4 band collision →
-    agreement estimate) value-hashes against a DuckDB mirror; the
-    xxhash64 production family is plan-identical and unit-tested."""
+    (functions.dedup). The gate runs the md5perm hash family — one md5
+    per shingle, k universal-hash permutations in int64 arithmetic — so
+    the ENTIRE pipeline (shingle → 32 min-hashes → 8×4 band collision →
+    agreement estimate) value-hashes against a DuckDB mirror at
+    xxhash64-comparable speed."""
     from ..functions.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(
-        docs, "doc_id", F.col("text"), threshold=0.3, family="md5hex"
+        docs, "doc_id", F.col("text"), threshold=0.3, family="md5perm"
     )
 
 
 def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
-    """DuckDB mirror of the md5hex MinHash-LSH pipeline, generated so
-    the 32 hash members / 8 band predicates stay in lockstep with the
-    Spark constants. Band collision is expressed as slice equality —
-    equivalent to band-hash equality because the band hash is a
-    deterministic function of the slice."""
+    """DuckDB mirror of the md5perm MinHash-LSH pipeline, generated so
+    the 32 permutation constants / 8 band predicates stay in lockstep
+    with the Spark constants (imported, not re-derived). Band collision
+    is expressed as slice equality — equivalent to band-hash equality
+    because the band hash is a deterministic function of the slice."""
+    from ..functions.dedup import MH_PERM_P, mh_perm_constants
+
     r = k // bands
+    a_c, b_c = mh_perm_constants(k)
+    # 32-bit base hash from the md5 hex prefix, nibble-by-nibble
+    # (== int(md5(shingle)[:8], 16), matching Spark's conv()).
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
     mins = ",\n                   ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(k)
+        f"min(({a_c[i]} * __h + {b_c[i]}) % {MH_PERM_P}) AS mh{i}"
+        for i in range(k)
     )
     band_eq = "\n                  OR ".join(
         "("
@@ -471,7 +483,10 @@ def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
                 FROM toks WHERE len(t) >= 3
             ),
-            sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+            hashed AS (
+                SELECT doc_id, CAST({base} AS BIGINT) AS __h FROM sh
+            ),
+            sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(({agree}) / {k}.0, 6) AS est_jaccard
             FROM sig a JOIN sig b
