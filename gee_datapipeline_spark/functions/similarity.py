@@ -200,6 +200,11 @@ def hyperplane_buckets_df(
 
 PLANE_SEED = 0x5EED_1AB5
 
+# Quantization scale for the integer bucket path: a power of two, so
+# float × scale is a pure exponent shift (EXACT in IEEE double) and the
+# projection sign is decided by integer arithmetic both engines agree on.
+QUANT_SCALE = 1 << 20
+
 
 def _plane_matrix(dim: int, num_tables: int, num_planes: int):
     """Deterministic hyperplane matrix (dim × tables·planes) — same
@@ -210,12 +215,30 @@ def _plane_matrix(dim: int, num_tables: int, num_planes: int):
     return rng.uniform(-1.0, 1.0, size=(dim, num_tables * num_planes))
 
 
+def plane_matrix_int(dim: int, num_tables: int, num_planes: int):
+    """Integer hyperplane matrix (entries in [-512, 512)) for the
+    quantized bucket path: embeddings are floor(e · 2^20)-quantized and
+    the projection sign comes from an int64 dot product — every product
+    and partial sum stays < 2^53, so even an engine summing in doubles
+    (DuckDB's list_dot_product) gets the EXACT integer. That removes
+    the float-summation-order sign flips that would make a cross-engine
+    oracle flaky near a hyperplane. Direction distribution is uniform
+    enough for LSH (512 levels/axis); recall is asserted in tests."""
+    import numpy as np
+
+    rng = np.random.default_rng(PLANE_SEED)
+    return rng.integers(
+        -512, 512, size=(dim, num_tables * num_planes)
+    ).astype(np.int64)
+
+
 def hyperplane_buckets_pdf(
     vectors: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     num_tables: int = 8,
     num_planes: int = 4,
+    quantized: bool = False,
 ) -> DataFrame:
     """Bucket ids via ONE Arrow-batched matrix multiply per partition.
 
@@ -239,9 +262,13 @@ def hyperplane_buckets_pdf(
                 [np.asarray(e, dtype=np.float64) for e in pdf[emb_col]]
             )
             if planes is None:
-                planes = _plane_matrix(
-                    embs.shape[1], num_tables, num_planes
+                planes = (
+                    plane_matrix_int(embs.shape[1], num_tables, num_planes)
+                    if quantized
+                    else _plane_matrix(embs.shape[1], num_tables, num_planes)
                 )
+            if quantized:
+                embs = np.floor(embs * QUANT_SCALE).astype(np.int64)
             bits = (embs @ planes) > 0  # N × (T·P)
             weights = (1 << np.arange(num_planes)).astype(np.int64)
             buckets = (
@@ -449,6 +476,7 @@ def ann_lsh_topk(
     num_tables: int = 8,
     num_planes: int = 4,
     probe_bits: int = 1,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH
     with Hamming-1 multi-probe.
@@ -476,7 +504,7 @@ def ann_lsh_topk(
             F.sqrt(sq_norm(F.col(emb_col))).alias(f"{id_alias}_norm"),
         )
         buckets = hyperplane_buckets_pdf(
-            df, id_col, emb_col, num_tables, num_planes
+            df, id_col, emb_col, num_tables, num_planes, quantized
         ).withColumnRenamed(id_col, id_alias)
         if fanout and probe_bits >= 1:
             variants = F.array(

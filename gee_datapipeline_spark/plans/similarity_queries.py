@@ -1,9 +1,11 @@
 """Similarity-search queries over the ``embeddings`` table
 (LLM-data-pipeline surface; BASELINE.json north star).
 
-Brute-force cosine top-k is the oracle-checked correctness baseline; the
-LSH-bucketed scale path is registered separately (rows-only + recall test
-against this baseline in ``tests/test_similarity.py``).
+Brute-force cosine top-k is the oracle-checked correctness baseline. The
+LSH-bucketed scale path runs the quantized-integer bucket variant in the
+gate, so it (and the recall comparison against brute force) is ALSO
+fully oracle-checked; only IVF (iterative k-means refinement) remains
+rows-only, with recall tests in ``tests/test_similarity.py``.
 """
 
 from __future__ import annotations
@@ -142,20 +144,101 @@ def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: multi-table hyperplane LSH bucketing + exact
-    re-rank (functions.similarity.ann_lsh_topk). Rows-only in the gate;
-    recall vs ann_bruteforce is unit-tested."""
+    re-rank (functions.similarity.ann_lsh_topk). The gate runs the
+    quantized-integer bucket path (floor(e·2^20) + integer planes) so
+    bucket bits are bit-reproducible in DuckDB and the WHOLE pipeline —
+    bucketing, Hamming-1 multi-probe, candidate join, exact re-rank —
+    carries a full value-hash oracle. Recall vs ann_bruteforce is
+    unit-tested for both the float and quantized paths."""
     from ..functions.similarity import ann_lsh_topk
 
     e = _emb(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_QUERIES)
-    return ann_lsh_topk(e, probes, k=TOP_K)
+    return ann_lsh_topk(e, probes, k=TOP_K, quantized=True)
+
+
+def _ann_lsh_oracle(
+    dim: int = 64, num_tables: int = 8, num_planes: int = 4
+) -> str:
+    """DuckDB mirror of the quantized ann_lsh pipeline. The integer
+    plane matrix is emitted as literal rows (one 64-int list per
+    (table, plane) projection) from the SAME seeded generator Spark
+    uses, so the two sides cannot drift. Every dot term and partial sum
+    is an integer < 2^53, so DuckDB's double-summing list_dot_product
+    is exact and the projection signs match numpy's int64 GEMM."""
+    from ..functions.similarity import QUANT_SCALE, plane_matrix_int
+
+    w = plane_matrix_int(dim, num_tables, num_planes)
+    rows = ",\n                ".join(
+        f"({tp}, [{', '.join(str(int(w[d, tp])) for d in range(dim))}])"
+        for tp in range(num_tables * num_planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << p for p in range(num_planes)])
+    return f"""
+            WITH planes(tp, w) AS (VALUES
+                {rows}
+            ),
+            eq AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> floor(CAST(x AS DOUBLE) * {QUANT_SCALE}.0)) AS q
+                FROM embeddings
+            ),
+            bits AS (
+                SELECT e.vec_id, p.tp // {num_planes} AS table_id,
+                       CASE WHEN list_dot_product(e.q,
+                                list_transform(p.w, x -> CAST(x AS DOUBLE))) > 0
+                            THEN 1 << (p.tp % {num_planes}) ELSE 0 END AS bit
+                FROM eq e CROSS JOIN planes p
+            ),
+            buckets AS (
+                SELECT vec_id, table_id, CAST(sum(bit) AS BIGINT) AS bucket
+                FROM bits GROUP BY 1, 2
+            ),
+            probe_buckets AS (
+                SELECT b.vec_id, b.table_id, xor(b.bucket, m.mask) AS bucket
+                FROM buckets b
+                CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+                WHERE b.vec_id < {N_QUERIES}
+            ),
+            cand AS (
+                SELECT DISTINCT p.vec_id AS q_id, c.vec_id AS neighbor_id
+                FROM probe_buckets p
+                JOIN buckets c
+                  ON p.table_id = c.table_id AND p.bucket = c.bucket
+                 AND p.vec_id != c.vec_id
+            ),
+            base AS (
+                SELECT vec_id, embedding,
+                       sqrt({sql_decimal_dot('embedding', 'embedding')}) AS norm
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT cand.q_id, cand.neighbor_id,
+                       round({sql_cosine('a.embedding', 'b.embedding',
+                                         'a.norm', 'b.norm')}, 6) AS cos_sim
+                FROM cand
+                JOIN base a ON a.vec_id = cand.q_id
+                JOIN base b ON b.vec_id = cand.neighbor_id
+            ),
+            ranked AS (
+                SELECT q_id, neighbor_id, cos_sim,
+                       CAST(row_number() OVER (
+                           PARTITION BY q_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC
+                       ) AS INTEGER) AS rk
+                FROM scored
+            )
+            SELECT q_id, neighbor_id, cos_sim, rk
+            FROM ranked WHERE rk <= {TOP_K}
+    """
 
 
 register(
     Query(
         name="ann_lsh",
         spark=_ann_lsh,
-        oracle=None,
+        oracle=_ann_lsh_oracle(),
         tags=("similarity", "lsh"),
     )
 )
@@ -247,11 +330,7 @@ register(
 )
 
 
-register(
-    Query(
-        name="ann_bruteforce",
-        spark=_ann_bruteforce,
-        oracle=f"""
+_BRUTEFORCE_ORACLE = f"""
             WITH base AS (
                 SELECT vec_id, embedding,
                        sqrt({sql_decimal_dot('embedding', 'embedding')}) AS norm
@@ -273,18 +352,25 @@ register(
                     PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rk
                 FROM pairs
             ) WHERE rk <= {TOP_K}
-        """,
+"""
+
+
+register(
+    Query(
+        name="ann_bruteforce",
+        spark=_ann_bruteforce,
+        oracle=_BRUTEFORCE_ORACLE,
         tags=("similarity", "join", "window"),
     )
 )
-
 
 def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the LSH scale path vs exact brute force, as a gate row
     the driver can watch round-over-round. Multi-probe (Hamming-1)
     keeps this ≥0.9 (measured 0.98 at sf0.01, 1.0 at sf0.001); the
-    floor is asserted in tests/test_similarity.py. Genuinely
-    non-SQL-expressible (the LSH side), so rows-only in the gate."""
+    floor is asserted in tests/test_similarity.py. Now that the LSH
+    side runs the quantized-integer bucket path, BOTH sides are
+    SQL-expressible and the recall number itself is oracle-checked."""
     exact = _ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
     approx = _ann_lsh(spark, sf_dir).select("q_id", "neighbor_id")
     hits = exact.join(approx, ["q_id", "neighbor_id"], "left_semi")
@@ -303,7 +389,28 @@ register(
     Query(
         name="ann_lsh_recall",
         spark=_ann_lsh_recall,
-        oracle=None,
+        # Composition of the two oracle-checked pipelines: the recall
+        # number is recomputed end-to-end in DuckDB.
+        oracle=f"""
+            WITH exact AS (
+                SELECT q_id, neighbor_id FROM ({_BRUTEFORCE_ORACLE})
+            ),
+            approx AS (
+                SELECT q_id, neighbor_id FROM ({_ann_lsh_oracle()})
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+                   (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                     WHERE EXISTS (SELECT 1 FROM approx a
+                                   WHERE a.q_id = e.q_id
+                                     AND a.neighbor_id = e.neighbor_id)
+                   ) AS n_hit,
+                   round(
+                       (SELECT count(*) FROM exact e
+                         WHERE EXISTS (SELECT 1 FROM approx a
+                                       WHERE a.q_id = e.q_id
+                                         AND a.neighbor_id = e.neighbor_id))
+                       / (SELECT count(*) FROM exact), 4) AS recall
+        """,
         tags=("similarity", "ann", "recall"),
     )
 )
