@@ -197,6 +197,19 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError("unknown image format (magic not PNG/BMP)")
 
 
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (gray 2-D or channel-last 3-D).
+
+    Source index for output pixel i is floor(i · src/out) — the classic
+    integer mapping, deterministic and dependency-free. Constant-color
+    inputs stay constant, which is what lets the resize gate query carry
+    a closed-form luma oracle."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(img[np.ix_(rows, cols)])
+
+
 def mean_luma(img: np.ndarray) -> float:
     """Rec.601 luma for RGB(A); identity for grayscale. Alpha ignored."""
     if img.ndim == 2:

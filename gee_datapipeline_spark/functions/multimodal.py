@@ -103,6 +103,69 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, "
+    "n_bytes_out long, roundtrip_ok boolean, decode_ok boolean"
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG, per payload,
+    via ``mapInPandas`` (narrow: no shuffle; payload bytes never leave
+    the partition). Returns the resized dimensions, resized mean luma,
+    the re-encoded size, and a ``roundtrip_ok`` invariant (the PNG we
+    wrote decodes back to the identical pixel array) — so the gate can
+    assert the full decode→transform→encode loop, not just the decode.
+    Undecodable payloads come back decode_ok=false with zeroed fields
+    (corrupt media is data, not an error)."""
+    from .imagecodec import (
+        decode_image,
+        encode_png,
+        mean_luma,
+        resize_nearest,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                base = {
+                    "media_id": mid,
+                    "width": 0,
+                    "height": 0,
+                    "mean_luma": float("nan"),
+                    "n_bytes_out": 0,
+                    "roundtrip_ok": False,
+                    "decode_ok": False,
+                }
+                if p is not None:
+                    try:
+                        img = decode_image(bytes(p))
+                        small = resize_nearest(img, out_w, out_h)
+                        png = encode_png(small)
+                        back = decode_image(png)
+                        base.update(
+                            width=small.shape[1],
+                            height=small.shape[0],
+                            mean_luma=round(mean_luma(small), 6),
+                            n_bytes_out=len(png),
+                            roundtrip_ok=bool(
+                                back.shape == small.shape
+                                and (back == small).all()
+                            ),
+                            decode_ok=True,
+                        )
+                    except (ValueError, struct_error, zlib_error):
+                        pass
+                rows.append(base)
+            res = pd.DataFrame(rows)
+            res["width"] = res["width"].astype("int32")
+            res["height"] = res["height"].astype("int32")
+            yield res
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def audio_features(media: DataFrame) -> DataFrame:
     """Real audio decode via the in-repo WAV codec: duration, RMS,
     zero-crossing count per payload. Non-WAV / corrupt payloads get

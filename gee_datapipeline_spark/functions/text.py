@@ -37,6 +37,26 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape (public knowledge): contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# space-prefixed punctuation runs, residual whitespace. Restricted to
+# constructs BOTH Java regex and RE2 support identically (no lookahead,
+# ordered alternation) so the count is cross-engine reproducible.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Pre-tokenizer segments under :data:`BPE_ISH_PATTERN` — the unit
+    a BPE vocabulary would merge within. Closer to a real LLM token
+    count than whitespace splitting (punctuation and contractions
+    separate; digits isolate)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("long")
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash/Jaccard input unit).
 

@@ -178,6 +178,49 @@ register(
 )
 
 
+def _multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize differential: decode actual PNG/BMP bytes, nearest-
+    neighbor resize to 16×12, re-encode PNG, decode THAT back
+    (roundtrip_ok) — the full decode→transform→encode loop on
+    executors. Constant-color fixtures make the resized luma an exact
+    closed form, so the oracle needs no codec. n_bytes_out is excluded
+    from the hashed output (it depends on zlib's compressor, which the
+    oracle can't model); the roundtrip invariant covers the encode."""
+    from ..functions.multimodal import resize_images
+
+    media = _media_fixture(spark).select("media_id", "kind", "payload")
+    out = resize_images(media, out_w=16, out_h=12)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.when(F.col("decode_ok"), F.col("mean_luma")), 4).alias(
+            "luma4"
+        ),
+        "roundtrip_ok",
+        "decode_ok",
+    )
+
+
+register(
+    Query(
+        name="multimodal_resize_real",
+        spark=_multimodal_resize_real,
+        oracle=f"""
+            SELECT media_id,
+                   CASE WHEN exp_img_ok THEN 16 ELSE 0 END AS width,
+                   CASE WHEN exp_img_ok THEN 12 ELSE 0 END AS height,
+                   CASE WHEN exp_img_ok
+                        THEN round(exp_mean_luma, 4) END AS luma4,
+                   exp_img_ok AS roundtrip_ok,
+                   exp_img_ok AS decode_ok
+            FROM read_parquet('{_media_fixture_path()}')
+        """,
+        tags=("multimodal", "codec"),
+    )
+)
+
+
 def _audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode differential: Spark parses actual RIFF/WAVE
     bytes (``functions.audiocodec``); the oracle reads closed-form

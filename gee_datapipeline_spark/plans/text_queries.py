@@ -107,6 +107,38 @@ register(
     )
 )
 
+
+def _bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (functions.text.bpe_ish_token_count): the
+    GPT-2-style pre-tokenizer segment count next to the whitespace
+    count, per document — the cost estimate an LLM-data pipeline
+    actually budgets with. Pure Catalyst regexp (codegen, no UDF)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        X.token_count(F.col("text")).alias("n_ws"),
+    )
+
+
+register(
+    Query(
+        name="bpe_token_count",
+        spark=_bpe_token_count,
+        # Same regex, RE2 vs Java — restricted to the common dialect;
+        # parity verified element-for-element over every sf0.01 doc.
+        oracle=r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+                   )) AS n_bpe,
+                   len(string_split_regex(lower(trim(text)), '\s+')) AS n_ws
+            FROM documents
+        """,
+        tags=("text", "tokenize"),
+    )
+)
+
 # ----------------------------------------------------------- text quality
 
 

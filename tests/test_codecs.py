@@ -287,3 +287,57 @@ def test_geotiff_roundtrip_property(vals):
     )
     assert (min_lon, min_lat, cell) == (-10.0, 5.0, 0.125)
     assert (out == vals).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype=np.uint8,
+        shape=st.tuples(
+            st.integers(1, 12), st.integers(1, 12), st.sampled_from([3])
+        ),
+    ),
+    out=st.tuples(st.integers(1, 20), st.integers(1, 20)),
+)
+def test_resize_nearest_property(arr, out):
+    from gee_datapipeline_spark.functions.imagecodec import resize_nearest
+
+    out_w, out_h = out
+    small = resize_nearest(arr, out_w, out_h)
+    assert small.shape == (out_h, out_w, 3)
+    # every output pixel is an actual input pixel (nearest-neighbor)
+    flat_in = {tuple(px) for px in arr.reshape(-1, 3)}
+    assert all(tuple(px) in flat_in for px in small.reshape(-1, 3))
+
+
+def test_resize_nearest_constant_preserves_value():
+    from gee_datapipeline_spark.functions.imagecodec import (
+        mean_luma,
+        resize_nearest,
+    )
+
+    img = np.full((7, 5), 133, dtype=np.uint8)
+    small = resize_nearest(img, 16, 12)
+    assert small.shape == (12, 16)
+    assert mean_luma(small) == 133.0
+
+
+def test_bpe_ish_tokens_basic(spark):
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.functions.text import (
+        bpe_ish_token_count,
+        bpe_ish_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("It's 42 degrees, really!",)], "text string"
+    )
+    row = df.select(
+        bpe_ish_tokens(F.col("text")).alias("toks"),
+        bpe_ish_token_count(F.col("text")).alias("n"),
+    ).first()
+    assert row["toks"] == [
+        "It", "'s", " 42", " degrees", ",", " really", "!",
+    ]
+    assert row["n"] == 7
