@@ -57,6 +57,28 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text)).cast("long")
 
 
+# PII patterns, restricted to the Java/RE2 common dialect (no lookahead,
+# no backrefs) so redaction counts are cross-engine reproducible.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?\d[\d-]{6,}\d"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone-shaped digit runs — the minimal PII
+    scrub a training corpus gets before anything else. Order matters
+    (emails can contain digits); both replacements are global."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the raw text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0)).cast("long"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0)).cast("long"),
+    )
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (the MinHash/Jaccard input unit).
 
@@ -76,8 +98,11 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
-def shingles_df(docs, id_col: str, text: Column, n: int = 3):
-    """(doc_id, shingle) rows — distinct word n-grams per document.
+def shingles_df(docs, id_col: str, text: Column, n: int = 3,
+                distinct: bool = True):
+    """(doc_id, shingle) rows — word n-grams per document (distinct by
+    default; ``distinct=False`` keeps the multiset, which repetition
+    metrics need).
 
     Shape: split (codegen) → posexplode (codegen) → window ``lead`` to
     assemble n-grams (one shuffle on doc id, codegen) → dropDuplicates.
@@ -97,9 +122,8 @@ def shingles_df(docs, id_col: str, text: Column, n: int = 3):
         F.concat_ws(" ", *parts).alias("shingle"),
         parts[-1].alias("__last"),
     ).filter(F.col("__last").isNotNull())
-    return grams.select("doc_id", "shingle").dropDuplicates(
-        ["doc_id", "shingle"]
-    )
+    out = grams.select("doc_id", "shingle")
+    return out.dropDuplicates(["doc_id", "shingle"]) if distinct else out
 
 
 def _in_set(x: Column, words: tuple[str, ...]) -> Column:

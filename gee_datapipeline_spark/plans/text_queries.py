@@ -851,3 +851,192 @@ register(
         tags=("sampling", "filter"),
     )
 )
+
+# -------------------------------------------------------- PII redaction
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions.text.scrub_pii): the corpus text is salted
+    with a synthetic email + phone per doc (the driver tables carry no
+    real PII), then redacted; the gate hashes the redaction counts and
+    an md5 of the scrubbed text, so a regex drift on either side
+    hash-fails. Pure Catalyst regexps — codegen, no UDF."""
+    from ..functions.text import pii_counts, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("t"),
+    )
+    n_emails, n_phones = pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_md5"),
+    )
+
+
+register(
+    Query(
+        name="pii_scrub",
+        spark=_pii_scrub,
+        oracle=r"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1-555-01'
+                            || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(t, '\+?\d[\d-]{6,}\d')) AS n_phones,
+                   md5(regexp_replace(
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?\d[\d-]{6,}\d', '<PHONE>', 'g')) AS scrubbed_md5
+            FROM salted
+        """,
+        tags=("text", "pii"),
+    )
+)
+
+# ------------------------------------------------- repetition (quality)
+
+
+def _repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of a doc's word bigrams
+    taken by its single most frequent bigram. High ratio = boilerplate/
+    template text a quality filter should drop. Multiset shingles
+    (distinct=False) → per-(doc, gram) counts → max/sum — two hash
+    aggregations, no window over the full corpus."""
+    docs = _docs(spark, sf_dir)
+    grams = X.shingles_df(docs, "doc_id", F.col("text"), n=2, distinct=False)
+    per_gram = grams.groupBy("doc_id", "shingle").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+register(
+    Query(
+        name="repetition_ratio",
+        spark=_repetition_ratio,
+        oracle=r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 1),
+                           i -> t[i] || ' ' || t[i+1])) AS shingle
+                FROM toks WHERE len(t) >= 2
+            ),
+            per_gram AS (
+                SELECT doc_id, shingle, count(*) AS c
+                FROM grams GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(max(c) AS BIGINT) AS top_bigram_n,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6)
+                       AS repetition_ratio
+            FROM per_gram GROUP BY 1
+        """,
+        tags=("text", "quality"),
+    )
+)
+
+# --------------------------------------------- benchmark contamination
+
+
+def _contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination scan: fraction of each candidate doc's
+    distinct 3-gram shingles that also appear in the benchmark corpus
+    (stand-in: source 'src0'). The scalable shape is the shingle
+    equi-join (semi) — never a doc×doc comparison; the benchmark
+    shingle set is distinct-deduped once and reused."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    cands = docs.filter(F.col("source") != "src0")
+    bench_sh = (
+        X.shingles_df(bench, "doc_id", F.col("text"))
+        .select("shingle")
+        .distinct()
+    )
+    cand_sh = X.shingles_df(cands, "doc_id", F.col("text"))
+    totals = cand_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    hits = (
+        cand_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+register(
+    Query(
+        name="contamination_scan",
+        spark=_contamination_scan,
+        oracle=r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                           AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+            ),
+            cand AS (SELECT doc_id, shingle FROM sh WHERE source != 'src0'),
+            totals AS (
+                SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY 1
+            ),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hit
+                FROM cand WHERE EXISTS (
+                    SELECT 1 FROM bench b WHERE b.shingle = cand.shingle)
+                GROUP BY 1
+            )
+            SELECT t.doc_id, t.n_sh,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   round(coalesce(h.n_hit, 0) / CAST(t.n_sh AS DOUBLE), 6)
+                       AS contamination
+            FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        """,
+        tags=("text", "dedup", "join"),
+    )
+)
