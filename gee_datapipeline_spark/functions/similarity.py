@@ -305,8 +305,15 @@ def ivf_centroids(
     emb_col: str = "embedding",
     n_centroids: int = 16,
     lloyd_iters: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
     """Train the IVF coarse quantizer as pure DataFrame algebra.
+
+    ``exact=True`` makes every step cross-engine reproducible (for the
+    oracle gate): the seed sample orders by md5 hex instead of xxhash64,
+    cell assignment scores with the order-independent decimal dot, and
+    the Lloyd mean is the decimal-stable average rounded to 6 — so a
+    DuckDB mirror computes bit-identical centroids.
 
     1. *seed*: the ``n_centroids`` vectors with the smallest
        ``xxhash64('ivf-seed', id)`` — a deterministic uniform sample, no
@@ -325,12 +332,15 @@ def ivf_centroids(
     from pyspark.sql import Window
 
     base = _with_norm(vectors, id_col, emb_col)
+    seed_hash = (
+        F.md5(F.concat(F.lit("ivf-seed:"), F.col("__id").cast("string")))
+        if exact
+        else F.xxhash64(F.lit("ivf-seed"), F.col("__id"))
+    )
     # orderBy().limit() plans TakeOrderedAndProject; the cid window then
     # runs over only n_centroids rows (bounded single partition).
     centroids = (
-        base.withColumn(
-            "__h", F.xxhash64(F.lit("ivf-seed"), F.col("__id"))
-        )
+        base.withColumn("__h", seed_hash)
         .orderBy("__h", "__id")
         .limit(n_centroids)
         .select(
@@ -343,13 +353,23 @@ def ivf_centroids(
         F.col("__id").alias(id_col), F.col("__emb").alias(emb_col)
     )
     for step in range(lloyd_iters):
-        assigned = ivf_assign(plain, centroids, id_col, emb_col, n_probe=1)
+        assigned = ivf_assign(
+            plain, centroids, id_col, emb_col, n_probe=1, exact=exact
+        )
         flat = assigned.select(
             "cid", F.posexplode(emb_col).alias("dim", "v")
         )
+        if exact:
+            from .stable import stable_avg
+
+            mean_v = stable_avg(
+                F.col("v").cast("double"), scale=6, dec="decimal(38,12)"
+            )
+        else:
+            mean_v = F.avg(F.col("v").cast("double"))
         centroids = (
             flat.groupBy("cid", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+            .agg(mean_v.alias("cv"))
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -370,6 +390,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     n_probe: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
@@ -380,15 +401,18 @@ def ivf_assign(
     from pyspark.sql import Window
 
     base = _with_norm(df, id_col, emb_col)
-    # double_dot: cell assignment only needs self-consistent scores.
+    # double_dot default: cell assignment only needs self-consistent
+    # scores. exact=True switches to the order-independent decimal dot
+    # so a DuckDB mirror ranks cells identically (oracle gate).
     # Zero-norm vectors score -2.0 (below any cosine) so they land in a
     # deterministic cell via the cid tie-break instead of NULL-ranking.
+    dot = decimal_dot if exact else double_dot
     denom = F.col("__norm") * F.col("c_norm")
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim",
         F.when(
             denom > 0,
-            double_dot(F.col("__emb"), F.col("c_emb")) / denom,
+            dot(F.col("__emb"), F.col("c_emb")) / denom,
         ).otherwise(F.lit(-2.0)),
     )
     w = Window.partitionBy("__id").orderBy(
@@ -416,6 +440,7 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 1,
+    exact: bool = False,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF coarse quantization.
 
@@ -430,16 +455,18 @@ def ann_ivf_topk(
     from pyspark.sql import Window
 
     quantizer = ivf_centroids(
-        vectors, id_col, emb_col, n_centroids, lloyd_iters
+        vectors, id_col, emb_col, n_centroids, lloyd_iters, exact=exact
     )
-    cells = ivf_assign(vectors, quantizer, id_col, emb_col, n_probe=1).select(
+    cells = ivf_assign(
+        vectors, quantizer, id_col, emb_col, n_probe=1, exact=exact
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("c_emb"),
         F.col("norm").alias("c_norm"),
         "cid",
     )
     probe_cells = ivf_assign(
-        probes, quantizer, id_col, emb_col, n_probe=n_probe
+        probes, quantizer, id_col, emb_col, n_probe=n_probe, exact=exact
     ).select(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
