@@ -329,22 +329,23 @@ def ivf_centroids(
     Returns ``(cid, c_emb array<double>, c_norm)`` — O(n_centroids × dim)
     rows, always broadcastable.
     """
-    from pyspark.sql import Window
-
     base = _with_norm(vectors, id_col, emb_col)
     seed_hash = (
         F.md5(F.concat(F.lit("ivf-seed:"), F.col("__id").cast("string")))
         if exact
         else F.xxhash64(F.lit("ivf-seed"), F.col("__id"))
     )
-    # orderBy().limit() plans TakeOrderedAndProject; the cid window then
-    # runs over only n_centroids rows (bounded single partition).
+    # orderBy().limit() plans TakeOrderedAndProject (k-bounded, no
+    # global sort). cid only needs to be unique, deterministic and
+    # orderable (it's a join key + tie-break downstream) — the seed
+    # row's own id is all three, so no global row_number window (and
+    # no single-partition WindowExec) is needed at all.
     centroids = (
         base.withColumn("__h", seed_hash)
         .orderBy("__h", "__id")
         .limit(n_centroids)
         .select(
-            F.row_number().over(Window.orderBy("__h", "__id")).alias("cid"),
+            F.col("__id").alias("cid"),
             F.col("__emb").alias("c_emb"),
             F.col("__norm").alias("c_norm"),
         )

@@ -75,7 +75,20 @@ def read_rasters(
 ) -> DataFrame:
     """Scan raster files (S5 file-glob discovery is free via the path
     glob) and unpivot each to pixel rows."""
-    files = spark.read.format("binaryFile").load(path_glob)
+    # A leaf-level glob goes through pathGlobFilter on the parent dir:
+    # handing a glob string straight to load() makes the source's
+    # FileStreamSink metadata probe getFileStatus() the literal glob
+    # path and log a FileNotFoundException stack trace on every action.
+    import os
+
+    base_dir, leaf = os.path.split(path_glob)
+    reader = spark.read.format("binaryFile")
+    if base_dir and any(c in leaf for c in "*?[") and not any(
+        c in base_dir for c in "*?["
+    ):
+        files = reader.option("pathGlobFilter", leaf).load(base_dir)
+    else:
+        files = reader.load(path_glob)
 
     if decode is None:
         decode = default_raster_decoder
