@@ -84,6 +84,37 @@ def sql_cosine(a: str, b: str, a_norm: str, b_norm: str) -> str:
     )
 
 
+def decimal_sq_dist_slice(
+    a: Column, b: Column, start: Column, length: int
+) -> Column:
+    """Order-independent squared L2 distance between ``length``-element
+    subvectors of two float arrays beginning at 1-based index ``start``
+    (for product quantization). Elementwise math in double (IEEE, same
+    in every engine), accumulation in exact decimal — bit-reproducible
+    regardless of partitioning, like :func:`decimal_dot`."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(length - 1)),
+        F.lit(0).cast(_DEC),
+        lambda acc, i: (
+            acc
+            + F.pow(
+                F.element_at(a, start + i).cast("double")
+                - F.element_at(b, start + i).cast("double"),
+                2,
+            ).cast(_DEC)
+        ).cast(_DEC),
+    )
+
+
+def sql_decimal_sq_dist_slice(a: str, b: str, start: str, length: int) -> str:
+    """DuckDB mirror of :func:`decimal_sq_dist_slice` (1-based)."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {length - 1}), "
+        f"i -> CAST(pow(CAST({a}[({start}) + i] AS DOUBLE) "
+        f"- CAST({b}[({start}) + i] AS DOUBLE), 2) AS DECIMAL(38,12))))"
+    )
+
+
 # ----------------------------------------------- hyperplane LSH (scale path)
 
 

@@ -1,0 +1,234 @@
+"""Corpus-curation queries: duplicated-span detection and rule-based
+quality filtering over the ``documents`` table (LLM-data-pipeline
+surface; BASELINE.json north star).
+
+``span_dedup`` is the Spark re-expression of exact-substring
+deduplication (Lee et al., "Deduplicating Training Data Makes Language
+Models Better"): instead of a monolithic suffix array, every stride-1
+k-token window is hashed and duplicated windows are found with one
+hash-shuffle — the shape that scales to 100 TB because only 128-bit
+digests ever ride the shuffle, never the text.
+
+``gopher_quality`` applies the published Gopher document-quality rules
+(Rae et al. 2021, §A.1.1): word-count bounds, mean-word-length bounds,
+minimum alphabetic-word share, and a stopword-diversity floor — all as
+pure Catalyst expressions (no UDF, whole-stage codegen end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from .registry import Query, register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------------------ duplicated spans
+
+SPAN_K = 8  # tokens per window; stride 1
+
+
+def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile: every stride-1 ``SPAN_K``
+    token window is md5-hashed (narrow, map-side); a window is
+    "duplicated" when its hash occurs in more than one distinct doc.
+
+    Scale shape: the only shuffles are a hash-aggregate on the 128-bit
+    span digest and a digest-keyed join back — text never shuffles.
+    Map-side partial aggregation collapses within-doc repeats first, and
+    AQE handles digest skew (a boilerplate span shared by millions of
+    docs) without a manual salt."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n") >= SPAN_K,
+                F.expr(
+                    f"transform(sequence(0, n - {SPAN_K}),"
+                    f" s -> md5(concat_ws(' ', slice(t, s + 1, {SPAN_K}))))"
+                ),
+            ).otherwise(F.expr("cast(array() as array<string>)"))
+        ).alias("h"),
+    )
+    span_docs = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        spans.join(span_docs, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_spans")
+                    / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
+register(
+    Query(
+        name="span_dedup",
+        spark=_span_dedup,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id,
+                       md5(array_to_string(t[s + 1 : s + {SPAN_K}], ' ')) AS h
+                FROM (
+                    SELECT doc_id, t, len(t) AS n,
+                           unnest(generate_series(0, len(t) - {SPAN_K})) AS s
+                    FROM toks
+                )
+            ),
+            span_docs AS (
+                SELECT h, count(DISTINCT doc_id) AS n_docs
+                FROM spans GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   count(s.h) AS n_spans,
+                   CAST(coalesce(sum(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_dup_spans,
+                   round(coalesce(
+                       sum(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END)
+                           / CAST(nullif(count(s.h), 0) AS DOUBLE),
+                       0.0), 6) AS dup_span_frac
+            FROM documents d
+            LEFT JOIN spans s ON d.doc_id = s.doc_id
+            LEFT JOIN span_docs sd ON s.h = sd.h
+            GROUP BY 1
+        """,
+        tags=("dedup", "curation"),
+    )
+)
+
+# ------------------------------------------------------ Gopher quality
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOPWORDS = 2  # distinct stopword hits required
+
+
+def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter: metrics + per-rule pass flags + overall keep.
+    Everything is a Catalyst expression over one narrow projection — at
+    100 TB this is a pure map stage with zero shuffle."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    toks = X.tokens(t)
+    n = F.size(toks).cast("long")
+    mwl = X.avg_token_len(t)  # rounded to 6dp in both engines
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+        / n.cast("double"),
+        6,
+    )
+    sw_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in X.STOPWORDS]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sw_distinct.alias("n_distinct_stopwords"),
+    )
+    pass_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    pass_mwl = (F.col("mean_word_len") >= GOPHER_MIN_MWL) & (
+        F.col("mean_word_len") <= GOPHER_MAX_MWL
+    )
+    pass_alpha = F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_FRAC
+    pass_sw = F.col("n_distinct_stopwords") >= GOPHER_MIN_STOPWORDS
+    return out.select(
+        "*",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_alpha.alias("pass_alpha_frac"),
+        pass_sw.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_alpha & pass_sw).alias("keep"),
+    )
+
+
+_SW_LIST = "', '".join(X.STOPWORDS)
+
+register(
+    Query(
+        name="gopher_quality",
+        spark=_gopher_quality,
+        oracle=rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks,
+                       CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                            AS BIGINT) AS n_words,
+                       round(len(regexp_replace(trim(text), '\s+', '', 'g'))
+                             / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                                    AS DOUBLE), 6) AS mean_word_len
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, n_words, mean_word_len,
+                       round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                             / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac,
+                       CAST(len(list_intersect(list_distinct(toks),
+                                ['{_SW_LIST}'])) AS INTEGER)
+                           AS n_distinct_stopwords
+                FROM base
+            )
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   n_distinct_stopwords,
+                   (n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+                   (mean_word_len >= {GOPHER_MIN_MWL}
+                    AND mean_word_len <= {GOPHER_MAX_MWL}) AS pass_mean_word_len,
+                   (alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha_frac,
+                   (n_distinct_stopwords >= {GOPHER_MIN_STOPWORDS}) AS pass_stopwords,
+                   (n_words >= {GOPHER_MIN_WORDS}
+                    AND n_words <= {GOPHER_MAX_WORDS}
+                    AND mean_word_len >= {GOPHER_MIN_MWL}
+                    AND mean_word_len <= {GOPHER_MAX_MWL}
+                    AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                    AND n_distinct_stopwords >= {GOPHER_MIN_STOPWORDS}) AS keep
+            FROM m
+        """,
+        tags=("quality", "curation"),
+    )
+)

@@ -70,5 +70,6 @@ def _load_all() -> None:
     from . import geo_queries  # noqa: F401
     from . import advanced_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import curation_queries  # noqa: F401
 
     _LOADED = True

@@ -20,6 +20,7 @@ from ..functions.similarity import (
     sq_norm,
     sql_cosine,
     sql_decimal_dot,
+    sql_decimal_sq_dist_slice,
 )
 from ..functions.stable import sql_stable_avg, stable_avg
 from .registry import Query, register
@@ -412,5 +413,248 @@ register(
                        / (SELECT count(*) FROM exact), 4) AS recall
         """,
         tags=("similarity", "ann", "recall"),
+    )
+)
+
+# ------------------------------------------------------- semantic dedup
+
+SEM_C = 8  # deterministic seed centroids: embeddings of vec_id < SEM_C
+SEM_TAU = 0.30  # within-cluster near-dup cosine threshold
+
+
+def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest seed centroid, then drop any vector that
+    has a same-cluster neighbor with smaller vec_id and cosine ≥ τ.
+
+    Scale shape: centroids broadcast (tiny), assignment is a map-side
+    nested loop + partial-aggregate argmax (no quadratic stage); the
+    near-dup check is cluster-local, so the pairwise cost is bounded by
+    the largest cluster, never n² — exactly why SemDeDup clusters first.
+    Seeds are the SEM_C smallest vec_ids (no Lloyd iterations), which
+    keeps the whole pipeline SQL-expressible for the oracle; the
+    iterative-refinement variant of the same quantizer is ann_ivf."""
+    e = _emb(spark, sf_dir)
+    with_norm = e.select(
+        "vec_id", "embedding", F.sqrt(sq_norm(F.col("embedding"))).alias("norm")
+    )
+    cents = with_norm.filter(F.col("vec_id") < SEM_C).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = with_norm.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "c_id",
+        F.round(
+            cosine(
+                F.col("embedding"), F.col("c_emb"), F.col("norm"), F.col("c_norm")
+            ),
+            6,
+        ).alias("c_cos"),
+    )
+    # argmax with deterministic tie-break (highest cos, then lowest c_id):
+    # max(struct) gets map-side partial aggregation, unlike a window.
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("c_cos"), (-F.col("c_id")).alias("neg_c"))).alias(
+            "b"
+        )
+    )
+    assigned = best.select(
+        "vec_id",
+        (-F.col("b.neg_c")).alias("cluster_id"),
+        F.col("b.c_cos").alias("centroid_cos"),
+    ).join(with_norm, "vec_id")
+    a = assigned.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("cluster_id").alias("cl_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("cluster_id").alias("cl_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .filter(
+            F.round(
+                cosine(
+                    F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")
+                ),
+                6,
+            )
+            >= SEM_TAU
+        )
+        .select(F.col("vec_id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cluster_id", "centroid_cos")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "centroid_cos",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+register(
+    Query(
+        name="semantic_dedup",
+        spark=_semantic_dedup,
+        oracle=f"""
+            WITH base AS (
+                SELECT vec_id, embedding,
+                       sqrt({sql_decimal_dot('embedding', 'embedding')}) AS norm
+                FROM embeddings
+            ),
+            cents AS (
+                SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm
+                FROM base WHERE vec_id < {SEM_C}
+            ),
+            scored AS (
+                SELECT b.vec_id, c.c_id,
+                       round({sql_cosine('b.embedding', 'c.c_emb',
+                                         'b.norm', 'c.c_norm')}, 6) AS c_cos
+                FROM base b CROSS JOIN cents c
+            ),
+            assigned AS (
+                SELECT vec_id, c_id AS cluster_id, c_cos AS centroid_cos
+                FROM (
+                    SELECT vec_id, c_id, c_cos,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY c_cos DESC, c_id ASC
+                           ) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ),
+            pairs AS (
+                SELECT DISTINCT bb.vec_id
+                FROM assigned aa
+                JOIN base ba ON ba.vec_id = aa.vec_id
+                JOIN assigned bb ON aa.cluster_id = bb.cluster_id
+                                AND aa.vec_id < bb.vec_id
+                JOIN base bbv ON bbv.vec_id = bb.vec_id
+                WHERE round({sql_cosine('ba.embedding', 'bbv.embedding',
+                                        'ba.norm', 'bbv.norm')}, 6)
+                      >= {SEM_TAU}
+            )
+            SELECT a.vec_id, a.cluster_id, a.centroid_cos,
+                   (p.vec_id IS NULL) AS keep
+            FROM assigned a LEFT JOIN pairs p ON a.vec_id = p.vec_id
+        """,
+        tags=("similarity", "dedup", "semantic"),
+    )
+)
+
+# -------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces (64-dim embeddings → 8 dims per subspace)
+PQ_SUB = 8  # dims per subspace
+PQ_K = 16  # codebook entries per subspace: subvectors of vec_id < PQ_K
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector is
+    split into PQ_M subvectors and each subvector mapped to its nearest
+    codebook entry (L2), compressing 64 floats to 8 code bytes — the
+    memory layout IVF-PQ ANN serving actually ships.
+
+    Scale shape: the codebook (PQ_M×PQ_K subvectors) broadcasts; encode
+    is a narrow map stage (explode by subspace → broadcast NL → partial
+    min-aggregate) plus one vec_id-keyed reassembly aggregate. Exact
+    decimal distance accumulation keeps the argmin — and therefore the
+    emitted codes — bit-identical across engines and partitionings.
+    Codebook entries are deterministic seeds (vec_id < PQ_K), the same
+    no-Lloyd convention as semantic_dedup; k-means refinement of the
+    same structure is ann_ivf's quantizer."""
+    from ..functions.similarity import decimal_sq_dist_slice
+
+    e = _emb(spark, sf_dir)
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k_id"), F.col("embedding").alias("c_emb")
+    )
+    sub = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    )
+    start = F.col("m") * PQ_SUB + 1
+    d = sub.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "k_id",
+        decimal_sq_dist_slice(
+            F.col("embedding"), F.col("c_emb"), start, PQ_SUB
+        ).alias("dist"),
+    )
+    # argmin (dist, then k_id) with map-side partial aggregation.
+    best = d.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("dist"), F.col("k_id"))).alias("b")
+    )
+    return best.groupBy("vec_id").agg(
+        F.concat_ws(
+            "-",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("m"), F.col("b.k_id")))
+                ),
+                lambda s: s["k_id"].cast("string"),
+            ),
+        ).alias("pq_code"),
+        F.round(F.sum(F.col("b.dist")).cast("double"), 6).alias("quant_err"),
+    )
+
+
+register(
+    Query(
+        name="pq_codes",
+        spark=_pq_codes,
+        oracle=f"""
+            WITH cb AS (
+                SELECT vec_id AS k_id, embedding AS c_emb
+                FROM embeddings WHERE vec_id < {PQ_K}
+            ),
+            sub AS (
+                SELECT vec_id, embedding,
+                       unnest(generate_series(0, {PQ_M - 1})) AS m
+                FROM embeddings
+            ),
+            d AS (
+                SELECT s.vec_id, s.m, c.k_id,
+                       {sql_decimal_sq_dist_slice('s.embedding', 'c.c_emb',
+                                                  's.m * ' + str(PQ_SUB) + ' + 1',
+                                                  PQ_SUB)} AS dist
+                FROM sub s CROSS JOIN cb c
+            ),
+            best AS (
+                SELECT vec_id, m, k_id, dist
+                FROM (
+                    SELECT vec_id, m, k_id, dist,
+                           row_number() OVER (
+                               PARTITION BY vec_id, m
+                               ORDER BY dist ASC, k_id ASC
+                           ) AS rk
+                    FROM d
+                ) WHERE rk = 1
+            )
+            SELECT vec_id,
+                   array_to_string(list(k_id ORDER BY m), '-') AS pq_code,
+                   round(CAST(sum(dist) AS DOUBLE), 6) AS quant_err
+            FROM best
+            GROUP BY 1
+        """,
+        tags=("similarity", "quantization"),
     )
 )
