@@ -603,3 +603,317 @@ register(
         tags=("F5", "scalar"),
     )
 )
+
+# ------------------------------------------ Q2 shape: min-cost supplier
+
+
+def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in this schema, so "cost" is
+    the best observed unit price in lineitem): for each STANDARD small
+    part, the supplier with the minimum unit price, deterministic
+    tie-break on suppkey.
+
+    Scale shape: part filter broadcasts into the fact scan; the
+    (part, supp) aggregate gets map-side combine; the per-part argmin is
+    a second partial aggregate (max/min of struct — never a window over
+    the fact table); dimensions broadcast at the end."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+            ).alias("unit_price")
+        )
+    )
+    best = unit.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct(F.col("unit_price"), F.col("l_suppkey"))).alias("b")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        best.select(
+            "p_partkey",
+            "p_name",
+            F.col("b.unit_price").alias("min_unit_price"),
+            F.col("b.l_suppkey").alias("s_suppkey"),
+        )
+        .join(F.broadcast(supp), "s_suppkey")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "min_unit_price", "s_suppkey", "s_name",
+            "n_name",
+        )
+    )
+
+
+register(
+    Query(
+        name="min_cost_supplier",
+        spark=_min_cost_supplier,
+        oracle="""
+            WITH unit AS (
+                SELECT p_partkey, p_name, l_suppkey,
+                       min(round(l_extendedprice / l_quantity, 6)) AS unit_price
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'STANDARD' AND p_size < 10
+                GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT p_partkey, p_name,
+                       min({'up': unit_price, 'sk': l_suppkey}) AS b
+                FROM unit GROUP BY 1, 2
+            )
+            SELECT p_partkey, p_name,
+                   b.up AS min_unit_price,
+                   b.sk AS s_suppkey, s_name, n_name
+            FROM best
+            JOIN supplier ON b.sk = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        """,
+        tags=("tpch", "join", "argmin"),
+    )
+)
+
+# ---------------------------------------- Q4 shape: EXISTS-per-priority
+
+
+def _late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (one year) that have at least one lineitem
+    shipped more than 90 days after the order date, counted per
+    priority. The EXISTS is a left-semi join: equi on the order key plus
+    a non-equi residual — the fact table is touched once, no row
+    explosion for orders with many qualifying lines."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    qualifying = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 90)),
+        "left_semi",
+    )
+    return (
+        qualifying.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+register(
+    Query(
+        name="late_shipment_priority",
+        spark=_late_shipment_priority,
+        oracle="""
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              )
+            GROUP BY 1
+        """,
+        tags=("tpch", "semi", "exists"),
+    )
+)
+
+# ------------------------------------------- Q15 shape: top supplier(s)
+
+
+def _top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the
+    supplier(s) achieving the global maximum. The scalar max broadcasts
+    back over the aggregate (no second scan of the fact table, no
+    window over all suppliers)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+register(
+    Query(
+        name="top_revenue_supplier",
+        spark=_top_revenue_supplier,
+        oracle=f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {sql_stable_sum("l_extendedprice * (1 - l_discount)")}
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= '2000-01-01' AND l_shipdate < '2000-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        tags=("tpch", "scalar-subquery"),
+    )
+)
+
+# ----------------------------- Q21 shape: EXISTS + NOT EXISTS composite
+
+
+def _late_unreturned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (order-level): orders from one year with a
+    lineitem shipped >60 days late (EXISTS / left-semi) and no returned
+    lineitem at all (NOT EXISTS / left-anti) — the semi and anti probes
+    chain on the same fact table, each a single pass."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        late.join(
+            returned, late.o_orderkey == returned.l_orderkey, "left_anti"
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "o_totalprice",
+        )
+    )
+
+
+register(
+    Query(
+        name="late_unreturned_orders",
+        spark=_late_unreturned_orders,
+        oracle="""
+            SELECT o_orderkey,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+                   o_orderpriority, o_totalprice
+            FROM orders o
+            WHERE o_orderdate >= '1999-01-01' AND o_orderdate < '2000-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+              )
+        """,
+        tags=("tpch", "semi", "anti"),
+    )
+)
+
+# -------------------------------------------------- CDC merge / upsert
+
+MERGE_CUTOFF = "2000-01-01"
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the warehouse upsert) expressed as a full
+    outer join: the pre-cutoff per-customer aggregate is the target
+    table, post-cutoff orders are the change set; each key is tagged
+    insert/update/keep and totals are merged. At scale both sides
+    shuffle once on the merge key — identical to how Delta/Iceberg
+    implement MERGE's join phase — and the tag lets a writer route rows
+    to copy-on-write vs append paths."""
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    target = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("t_orders"),
+            stable_sum("o_totalprice").alias("t_total"),
+        )
+    )
+    source = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("s_orders"),
+            stable_sum("o_totalprice").alias("s_total"),
+        )
+    )
+    t = target.select(
+        F.col("o_custkey").alias("t_key"), "t_orders", "t_total"
+    )
+    s = source.select(
+        F.col("o_custkey").alias("s_key"), "s_orders", "s_total"
+    )
+    merged = t.join(s, t.t_key == s.s_key, "full_outer")
+    return merged.select(
+        F.coalesce("t_key", "s_key").alias("custkey"),
+        F.when(F.col("t_key").isNull(), "insert")
+        .when(F.col("s_key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+        (
+            F.coalesce("t_orders", F.lit(0))
+            + F.coalesce("s_orders", F.lit(0))
+        ).alias("n_orders"),
+        F.round(
+            F.coalesce("t_total", F.lit(0.0))
+            + F.coalesce("s_total", F.lit(0.0)),
+            2,
+        ).alias("lifetime_total"),
+    )
+
+
+register(
+    Query(
+        name="merge_upsert",
+        spark=_merge_upsert,
+        oracle=f"""
+            WITH target AS (
+                SELECT o_custkey, count(*) AS t_orders,
+                       {sql_stable_sum('o_totalprice')} AS t_total
+                FROM orders WHERE o_orderdate < '{MERGE_CUTOFF}'
+                GROUP BY 1
+            ),
+            source AS (
+                SELECT o_custkey, count(*) AS s_orders,
+                       {sql_stable_sum('o_totalprice')} AS s_total
+                FROM orders WHERE o_orderdate >= '{MERGE_CUTOFF}'
+                GROUP BY 1
+            )
+            SELECT coalesce(t.o_custkey, s.o_custkey) AS custkey,
+                   CASE WHEN t.o_custkey IS NULL THEN 'insert'
+                        WHEN s.o_custkey IS NULL THEN 'keep'
+                        ELSE 'update' END AS action,
+                   CAST(coalesce(t_orders, 0) + coalesce(s_orders, 0)
+                        AS BIGINT) AS n_orders,
+                   round(coalesce(t_total, 0) + coalesce(s_total, 0), 2)
+                       AS lifetime_total
+            FROM target t FULL OUTER JOIN source s
+              ON t.o_custkey = s.o_custkey
+        """,
+        tags=("merge", "cdc", "outer-join"),
+    )
+)

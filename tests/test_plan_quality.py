@@ -227,3 +227,53 @@ def test_blocked_trailing_window_matches_global(spark):
         .collect()
     }
     assert got == want
+
+
+def test_min_cost_supplier_broadcasts_dims_and_double_partial_agg(spark):
+    """Q2 shape: part/supplier/nation broadcast; the per-part argmin is
+    an aggregate (partial+final), never a window over the fact."""
+    plan = _plan(QUERIES["min_cost_supplier"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" not in plan
+    # two partial+final pairs: hash agg on (part, supp), then the
+    # struct-argmin per part (min of struct plans as SortAggregate)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+    assert plan.count("partial_min") >= 2
+
+
+def test_late_shipment_priority_is_semi_join(spark):
+    """Q4 EXISTS must plan as a LeftSemi join — one pass over lineitem,
+    no duplicate-order explosion."""
+    plan = _plan(QUERIES["late_shipment_priority"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+
+
+def test_late_unreturned_orders_semi_then_anti(spark):
+    """Q21 shape: EXISTS → LeftSemi and NOT EXISTS → LeftAnti in one
+    plan."""
+    plan = _plan(QUERIES["late_unreturned_orders"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_top_revenue_supplier_scalar_broadcast(spark):
+    """Q15: the max-revenue scalar joins back via broadcast, and the
+    fact table is scanned once (the aggregate reuses one exchange)."""
+    plan = _plan(QUERIES["top_revenue_supplier"].spark(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_no_global_cross_product(spark):
+    """SemDeDup's pair stage must join on the cluster key (equi),
+    never a full cross join of the embedding table with itself."""
+    df = QUERIES["semantic_dedup"].spark(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_aggregates_on_digest(spark):
+    """Span dedup shuffles digests only: the plan contains hash
+    aggregates (map-side combine on the span hash) and no join on raw
+    text."""
+    plan = _plan(QUERIES["span_dedup"].spark(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
