@@ -71,5 +71,8 @@ def _load_all() -> None:
     from . import advanced_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
+    from . import mart_queries  # noqa: F401
+    from . import packing_queries  # noqa: F401
+    from . import behavior_queries  # noqa: F401
 
     _LOADED = True
