@@ -1,0 +1,337 @@
+"""Behavioral / product-analytics queries over the ``events`` stream:
+funnels, retention cohorts, active-user windows, transition matrices,
+conversion-latency histograms.
+
+These are the classic event-analytics shapes every warehouse engine is
+judged on. They all reduce to hash-shuffles on ``user_id`` (the natural
+partitioning key of behavioral data) plus calendar arithmetic — no
+windows over the raw fact table wider than one user's history, and the
+only timestamp ordering used is (ts, event_id), which is total, so every
+result is engine-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import Query, register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------- three-stage funnel
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup → click → purchase funnel: users reaching each stage,
+    where each stage must strictly follow the previous one in time.
+    Three cascaded per-user aggregates; each stage's survivor set is
+    user-keyed, so the joins co-partition with the aggregates (one
+    shuffle key throughout — AQE merges the exchanges)."""
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda n, df: df.agg(  # noqa: E731
+        F.lit(n).alias("stage"), F.count(F.lit(1)).alias("users")
+    )
+    return (
+        stage("1_signup", s1)
+        .unionAll(stage("2_click", s2))
+        .unionAll(stage("3_purchase", s3))
+    )
+
+
+register(
+    Query(
+        name="funnel_conversion",
+        spark=_funnel_conversion,
+        oracle="""
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                GROUP BY 1
+            )
+            SELECT '1_signup' AS stage, count(*) AS users FROM s1
+            UNION ALL
+            SELECT '2_click', count(*) FROM s2
+            UNION ALL
+            SELECT '3_purchase', count(*) FROM s3
+        """,
+        tags=("events", "funnel"),
+    )
+)
+
+
+# ---------------------------------------------- weekly retention grid
+
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen week
+    (cohort), counted distinct in each subsequent week offset. Two
+    user-keyed aggregates plus one (cohort, offset) count — the
+    distinct collapses to (user, week) BEFORE counting, so the heavy
+    dedup is partial-aggregated map-side."""
+    e = _events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.to_date("act_week"), F.to_date("cohort_week"))
+                / 7
+            ).cast("long"),
+        )
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+register(
+    Query(
+        name="retention_cohorts",
+        spark=_retention_cohorts,
+        oracle="""
+            WITH first AS (
+                SELECT user_id,
+                       date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY 1
+            ),
+            activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+                FROM events
+            )
+            SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(date_diff('day', CAST(cohort_week AS DATE),
+                                  CAST(act_week AS DATE)) // 7 AS BIGINT)
+                       AS week_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM activity JOIN first USING (user_id)
+            GROUP BY 1, 2
+        """,
+        tags=("events", "retention"),
+    )
+)
+
+
+# ------------------------------------------- rolling weekly actives
+
+
+def _weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per day, via the contribute-
+    forward explode: each (user, day) pair contributes to the 7 window
+    end-dates it is visible in, then one distinct count per end-date.
+    This replaces an (unsupported, and at scale quadratic) DISTINCT
+    range-window with a bounded 7× fan-out of the already-deduped
+    (user, day) set — the standard scalable rewrite. Clamped to days
+    with any direct activity so the tail beyond the data is not
+    reported."""
+    e = _events(spark, sf_dir)
+    user_days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = user_days.select("day").distinct()
+    contrib = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_end"),
+    )
+    return (
+        contrib.join(days, contrib.window_end == days.day, "left_semi")
+        .groupBy(
+            F.date_format("window_end", "yyyy-MM-dd").alias("window_end")
+        )
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+register(
+    Query(
+        name="weekly_active_users",
+        spark=_weekly_active_users,
+        oracle="""
+            WITH user_days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM user_days),
+            contrib AS (
+                SELECT user_id,
+                       CAST(unnest(generate_series(
+                           day, day + INTERVAL 6 DAY, INTERVAL 1 DAY
+                       )) AS DATE) AS window_end
+                FROM user_days
+            )
+            SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib
+            WHERE window_end IN (SELECT day FROM days)
+            GROUP BY 1
+        """,
+        tags=("events", "window", "distinct"),
+    )
+)
+
+
+# ------------------------------------------- behavior transition matrix
+
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix: counts of consecutive event-type
+    pairs within each user's totally-ordered (ts, event_id) history.
+    One user-partitioned lag window — each partition is a single user's
+    events — then a tiny (from, to) aggregate."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+
+
+register(
+    Query(
+        name="event_transitions",
+        spark=_event_transitions,
+        oracle="""
+            WITH lagged AS (
+                SELECT user_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_type,
+                       event_type AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, count(*) AS transitions
+            FROM lagged WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        tags=("events", "window"),
+    )
+)
+
+
+# --------------------------------------- conversion-latency histogram
+
+
+def _time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → first-purchase latency, bucketed into operator-relevant
+    bands. The latency is computed in whole minutes from the µs
+    timestamps (integer arithmetic — no float on the bucketing path),
+    so band membership is engine-exact."""
+    e = _events(spark, sf_dir)
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    mins = (
+        (
+            F.unix_micros(F.col("t2").cast("timestamp"))
+            - F.unix_micros(F.col("t1").cast("timestamp"))
+        )
+        / F.lit(60_000_000)
+    ).cast("long")
+    bucket = (
+        F.when(mins < 10, "a_under_10m")
+        .when(mins < 60, "b_under_1h")
+        .when(mins < 360, "c_under_6h")
+        .when(mins < 1440, "d_under_1d")
+        .otherwise("e_1d_plus")
+    )
+    return (
+        conv.select(bucket.alias("latency_band"))
+        .groupBy("latency_band")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+register(
+    Query(
+        name="time_to_convert",
+        spark=_time_to_convert,
+        oracle="""
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1
+            ),
+            conv AS (
+                SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+                GROUP BY 1
+            ),
+            banded AS (
+                SELECT CASE
+                    WHEN epoch_us(t2) - epoch_us(t1) < 600000000
+                        THEN 'a_under_10m'
+                    WHEN epoch_us(t2) - epoch_us(t1) < 3600000000
+                        THEN 'b_under_1h'
+                    WHEN epoch_us(t2) - epoch_us(t1) < 21600000000
+                        THEN 'c_under_6h'
+                    WHEN epoch_us(t2) - epoch_us(t1) < 86400000000
+                        THEN 'd_under_1d'
+                    ELSE 'e_1d_plus' END AS latency_band
+                FROM conv
+            )
+            SELECT latency_band, count(*) AS users
+            FROM banded GROUP BY 1
+        """,
+        tags=("events", "funnel", "histogram"),
+    )
+)

@@ -1,0 +1,277 @@
+r"""Training-batch assembly queries: sequence packing, mixture sampling,
+quality-weighted sampling, and deterministic global shuffle-sharding.
+
+These are the operations that sit between a curated corpus and a
+training job. All randomness derives from the Knuth multiplicative hash
+(``operators.sampling``) so every engine computes the identical batch —
+reproducibility is non-negotiable for training-data lineage.
+
+Scale notes per operator are on the docstrings; the common theme: each
+one is a single narrow map stage or one hash-shuffle, never a global
+sort or driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from ..operators.sampling import KNUTH, MOD, sample_hash
+from .registry import Query, register
+
+SQL_TOKENS = r"len(string_split_regex(lower(trim(text)), '\s+'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ------------------------------------------- concat-and-split packing
+
+CONTEXT_TOKENS = 512  # training context window, in whitespace tokens
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining
+    batch layout): documents are concatenated in deterministic order
+    inside each source stream and the stream is cut into
+    ``CONTEXT_TOKENS``-sized packs; a document belongs to the pack its
+    first token lands in. One running-sum window partitioned by
+    ``source``.
+
+    Scale: the window partitions by source, so parallelism = number of
+    source streams. At 100 TB you sub-shard the stream key (e.g.
+    (source, date_bucket)) to any width you like — the semantics are
+    per-stream, so the key choice is a layout decision, not a
+    correctness one. Only (id, n_tokens) ride the shuffle; text stays
+    columnar-pruned away."""
+    docs = _docs(spark, sf_dir)
+    n_tok = X.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+        .withColumn(
+            "start_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_offset") / F.lit(CONTEXT_TOKENS)).cast(
+                "long"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="sequence_packing",
+        spark=_sequence_packing,
+        oracle=f"""
+            SELECT doc_id, source,
+                   {SQL_TOKENS} AS n_tokens,
+                   CAST(sum({SQL_TOKENS}) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - {SQL_TOKENS} AS BIGINT) AS start_offset,
+                   CAST(floor((sum({SQL_TOKENS}) OVER (
+                            PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        ) - {SQL_TOKENS}) / {CONTEXT_TOKENS}.0) AS BIGINT)
+                       AS pack_id
+            FROM documents
+        """,
+        tags=("packing", "window", "llm-pipeline"),
+    )
+)
+
+
+# --------------------------------- mixture sampling with upsampling
+
+# Target sampling weight per source stream; >1 means deterministic
+# upsampling (a doc appears floor(w) or ceil(w) times), <1 is
+# subsampling. Unlisted sources keep weight 1.0.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "src0": 0.25,
+    "src1": 2.5,
+    "src2": 0.5,
+    "src3": 0.0,
+}
+
+
+def _mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: re-weight source streams to a
+    target mixture, with fractional weights resolved per-document by
+    the Knuth hash — weight 2.5 yields 2 copies plus a third for the
+    hashed half of documents, weight 0.25 keeps the hashed quarter.
+    Output is (doc, copy index), ready to union into an epoch.
+
+    Scale: a narrow filter + bounded explode, no shuffle at all; the
+    weight table is a literal CASE (broadcast-join a real config table
+    in production). Copies carry distinct ``copy_idx`` so a downstream
+    global shuffle spreads them across batches."""
+    docs = _docs(spark, sf_dir)
+    w_col = F.lit(1.0)
+    for src, wt in MIXTURE_WEIGHTS.items():
+        w_col = F.when(F.col("source") == src, F.lit(wt)).otherwise(w_col)
+    unit = sample_hash("doc_id").cast("double") / F.lit(float(MOD))
+    n_copies = (
+        F.floor("weight")
+        + F.when(unit < F.col("weight") - F.floor("weight"), 1).otherwise(0)
+    ).cast("int")
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("weight", w_col)
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+_SQL_WEIGHT = "CASE " + " ".join(
+    f"WHEN source = '{s}' THEN {w}" for s, w in MIXTURE_WEIGHTS.items()
+) + " ELSE 1.0 END"
+
+register(
+    Query(
+        name="mixture_sampling",
+        spark=_mixture_sampling,
+        oracle=f"""
+            WITH weighted AS (
+                SELECT doc_id, source, lang,
+                       {_SQL_WEIGHT} AS weight,
+                       ((doc_id * {KNUTH}) % {MOD}) / {MOD}.0 AS unit
+                FROM documents
+            ),
+            counted AS (
+                SELECT doc_id, source, lang,
+                       CAST(floor(weight)
+                            + CASE WHEN unit < weight - floor(weight)
+                                   THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+                FROM weighted
+            )
+            SELECT doc_id, source, lang, CAST(u AS INTEGER) AS copy_idx
+            FROM counted, unnest(range(n_copies)) AS t(u)
+            WHERE n_copies > 0
+        """,
+        tags=("sampling", "mixture", "llm-pipeline"),
+    )
+)
+
+
+# ------------------------------------- quality-weighted subsampling
+
+
+def _quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document with probability proportional to a quality
+    score (here: token count saturating at 256 — longer docs are
+    likelier kept), resolved deterministically by the id hash. The
+    standard soft alternative to a hard quality cutoff, and the same
+    shape as classifier-score filtering (swap the score expression for
+    a model output column).
+
+    Scale: pure narrow filter; the score and the hash are both
+    engine-deterministic, so the sample is reproducible and the gate
+    checks it value-for-value."""
+    docs = _docs(spark, sf_dir)
+    n_tok = X.token_count(F.col("text"))
+    score = F.least(F.lit(1.0), n_tok.cast("double") / 256.0)
+    # floor(score * MOD) is exact: score is a ratio of exact doubles.
+    thresh = F.floor(score * F.lit(float(MOD))).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tokens"),
+            F.round(score, 6).alias("keep_prob"),
+        )
+        .filter(sample_hash("doc_id") < thresh)
+    )
+
+
+register(
+    Query(
+        name="quality_weighted_sample",
+        spark=_quality_weighted_sample,
+        oracle=f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       CAST({SQL_TOKENS} AS BIGINT) AS n_tokens,
+                       least(1.0, {SQL_TOKENS} / 256.0) AS score
+                FROM documents
+            )
+            SELECT doc_id, source, n_tokens,
+                   round(score, 6) AS keep_prob
+            FROM scored
+            WHERE (doc_id * {KNUTH}) % {MOD}
+                      < CAST(floor(score * {MOD}.0) AS BIGINT)
+        """,
+        tags=("sampling", "quality", "llm-pipeline"),
+    )
+)
+
+
+# ----------------------------- deterministic global shuffle-sharding
+
+N_SHARDS = 64
+
+
+def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: every document gets a pseudo-random
+    shard (hash mod N) and a position within its shard (rank by hash
+    with id tie-break) — the layout a training job reads, with
+    inter-document order decorrelated from ingest order.
+
+    Scale: one hash-shuffle on the shard key; the per-shard rank window
+    sees |corpus|/N rows per partition, and N is chosen so a shard fits
+    an output file (~1-4 GB at 100 TB ⇒ N in the tens of thousands —
+    the same plan, just a bigger N)."""
+    docs = _docs(spark, sf_dir)
+    h = sample_hash("doc_id")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            (h % F.lit(N_SHARDS)).cast("int").alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "shard", "shard_pos")
+    )
+
+
+register(
+    Query(
+        name="shard_assignment",
+        spark=_shard_assignment,
+        oracle=f"""
+            WITH hashed AS (
+                SELECT doc_id, source,
+                       CAST(((doc_id * {KNUTH}) % {MOD}) % {N_SHARDS}
+                            AS INTEGER) AS shard,
+                       (doc_id * {KNUTH}) % {MOD} AS h
+                FROM documents
+            )
+            SELECT doc_id, source, shard,
+                   CAST(row_number() OVER (
+                            PARTITION BY shard ORDER BY h, doc_id
+                        ) AS BIGINT) AS shard_pos
+            FROM hashed
+        """,
+        tags=("sampling", "shuffle", "llm-pipeline"),
+    )
+)
