@@ -68,6 +68,17 @@ HEADLINE = [
     "multimodal_decode_real",
     "audio_decode_real",
     "raster_ingest_tif",
+    # r3 additions: TPC-H completion, batch assembly, event analytics
+    "shipping_priority",
+    "returned_items",
+    "volume_shipping",
+    "customer_distribution",
+    "sequence_packing",
+    "mixture_sampling",
+    "shard_assignment",
+    "funnel_conversion",
+    "retention_cohorts",
+    "weekly_active_users",
 ]
 
 

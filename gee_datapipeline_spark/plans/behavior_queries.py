@@ -335,3 +335,81 @@ register(
         tags=("events", "funnel", "histogram"),
     )
 )
+
+
+# ----------------------------------------- SCD2 dimension from CDC log
+
+
+def _scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: each
+    user's event stream is collapsed to state-change records (drop
+    consecutive repeats), then every change gets a validity interval
+    [valid_from, valid_to) via lead(), open-ended for the current
+    state. Two windows over the same (user_id | ts, event_id) ordering
+    — one shuffle, both windows ride the same sort."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "state",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "valid_from"
+            ),
+            F.date_format(
+                "valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ).alias("valid_to"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+        )
+    )
+
+
+register(
+    Query(
+        name="scd2_user_state",
+        spark=_scd2_user_state,
+        oracle="""
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type AS state,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_state
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, ts, event_id, state
+                FROM ordered
+                WHERE prev_state IS NULL OR state <> prev_state
+            )
+            SELECT user_id, state,
+                   strftime(CAST(ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+                   strftime(CAST(lead(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) IS NULL AS is_current
+            FROM changes
+        """,
+        tags=("events", "scd2", "window"),
+    )
+)

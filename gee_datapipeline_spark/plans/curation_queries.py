@@ -232,3 +232,106 @@ register(
         tags=("quality", "curation"),
     )
 )
+
+
+# ---------------------------------------- Count-Min heavy hitters
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimates for the corpus's top-20
+    terms, next to exact counts (functions.sketches). The sketch build
+    shuffles at most depth×width rows per input partition however large
+    the corpus; the exact side here exists to expose the overestimate,
+    which is bounded by εN — on a real 100 TB run only the sketch and
+    the shortlist probe survive.
+
+    CMS guarantees estimate ≥ truth; ``overestimate`` makes the
+    collision error visible (and the oracle checks it exactly)."""
+    from ..functions.sketches import cms_build, cms_estimate
+
+    docs = _docs(spark, sf_dir)
+    occurrences = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    exact = (
+        occurrences.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("term"))
+        .limit(20)
+    )
+    sketch = cms_build(occurrences)
+    est = cms_estimate(sketch, exact.select("term"))
+    return (
+        exact.join(est, "term")
+        .select(
+            "term",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias(
+                "overestimate"
+            ),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    from ..functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        sql_base_hash,
+        sql_bucket,
+    )
+
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT {i} AS depth, {sql_bucket(i)} AS bucket, term FROM hashed"
+        for i in range(CMS_DEPTH)
+    )
+    return rf"""
+        WITH occurrences AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS term
+            FROM documents
+        ),
+        exact AS (
+            SELECT term, count(*) AS true_count
+            FROM occurrences GROUP BY 1
+            ORDER BY true_count DESC, term ASC LIMIT 20
+        ),
+        hashed AS (
+            SELECT term, CAST({sql_base_hash('term')} AS BIGINT) AS __h
+            FROM occurrences
+        ),
+        cells AS ({bucket_rows}),
+        sketch AS (
+            SELECT depth, bucket, count(*) AS cnt
+            FROM cells GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT e.term, d.i AS depth,
+                   CASE d.i
+                       {' '.join(f'WHEN {i} THEN {sql_bucket(i)}' for i in range(CMS_DEPTH))}
+                   END AS bucket
+            FROM (SELECT term, CAST({sql_base_hash('term')} AS BIGINT) AS __h
+                  FROM exact) e,
+                 (SELECT unnest(range({CMS_DEPTH})) AS i) d
+        ),
+        est AS (
+            SELECT p.term, min(s.cnt) AS cms_estimate
+            FROM probes p JOIN sketch s
+              ON p.depth = s.depth AND p.bucket = s.bucket
+            GROUP BY 1
+        )
+        SELECT e.term, e.true_count, est.cms_estimate,
+               est.cms_estimate - e.true_count AS overestimate
+        FROM exact e JOIN est USING (term)
+    """
+
+
+register(
+    Query(
+        name="cms_heavy_hitters",
+        spark=_cms_heavy_hitters,
+        oracle=_cms_oracle(),
+        tags=("sketch", "llm-pipeline"),
+    )
+)

@@ -536,3 +536,92 @@ register(
         tags=("streaming", "dedup"),
     )
 )
+
+
+def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with a FULL oracle: day-1 clicks and day-1
+    errors stream in as two independent feeds and are correlated per
+    user within a 10-minute horizon (streaming.jobs.correlate_streams).
+    An inner time-bounded join over a bounded replay must equal the
+    batch join — SQL-expressible, so the driver value-hashes it."""
+    from ..streaming.jobs import (
+        correlate_streams,
+        run_to_memory,
+        stream_from_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    day = ev.filter(F.to_date("ts") == F.lit(first_day))
+
+    def feed(event_type: str) -> DataFrame:
+        return day.filter(F.col("event_type") == event_type).select(
+            "ts", "user_id", "value"
+        )
+
+    root = tempfile.mkdtemp(prefix="gee_stream_corr_gate_")
+    try:
+        from pyspark.sql import types as T
+
+        schema = T._parse_datatype_string(
+            "ts timestamp, user_id long, value double"
+        )
+        sides = {}
+        for side, etype in (("l", "click"), ("r", "error")):
+            src = os.path.join(root, side)
+            os.makedirs(src)
+            feed(etype).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "b1")
+            )
+            sides[side] = stream_from_dir(spark, src + "/*", schema)
+        name = f"gate_corr_{abs(hash(root)) % 10**9}"
+        q = run_to_memory(
+            correlate_streams(sides["l"], sides["r"], key="user_id"),
+            name,
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).select(
+            F.col("l_key").alias("user_id"),
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "click_ts"
+            ),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "error_ts"
+            ),
+            F.round("l_value", 6).alias("click_value"),
+            F.round("r_value", 6).alias("error_value"),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="streaming_correlate",
+        spark=_streaming_correlate,
+        oracle="""
+            WITH day1 AS (
+                SELECT * FROM events
+                WHERE CAST(ts AS DATE) =
+                      (SELECT min(CAST(ts AS DATE)) FROM events)
+            )
+            SELECT c.user_id,
+                   strftime(CAST(c.ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(CAST(e.ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+                   round(c.value, 6) AS click_value,
+                   round(e.value, 6) AS error_value
+            FROM day1 c JOIN day1 e
+              ON c.user_id = e.user_id
+             AND e.ts >= c.ts
+             AND e.ts <= c.ts + INTERVAL 10 MINUTE
+            WHERE c.event_type = 'click' AND e.event_type = 'error'
+        """,
+        tags=("streaming", "join"),
+    )
+)

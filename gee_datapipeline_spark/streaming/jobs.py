@@ -228,3 +228,40 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: correlate two live event feeds on a
+    shared key within a bounded event-time horizon (right event lands in
+    [left.ts, left.ts + horizon]) — the click-to-error correlation the
+    reference resolves offline (J4's as-of cousin), done at ingest.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so the state store retains each side only for
+    watermark + horizon — bounded state, the precondition for running
+    against an unbounded feed. Inner-join matches emit as soon as both
+    sides arrive (no watermark wait); the time bound is what lets Spark
+    GC state, not what delays output. Columns are prefixed l_/r_ to
+    keep the joined schema collision-free."""
+    lp = left.select(
+        F.col("ts").alias("l_ts"),
+        F.col(key).alias("l_key"),
+        F.col("value").alias("l_value"),
+    ).withWatermark("l_ts", watermark)
+    rp = right.select(
+        F.col("ts").alias("r_ts"),
+        F.col(key).alias("r_key"),
+        F.col("value").alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    return lp.join(
+        rp,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {horizon}")),
+    )

