@@ -79,6 +79,12 @@ HEADLINE = [
     "funnel_conversion",
     "retention_cohorts",
     "weekly_active_users",
+    "scd2_user_state",
+    "cms_heavy_hitters",
+    "token_budget_head",
+    "corpus_checksum",
+    "incremental_revenue",
+    "pagerank_trade_network",
 ]
 
 

@@ -335,3 +335,42 @@ register(
         tags=("sketch", "llm-pipeline"),
     )
 )
+
+
+# ------------------------------------- BPE vocabulary induction
+
+
+def _bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the corpus: learn the first 10 BPE merges
+    from the word vocabulary (functions.bpe — iterative power loop; one
+    bounded scalar argmax crosses to the driver per round). Rows-only
+    gate (the greedy fold has no portable SQL twin); the merge sequence
+    is pinned against a pure-Python reference in tests/test_bpe.py."""
+    from ..functions.bpe import learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    merges = learn_bpe(words, n_merges=10)
+    rows = [
+        (i + 1, left, right, left + right, cnt)
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+register(
+    Query(
+        name="bpe_vocab_merges",
+        spark=_bpe_vocab_merges,
+        oracle=None,  # iterative greedy merges: reference-pinned in tests
+        tags=("bpe", "iterative", "llm-pipeline"),
+    )
+)

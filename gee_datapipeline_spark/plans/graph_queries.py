@@ -1,0 +1,167 @@
+"""Graph-analytics queries: weighted PageRank over the trade network.
+
+Iterative algorithms are where a declarative engine must still behave
+like one: each power-method step is a join + aggregate whose plan
+Catalyst optimizes independently, and the iteration count is a Python
+loop over DataFrames — no driver-side data, no RDDs. Cousin of
+``operators.graph.connected_components`` (large-star/small-star), which
+covers the unbounded-iteration case; PageRank here is the
+fixed-iteration case, which makes it expressible in unrolled SQL CTEs —
+so unlike most engines' graph extensions it carries a full value-hash
+oracle.
+
+Determinism: per-edge contributions are IEEE doubles (deterministic),
+per-node sums go through DECIMAL(38,12), and each iteration's rank is
+rounded to 12 dp — so iteration k's input is bit-identical in both
+engines and the fixpoint trajectory cannot diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import Query, register
+
+DAMPING = 0.85
+ITERATIONS = 3
+_DEC = "decimal(38,12)"
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → customer edges weighted by traded revenue (2 dp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("weight"))
+    )
+
+
+def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, ITERATIONS power-method steps. Each step: one
+    equi-join of the edge list with the current rank vector (both keyed
+    on the node id — co-partitioned, AQE reuses the exchange) and one
+    decimal-stable aggregate per destination. Dangling mass (customers
+    have no out-edges) follows the simplified damping formula on both
+    engines identically.
+
+    Scale: the rank vector is |nodes| rows (≪ edges); at 100 TB the
+    edge list is the fact table and each iteration is exactly one
+    fact-sized shuffle — the same cost envelope as one big groupBy, ×k
+    iterations. Checkpointing between iterations truncates lineage on a
+    real cluster."""
+    edges = _edges(spark, sf_dir)
+    out_w = edges.groupBy("src").agg(
+        F.round(F.sum(F.col("weight").cast(_DEC)).cast("double"), 2).alias(
+            "out_weight"
+        )
+    )
+    e = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_weight")).alias("frac")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # scalar: node-count, metadata-sized
+    base = (1.0 - DAMPING) / n
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(ITERATIONS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") * F.col("frac")).cast(_DEC)).alias(
+                    "mass"
+                )
+            )
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(DAMPING)
+                    * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", F.round("rank", 10).alias("rank"))
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, ITERATIONS + 1):
+        steps.append(
+            f"""r{k} AS (
+                SELECT n.node,
+                       round((1.0 - {DAMPING}) / (SELECT n FROM nn)
+                             + {DAMPING} * coalesce(CAST(m.mass AS DOUBLE), 0.0),
+                             12) AS rank
+                FROM nodes n LEFT OUTER JOIN (
+                    SELECT e.dst,
+                           sum(CAST(r.rank * e.frac AS DECIMAL(38,12)))
+                               AS mass
+                    FROM e JOIN {prev} r ON e.src = r.node
+                    GROUP BY e.dst
+                ) m ON n.node = m.dst
+            )"""
+        )
+        prev = f"r{k}"
+    steps_sql = ",\n            ".join(steps)
+    return f"""
+        WITH edges AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,6))) AS DOUBLE), 2)
+                       AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        out_w AS (
+            SELECT src,
+                   round(CAST(sum(CAST(weight AS DECIMAL(38,12)))
+                              AS DOUBLE), 2) AS out_weight
+            FROM edges GROUP BY 1
+        ),
+        e AS (
+            SELECT edges.src, dst, weight / out_weight AS frac
+            FROM edges JOIN out_w ON edges.src = out_w.src
+        ),
+        nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),
+        {steps_sql}
+        SELECT node, round(rank, 10) AS rank FROM {prev}
+    """
+
+
+register(
+    Query(
+        name="pagerank_trade_network",
+        spark=_pagerank_trade_network,
+        oracle=_pagerank_oracle(),
+        tags=("graph", "iterative"),
+    )
+)

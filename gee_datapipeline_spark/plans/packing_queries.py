@@ -275,3 +275,183 @@ register(
         tags=("sampling", "shuffle", "llm-pipeline"),
     )
 )
+
+
+# ------------------------------ cross-source score calibration
+
+
+def _score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank calibration of a quality score within each source
+    stream: raw scores from different sources aren't comparable (one
+    crawler's 0.6 is another's 0.9), so curation thresholds are applied
+    to the per-source percentile instead. One window per source
+    partition; ties broken by doc_id so both engines rank identically.
+
+    Scale: percent_rank needs its partition sorted — partitions are
+    per-source, the same width as the packing window; the score is a
+    Catalyst expression, so the sort key never leaves the JVM."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_tok = X.token_count(F.col("text"))
+    raw = F.least(F.lit(1.0), n_tok.cast("double") / 256.0)
+    w = Window.partitionBy("source").orderBy(
+        F.col("raw_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.round(raw, 6).alias("raw_score")
+        )
+        .withColumn(
+            "calibrated", F.round(F.percent_rank().over(w), 6)
+        )
+    )
+
+
+register(
+    Query(
+        name="score_calibration",
+        spark=_score_calibration,
+        oracle=f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       round(least(1.0, {SQL_TOKENS} / 256.0), 6)
+                           AS raw_score
+                FROM documents
+            )
+            SELECT doc_id, source, raw_score,
+                   round(percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY raw_score ASC, doc_id ASC
+                   ), 6) AS calibrated
+            FROM scored
+        """,
+        tags=("sampling", "calibration", "llm-pipeline"),
+    )
+)
+
+
+# --------------------------- token-budget head (histogram cutoff)
+
+TOKEN_BUDGET = 30_000  # whitespace tokens to keep, best-quality-first
+SCORE_LEVELS = 1_000
+
+
+def _token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents until a global token budget
+    is filled — the "take the best N tokens" curation step — WITHOUT a
+    global sort. The scalable shape: quantize scores to SCORE_LEVELS
+    buckets, aggregate token mass per bucket (tiny), compute the running
+    mass down the buckets, and keep (a) every doc strictly above the
+    cutoff bucket and (b) docs inside the cutoff bucket ranked by
+    (hash, doc_id) until the remainder fills. The per-bucket rank
+    window only ever sees the boundary bucket's rows — the corpus is
+    never globally sorted.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.sampling import sample_hash
+
+    docs = _docs(spark, sf_dir)
+    n_tok = X.token_count(F.col("text"))
+    score = F.least(F.lit(1.0), n_tok.cast("double") / 256.0)
+    level = F.floor(score * SCORE_LEVELS).cast("long")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        level.alias("level"),
+    )
+    per_level = scored.groupBy("level").agg(
+        F.sum("n_tokens").alias("mass")
+    )
+    wl = Window.orderBy(F.desc("level")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # SCORE_LEVELS rows: the running-mass window is bounded, not
+    # data-sized. cut = the first level where the running mass reaches
+    # the budget; above it everything fits, inside it the remainder
+    # fills by deterministic (hash, doc_id) rank.
+    levels = per_level.withColumn(
+        "cum_mass", F.sum("mass").over(wl).cast("long")
+    )
+    cut = levels.filter(F.col("cum_mass") >= TOKEN_BUDGET).agg(
+        F.max("level").alias("cut_level")
+    )
+    budget_left = (
+        levels.join(F.broadcast(cut), levels.level == F.col("cut_level"))
+        .select(
+            "cut_level",
+            (F.lit(TOKEN_BUDGET) - (F.col("cum_mass") - F.col("mass")))
+            .alias("boundary_budget"),
+        )
+    )
+    wb = Window.partitionBy("level").orderBy(
+        sample_hash("doc_id").asc(), F.col("doc_id").asc()
+    )
+    boundary_ranked = scored.withColumn(
+        "run_tokens",
+        F.sum("n_tokens").over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        boundary_ranked.crossJoin(F.broadcast(budget_left))
+        .filter(
+            (F.col("level") > F.col("cut_level"))
+            | (
+                (F.col("level") == F.col("cut_level"))
+                & (F.col("run_tokens") <= F.col("boundary_budget"))
+            )
+        )
+        .select("doc_id", "source", "n_tokens", "level")
+    )
+
+
+register(
+    Query(
+        name="token_budget_head",
+        spark=_token_budget_head,
+        oracle=f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       CAST({SQL_TOKENS} AS BIGINT) AS n_tokens,
+                       CAST(floor(least(1.0, {SQL_TOKENS} / 256.0)
+                                  * {SCORE_LEVELS}) AS BIGINT) AS level
+                FROM documents
+            ),
+            levels AS (
+                SELECT level, sum(n_tokens) AS mass,
+                       CAST(sum(sum(n_tokens)) OVER (
+                           ORDER BY level DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum_mass
+                FROM scored GROUP BY level
+            ),
+            cut AS (
+                SELECT max(level) AS cut_level FROM levels
+                WHERE cum_mass >= {TOKEN_BUDGET}
+            ),
+            boundary AS (
+                SELECT cut_level,
+                       {TOKEN_BUDGET} - (cum_mass - mass) AS boundary_budget
+                FROM levels JOIN cut ON level = cut_level
+            ),
+            ranked AS (
+                SELECT doc_id, source, n_tokens, level,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY level
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS run_tokens
+                FROM scored
+            )
+            SELECT doc_id, source, n_tokens, level
+            FROM ranked, boundary
+            WHERE level > cut_level
+               OR (level = cut_level AND run_tokens <= boundary_budget)
+        """,
+        tags=("sampling", "budget", "llm-pipeline"),
+    )
+)

@@ -74,5 +74,7 @@ def _load_all() -> None:
     from . import mart_queries  # noqa: F401
     from . import packing_queries  # noqa: F401
     from . import behavior_queries  # noqa: F401
+    from . import maintenance_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
 
     _LOADED = True

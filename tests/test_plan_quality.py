@@ -340,3 +340,29 @@ def test_scd2_windows_share_one_sort(spark):
     feeding both."""
     plan = _plan(QUERIES["scd2_user_state"].spark(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_pagerank_iteration_is_join_plus_agg(spark):
+    """Each power-method step must be an equi-join + hash aggregate —
+    no cartesian products, no window over the edge list."""
+    plan = _plan(QUERIES["pagerank_trade_network"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_token_budget_head_no_global_sort_of_corpus(spark):
+    """The histogram-cutoff selection must not globally sort documents;
+    the only full Sort allowed is over the SCORE_LEVELS-bounded level
+    table (rangepartitioning on `level` only)."""
+    plan = _plan(QUERIES["token_budget_head"].spark(spark, SF_SMOKE))
+    import re
+
+    for m in re.finditer(r"Sort \[([^\]]*)\].*global=true", plan):
+        assert "doc_id" not in m.group(1)
+
+
+def test_cms_build_partial_aggregates(spark):
+    """CMS matrix construction must partial-aggregate map-side (the
+    shuffle carries <= d*w rows per partition, not the corpus)."""
+    plan = _plan(QUERIES["cms_heavy_hitters"].spark(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
