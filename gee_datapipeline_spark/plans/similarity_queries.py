@@ -248,21 +248,158 @@ register(
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN #2: IVF coarse quantization (deterministic seed
     sample → one k-means refinement → probe the n_probe nearest cells) +
-    exact re-rank. Rows-only in the gate; recall vs ann_bruteforce is
-    unit-tested. Complements ann_lsh: IVF adapts to the data
-    distribution (centroids follow density), LSH is data-independent."""
+    exact re-rank. Runs in ``exact`` mode (md5 seed order, decimal dot,
+    stable Lloyd means) so the ENTIRE pipeline — quantizer training
+    included — carries a full value-hash oracle (the unrolled k-means
+    mirror below). Recall vs ann_bruteforce is unit-tested; the
+    double-dot production scoring path stays covered by
+    tests/test_similarity.py determinism tests. Complements ann_lsh:
+    IVF adapts to the data distribution (centroids follow density),
+    LSH is data-independent."""
     from ..functions.similarity import ann_ivf_topk
 
     e = _emb(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_QUERIES)
-    return ann_ivf_topk(e, probes, k=TOP_K, n_centroids=16, n_probe=6)
+    return ann_ivf_topk(
+        e, probes, k=TOP_K, n_centroids=16, n_probe=6, exact=True
+    )
+
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 6
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB mirror of the exact-mode IVF pipeline: seed sample by md5
+    order → one Lloyd step (decimal-stable means, rounded 6dp) → 1-probe
+    indexing / 6-probe querying against the SHARED quantizer → exact
+    decimal-cosine re-rank. Every float accumulation is decimal, every
+    ordering carries a total tie-break, so the centroid trajectory and
+    the final top-k are bit-identical across engines."""
+    from ..functions.similarity import (
+        QUANT_SCALE,
+        sql_cosine,
+        sql_decimal_dot,
+    )
+
+    dd = sql_decimal_dot
+
+    def qdot(a: str, b: str) -> str:
+        """Integer-quantized dot: Σ floor(aᵢ·2^20)·floor(bᵢ·2^20) — the
+        mirror of the Spark assignment's LONG aggregates (exact: every
+        partial sum < 2^46)."""
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * {QUANT_SCALE}.0) "
+            f"AS BIGINT) * CAST(floor(CAST({b}[i] AS DOUBLE) "
+            f"* {QUANT_SCALE}.0) AS BIGINT)))"
+        )
+
+    def qnorm(a: str) -> str:
+        return f"sqrt(CAST({qdot(a, a)} AS DOUBLE))"
+
+    def assign(src: str, n_keep: int, out_id: str, out_emb: str) -> str:
+        """Rank ``src`` rows (vec_id, embedding, norm) against cents by
+        the quantized similarity; carry the TRUE norm for re-ranking."""
+        return f"""
+            SELECT {out_id}, {out_emb}, norm AS {out_emb.replace('emb', 'norm')}, cid
+            FROM (
+                SELECT s.vec_id AS {out_id}, s.embedding AS {out_emb},
+                       s.norm, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY CASE WHEN {qnorm('s.embedding')}
+                                         * {qnorm('c.c_emb')} > 0
+                                    THEN CAST({qdot('s.embedding', 'c.c_emb')}
+                                              AS DOUBLE)
+                                         / ({qnorm('s.embedding')}
+                                            * {qnorm('c.c_emb')})
+                                    ELSE -2.0 END DESC,
+                                    c.cid ASC
+                       ) AS crk
+                FROM {src} s CROSS JOIN cents c
+            ) WHERE crk <= {n_keep}"""
+
+    return f"""
+        WITH base AS (
+            SELECT vec_id, embedding,
+                   sqrt({dd('embedding', 'embedding')}) AS norm
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+            FROM base
+            ORDER BY md5('ivf-seed:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {IVF_CENTROIDS}
+        ),
+        assign0 AS (
+            SELECT vec_id, embedding, cid
+            FROM (
+                SELECT b.vec_id, b.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY CASE WHEN {qnorm('b.embedding')}
+                                         * {qnorm('c.c_emb')} > 0
+                                    THEN CAST({qdot('b.embedding', 'c.c_emb')}
+                                              AS DOUBLE)
+                                         / ({qnorm('b.embedding')}
+                                            * {qnorm('c.c_emb')})
+                                    ELSE -2.0 END DESC,
+                                    c.cid ASC
+                       ) AS crk
+                FROM base b CROSS JOIN seeds c
+            ) WHERE crk = 1
+        ),
+        flat AS (
+            SELECT cid, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM assign0, unnest(generate_series(1, len(embedding)))
+                 AS t(i)
+        ),
+        cents AS (
+            SELECT cid,
+                   array_agg(cv ORDER BY dim) AS c_emb,
+                   sqrt(CAST(list_sum(list_transform(
+                       array_agg(cv ORDER BY dim),
+                       x -> CAST(x * x AS DECIMAL(38,12))
+                   )) AS DOUBLE)) AS c_norm
+            FROM (
+                SELECT cid, dim,
+                       round(CAST(sum(CAST(v AS DECIMAL(38,12)))
+                                  AS DOUBLE) / count(v), 6) AS cv
+                FROM flat GROUP BY cid, dim
+            ) GROUP BY cid
+        ),
+        cells AS ({assign(
+            'base', 1, 'neighbor_id', 'n_emb'
+        )}),
+        probe_cells AS ({assign(
+            f'(SELECT * FROM base WHERE vec_id < {N_QUERIES})',
+            IVF_PROBE, 'q_id', 'q_emb'
+        )}),
+        scored AS (
+            SELECT DISTINCT q_id, neighbor_id,
+                   round({sql_cosine('q_emb', 'n_emb', 'q_norm', 'n_norm')},
+                         6) AS cos_sim
+            FROM probe_cells JOIN cells USING (cid)
+            WHERE q_id <> neighbor_id
+        )
+        SELECT q_id, neighbor_id, cos_sim, rk
+        FROM (
+            SELECT q_id, neighbor_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """
 
 
 register(
     Query(
         name="ann_ivf",
         spark=_ann_ivf,
-        oracle=None,
+        oracle=_ann_ivf_oracle(),
         tags=("similarity", "ivf"),
     )
 )
