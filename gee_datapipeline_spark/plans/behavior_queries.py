@@ -413,3 +413,61 @@ register(
         tags=("events", "scd2", "window"),
     )
 )
+
+
+# ---------------------------------------- hopping-window aggregation
+
+
+def _hopping_window_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) event-time windows in BATCH mode via the
+    same ``F.window`` TVF the streaming jobs use — 2-hour windows
+    sliding every hour, so each event lands in exactly two windows.
+    Batch/stream parity of the window assignment itself is what's under
+    test; the oracle derives the two containing window starts by floor
+    arithmetic. The explode-by-window is a narrow 2× fan-out followed
+    by one partial-aggregated groupBy — the scalable shape at any
+    horizon."""
+    e = _events(spark, sf_dir)
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double"),
+                6,
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    Query(
+        name="hopping_window_load",
+        spark=_hopping_window_load,
+        oracle="""
+            WITH hopped AS (
+                SELECT event_type, value,
+                       unnest([
+                           to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                           to_timestamp(floor(epoch(ts) / 3600) * 3600
+                                        - 3600)
+                       ]) AS w_start
+                FROM events
+            )
+            SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
+                   event_type, count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE), 6) AS sum_value
+            FROM hopped
+            GROUP BY 1, 2
+        """,
+        tags=("events", "window-tvf", "streaming-parity"),
+    )
+)

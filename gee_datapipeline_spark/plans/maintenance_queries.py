@@ -132,3 +132,108 @@ register(
         tags=("maintenance", "incremental"),
     )
 )
+
+
+# --------------------------------------- storage-format interop (ORC)
+
+
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-interop gate: day-1 events written to ORC, read back, and
+    aggregated — the result must equal the same aggregate computed
+    straight from the parquet original (which is what the DuckDB oracle
+    does, since DuckDB has no ORC reader: the roundtrip itself is under
+    test). Guards against type narrowing / timestamp semantics drifting
+    between the columnar formats Spark ships (Parquet + ORC cover the
+    lake-format surface; both are splittable + predicate-pushdown
+    capable at 100 TB)."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    day = ev.filter(F.to_date("ts") == F.lit(first_day)).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="gee_orc_roundtrip_")
+    try:
+        path = f"{root}/events_day1.orc"
+        day.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("sum_value"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("last_ts"),
+            )
+        )
+        # Force materialization before the temp dir disappears.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="orc_roundtrip",
+        spark=_orc_roundtrip,
+        oracle="""
+            SELECT event_type, count(*) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE), 6) AS sum_value,
+                   strftime(CAST(max(ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+            FROM events
+            WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+            GROUP BY 1
+        """,
+        tags=("source", "format", "orc"),
+    )
+)
+
+
+# ----------------------------------------------- raw-SQL entry surface
+
+# The engine's SQL front door: exactly this text runs on BOTH engines
+# (spark.sql over registered views, DuckDB over the same parquet) — the
+# ANSI-portable subset with the repo's decimal-stable sum convention.
+SQL_SURFACE_REPORT = """
+    SELECT l_returnflag,
+           month(l_shipdate) AS ship_month,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+    GROUP BY l_returnflag, month(l_shipdate)
+"""
+
+
+def _sql_surface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL API surface: users can point ``spark.sql`` at the
+    registered table views and run ANSI SQL — the identical text the
+    oracle runs. Proves the SQL front door (not just the DataFrame DSL)
+    honors the determinism contract."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_SURFACE_REPORT)
+
+
+register(
+    Query(
+        name="sql_surface_report",
+        spark=_sql_surface_report,
+        oracle=SQL_SURFACE_REPORT,
+        tags=("sql-api",),
+    )
+)
