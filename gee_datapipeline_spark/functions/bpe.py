@@ -108,3 +108,20 @@ def learn_bpe(
         # Fixed-point arrays stay small; localCheckpoint would truncate
         # lineage on a real cluster — at n_merges ≤ ~50 the plan is fine.
     return merges
+
+
+def apply_bpe(
+    words: DataFrame, merges: list[tuple[str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Encode words with a learned merge list: the merge sequence is
+    replayed in order over the symbol arrays (same greedy fold as
+    training, so train→encode is self-consistent). Adds ``pieces
+    array<string>``.
+
+    Scale: run this on the DISTINCT word table (vocab-sized, Zipf-small
+    vs the corpus) and broadcast-join the result back to occurrences —
+    tokenizing 100 TB costs one vocab-sized compute plus a broadcast."""
+    syms = chars(F.col(word_col))
+    for left, right, _ in merges:
+        syms = merge_pair(syms, left, right)
+    return words.withColumn("pieces", syms)

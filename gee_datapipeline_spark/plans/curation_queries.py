@@ -374,3 +374,43 @@ register(
         tags=("bpe", "iterative", "llm-pipeline"),
     )
 )
+
+
+def _bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE vocab: merges trained
+    once (functions.bpe.learn_bpe), applied to the DISTINCT word table,
+    broadcast back onto word occurrences, aggregated per document —
+    the full train→encode tokenizer loop, with corpus-sized work
+    limited to one explode + one broadcast join. Rows-only gate;
+    encode parity vs the pure-Python reference is in tests/test_bpe.py."""
+    from ..functions.bpe import apply_bpe, learn_bpe
+
+    docs = _docs(spark, sf_dir)
+    occurrences = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("word")
+    ).filter(F.length("word") > 0)
+    vocab = occurrences.groupBy("word").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    merges = learn_bpe(vocab, n_merges=10)
+    encoded = apply_bpe(vocab.select("word"), merges).select(
+        "word", F.size("pieces").alias("n_pieces_word")
+    )
+    return (
+        occurrences.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces_word").alias("n_pieces"),
+        )
+    )
+
+
+register(
+    Query(
+        name="bpe_encode_pieces",
+        spark=_bpe_encode_pieces,
+        oracle=None,  # merge replay is not SQL-expressible; see test_bpe
+        tags=("bpe", "iterative", "llm-pipeline"),
+    )
+)

@@ -237,3 +237,55 @@ register(
         tags=("sql-api",),
     )
 )
+
+
+# ------------------------------------------- key-skew diagnostics
+
+
+def _key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the profile to run BEFORE keying a
+    100 TB join/agg on a column: per-key cardinalities reduced to the
+    deciding stats (hottest key, p50/p99 per-key counts, max/mean skew
+    ratio). Two partial-aggregated passes: fact → per-key counts
+    (|keys| rows), then counts → one stats row; the fact table is never
+    sorted, and the percentile runs over |keys|, not |rows|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    pct = F.percentile("cnt", F.array(F.lit(0.5), F.lit(0.99)))
+    # Deterministic argmax: max over (count, -key) structs — ties break
+    # to the smallest key, in one aggregate pass (the Q2 argmin trick).
+    hottest = F.max(F.struct(F.col("cnt"), (-F.col("l_partkey")).alias("nk")))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        (-hottest["nk"]).alias("hottest_key"),
+        F.round(F.get(pct, 0), 6).alias("p50_count"),
+        F.round(F.get(pct, 1), 6).alias("p99_count"),
+        F.round(
+            F.max("cnt")
+            / (F.sum("cnt") / F.count(F.lit(1))),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+register(
+    Query(
+        name="key_skew_profile",
+        spark=_key_skew_profile,
+        oracle="""
+            WITH counts AS (
+                SELECT l_partkey, count(*) AS cnt
+                FROM lineitem GROUP BY 1
+            )
+            SELECT count(*) AS n_keys,
+                   max(cnt) AS max_count,
+                   -(max({'cnt': cnt, 'nk': -l_partkey}).nk) AS hottest_key,
+                   round(quantile_cont(cnt, 0.5), 6) AS p50_count,
+                   round(quantile_cont(cnt, 0.99), 6) AS p99_count,
+                   round(max(cnt) / (sum(cnt) / count(*)), 6) AS skew_ratio
+            FROM counts
+        """,
+        tags=("diagnostics", "skew"),
+    )
+)

@@ -265,3 +265,29 @@ def correlate_streams(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {horizon}")),
     )
+
+
+def idempotent_batch_writer(out_dir: str):
+    """Exactly-once file sink for ``foreachBatch``: each micro-batch
+    lands in ``out_dir/batch_id=<id>/`` and a batch directory that
+    already carries Spark's ``_SUCCESS`` marker is skipped wholesale.
+
+    ``foreachBatch`` re-invokes the callback with the SAME batch_id when
+    a query restarts from a checkpoint mid-commit — at-least-once
+    delivery. Because the replayed batch is deterministic (same source
+    offsets), skip-on-marker upgrades the sink to exactly-once output
+    without any transaction log beyond the marker the committer already
+    writes. This is the file-sink half of the standard
+    checkpoint + idempotent-writes recipe; a table sink would key on
+    (query_id, batch_id) in its own commit log instead.
+
+    Returns the callback to pass to ``writeStream.foreachBatch``."""
+    import os
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return write

@@ -86,3 +86,30 @@ def test_learn_bpe_matches_reference_random(spark_global, wc):
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+def ref_apply(word, merges):
+    out = list(word)
+    for a, b, _ in merges:
+        new = []
+        for s in out:
+            if new and new[-1] == a and s == b:
+                new[-1] = a + b
+            else:
+                new.append(s)
+        out = new
+    return out
+
+
+def test_apply_bpe_matches_reference(spark):
+    from gee_datapipeline_spark.functions.bpe import apply_bpe
+
+    wc = {"lower": 5, "low": 7, "newest": 6, "widest": 3, "newer": 4}
+    merges = ref_learn_bpe(wc, 6)
+    df = _words_df(spark, wc).select("word")
+    got = {
+        r["word"]: list(r["pieces"])
+        for r in apply_bpe(df, merges).collect()
+    }
+    for w in wc:
+        assert got[w] == ref_apply(w, merges), w

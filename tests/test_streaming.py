@@ -270,3 +270,29 @@ def test_enrich_stream_static_broadcast(spark, stream_dirs):
         assert out == {1: "district_a", 2: "district_b", 9: None}
     finally:
         q.stop()
+
+
+def test_idempotent_batch_writer_skips_replayed_batch(spark, tmp_path):
+    """Replaying a batch id (the foreachBatch at-least-once contract)
+    must not duplicate or clobber output: the second delivery of
+    batch 0 — even with different content, as after a code change
+    mid-restart — is skipped because the first commit's _SUCCESS marker
+    exists. Distinct batch ids land in distinct partitions."""
+    import os
+
+    from gee_datapipeline_spark.streaming.jobs import idempotent_batch_writer
+
+    out = str(tmp_path / "sink")
+    write = idempotent_batch_writer(out)
+    b0 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    write(b0, 0)
+    first = spark.read.parquet(os.path.join(out, "batch_id=0"))
+    assert first.count() == 5
+
+    replay = spark.range(99).selectExpr("id", "id AS v")  # same id, new data
+    write(replay, 0)
+    after = spark.read.parquet(os.path.join(out, "batch_id=0"))
+    assert after.count() == 5  # untouched — exactly-once held
+
+    write(replay, 1)  # a NEW batch id writes normally
+    assert spark.read.parquet(os.path.join(out, "batch_id=1")).count() == 99
