@@ -1,0 +1,86 @@
+"""Catalog-wide physical-plan lint: structural rules that must hold for
+EVERY registered query, enforced mechanically rather than by spot-check.
+
+Rules (SURVEY.md §2.10 / SCALE.md):
+- No CartesianProduct, ever. Broadcast nested-loop joins are allowed
+  only for queries that deliberately broadcast a tiny side (probes,
+  centroids, scalar thresholds, calendar spines) — whitelisted by name.
+- No BatchEvalPython (row-at-a-time Python UDF) anywhere — Python
+  crosses the boundary only through Arrow (ArrowEvalPython / mapInPandas
+  / FlatMapGroupsInPandas).
+
+Queries whose BUILDER already executes work (streaming replays, BPE
+training loops, ORC roundtrips, driver-coordinated iteration) are
+exercised by their own gates; planning them here would re-run that work,
+so they are skipped by name, not silently."""
+
+from __future__ import annotations
+
+import pytest
+
+from gee_datapipeline_spark.plans import QUERIES
+from gee_datapipeline_spark.plans.registry import _load_all
+
+from conftest import SF_SMOKE
+
+_load_all()
+
+# Builders that execute (stream, collect, checkpoint, write) during
+# construction — covered by their own gate entries + unit tests.
+EXECUTING_BUILDERS = {
+    "streaming_session_incidents",
+    "streaming_windowed_composite",
+    "streaming_dedup",
+    "streaming_correlate",
+    "bpe_vocab_merges",
+    "bpe_encode_pieces",
+    "orc_roundtrip",
+    "pagerank_trade_network",  # eager-checkpoints its edge table
+    "ann_ivf",                 # eager-checkpoints its quantizer
+    "raster_ingest_tif",       # reads fixture rasters at build time
+    "multimodal_resize_real",
+    "multimodal_decode_real",
+    "audio_decode_real",
+}
+
+# Deliberate tiny-side broadcast nested-loops (probes × corpus,
+# scalar-threshold joins, spine ranges) — never fact × fact.
+BNLJ_WHITELIST = {
+    "ann_bruteforce",
+    "embedding_near_dup",
+    "semantic_dedup",
+    "above_nation_avg",
+    "dormant_rich_customers",
+    "token_budget_head",
+    "contamination_scan",
+    "interval_join_monthly",
+    "date_spine_gaps",
+    "tfidf_top_terms",
+    "doc_length_histogram",
+    "proximity_pairs",
+    "span_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_lsh",
+    "ann_lsh_recall",
+    "pq_codes",
+}
+
+LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)
+
+
+@pytest.mark.parametrize("name", LINTABLE)
+def test_plan_lint(name, spark):
+    df = QUERIES[name].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_WHITELIST:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join — either add an "
+            "equi-key or whitelist a deliberate tiny-side broadcast"
+        )
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF on the plan — use Arrow "
+        "(pandas_udf / mapInPandas) instead"
+    )
