@@ -289,3 +289,73 @@ register(
         tags=("diagnostics", "skew"),
     )
 )
+
+
+# --------------------------------------------- data-contract audit
+
+
+def _contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declared row-level contracts evaluated in ONE
+    scan as conditional counts (violations never materialize as rows —
+    at 100 TB you page the on-call with counts, not a copy of the bad
+    partition). The unpivoted (contract, violations, checked) layout
+    feeds freshness dashboards and CI assertions alike."""
+    li = load_table(spark, sf_dir, "lineitem")
+    contracts = {
+        "quantity_in_range": F.col("l_quantity").between(1, 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_unit_interval": F.col("l_discount").between(0, 1),
+        "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+    }
+    agg = li.agg(
+        F.count(F.lit(1)).alias("checked"),
+        *[
+            F.sum(
+                F.when(~cond | cond.isNull(), 1).otherwise(0)
+            ).alias(name)
+            for name, cond in contracts.items()
+        ],
+    )
+    names = list(contracts)
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return agg.selectExpr(
+        "checked",
+        f"stack({len(names)}, {stack}) AS (contract, violations)",
+    ).select("contract", "violations", "checked")
+
+
+register(
+    Query(
+        name="contract_audit",
+        spark=_contract_audit,
+        oracle="""
+            WITH agg AS (
+                SELECT count(*) AS checked,
+                       sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                                  OR l_quantity IS NULL
+                                THEN 1 ELSE 0 END) AS quantity_in_range,
+                       sum(CASE WHEN NOT (l_extendedprice > 0)
+                                  OR l_extendedprice IS NULL
+                                THEN 1 ELSE 0 END) AS price_positive,
+                       sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                                  OR l_discount IS NULL
+                                THEN 1 ELSE 0 END) AS discount_unit_interval,
+                       sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                                  OR l_returnflag IS NULL
+                                THEN 1 ELSE 0 END) AS returnflag_domain,
+                       sum(CASE WHEN l_shipdate IS NULL
+                                THEN 1 ELSE 0 END) AS shipdate_not_null
+                FROM lineitem
+            )
+            SELECT contract, CAST(violations AS BIGINT) AS violations,
+                   checked
+            FROM agg
+            UNPIVOT (violations FOR contract IN (
+                quantity_in_range, price_positive, discount_unit_interval,
+                returnflag_domain, shipdate_not_null
+            ))
+        """,
+        tags=("diagnostics", "data-quality"),
+    )
+)

@@ -375,15 +375,24 @@ def _token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = per_level.withColumn(
         "cum_mass", F.sum("mass").over(wl).cast("long")
     )
-    cut = levels.filter(F.col("cum_mass") >= TOKEN_BUDGET).agg(
-        F.max("level").alias("cut_level")
+    # cut_level = highest level whose running mass crosses the budget;
+    # NULL when the whole corpus fits, in which case everything is kept
+    # (cut defaults to -1, below every real level) — "until the budget
+    # is filled OR the corpus is exhausted".
+    cut = levels.agg(
+        F.max(
+            F.when(F.col("cum_mass") >= TOKEN_BUDGET, F.col("level"))
+        ).alias("raw_cut")
     )
     budget_left = (
-        levels.join(F.broadcast(cut), levels.level == F.col("cut_level"))
-        .select(
-            "cut_level",
-            (F.lit(TOKEN_BUDGET) - (F.col("cum_mass") - F.col("mass")))
-            .alias("boundary_budget"),
+        cut.join(
+            levels, levels.level == cut.raw_cut, "left_outer"
+        ).select(
+            F.coalesce(F.col("raw_cut"), F.lit(-1)).alias("cut_level"),
+            F.coalesce(
+                F.lit(TOKEN_BUDGET) - (F.col("cum_mass") - F.col("mass")),
+                F.lit(0),
+            ).alias("boundary_budget"),
         )
     )
     wb = Window.partitionBy("level").orderBy(
@@ -429,13 +438,15 @@ register(
                 FROM scored GROUP BY level
             ),
             cut AS (
-                SELECT max(level) AS cut_level FROM levels
-                WHERE cum_mass >= {TOKEN_BUDGET}
+                SELECT max(CASE WHEN cum_mass >= {TOKEN_BUDGET}
+                                THEN level END) AS raw_cut
+                FROM levels
             ),
             boundary AS (
-                SELECT cut_level,
-                       {TOKEN_BUDGET} - (cum_mass - mass) AS boundary_budget
-                FROM levels JOIN cut ON level = cut_level
+                SELECT coalesce(raw_cut, -1) AS cut_level,
+                       coalesce({TOKEN_BUDGET} - (cum_mass - mass), 0)
+                           AS boundary_budget
+                FROM cut LEFT OUTER JOIN levels ON level = raw_cut
             ),
             ranked AS (
                 SELECT doc_id, source, n_tokens, level,
