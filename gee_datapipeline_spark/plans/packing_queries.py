@@ -333,7 +333,11 @@ register(
 
 # --------------------------- token-budget head (histogram cutoff)
 
-TOKEN_BUDGET = 30_000  # whitespace tokens to keep, best-quality-first
+# Sized to BIND at the sf0.01 gate (corpus ~27k tokens): the cutoff +
+# boundary-rationing path is what the differential test must exercise;
+# the keep-everything regime is covered at sf0.001 by the property
+# tests.
+TOKEN_BUDGET = 20_000  # whitespace tokens to keep, best-quality-first
 SCORE_LEVELS = 1_000
 
 
