@@ -85,6 +85,10 @@ HEADLINE = [
     "corpus_checksum",
     "incremental_revenue",
     "pagerank_trade_network",
+    "hopping_window_load",
+    "sql_surface_report",
+    "key_skew_profile",
+    "contract_audit",
 ]
 
 

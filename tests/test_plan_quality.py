@@ -366,3 +366,26 @@ def test_cms_build_partial_aggregates(spark):
     shuffle carries <= d*w rows per partition, not the corpus)."""
     plan = _plan(QUERIES["cms_heavy_hitters"].spark(spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_returned_items_aggregates_before_dimension_joins(spark):
+    """Q10: the revenue aggregate runs on the (lineitem ⋈ orders) rows
+    BEFORE customer/nation join — the dimensions broadcast onto
+    |customers| aggregated rows, never onto raw fact rows."""
+    plan = _plan(QUERIES["returned_items"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_contract_audit_single_scan(spark):
+    """All declared contracts evaluate in one pass: exactly one scan of
+    lineitem, one aggregate, no joins."""
+    plan = _plan(QUERIES["contract_audit"].spark(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_sql_surface_report_pushes_filter(spark):
+    """The raw-SQL front door gets the same pushdown as the DSL."""
+    plan = _plan(QUERIES["sql_surface_report"].spark(spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
