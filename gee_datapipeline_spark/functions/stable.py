@@ -49,3 +49,24 @@ def sql_stable_avg(expr: str, scale: int = 6, dec: str = DECIMAL) -> str:
         f"round(cast(sum(cast(({expr}) as {dec})) as double)"
         f" / count({expr}), {scale})"
     )
+
+
+def stable_round(col: Column | str, scale: int = 6) -> Column:
+    """Engine-exact half-up rounding of a non-negative double:
+    ``floor(x·10^s + 0.5) / 10^s``. Every step is a deterministic IEEE
+    double op, so both engines agree even when x sits exactly on a
+    decimal midpoint — where Spark's ``round`` (which goes through the
+    shortest-decimal string) and DuckDB's (numeric) can break a tie
+    differently. Ratios of integers with power-of-two denominators
+    (token counts!) hit exact midpoints often enough that the sf0.1
+    parity sweep caught real mismatches. Not for negatives (floor-based
+    half-up rounds toward +inf) — all users are ratios/ranks ≥ 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    f = float(10**scale)
+    return F.floor(c * f + F.lit(0.5)) / f
+
+
+def sql_stable_round(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`stable_round`."""
+    f = 10**scale
+    return f"floor(({expr}) * {f}.0 + 0.5) / {f}.0"

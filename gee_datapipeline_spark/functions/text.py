@@ -138,25 +138,36 @@ def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
 
 
 def punct_ratio(text: Column, scale: int = 6) -> Column:
-    """Fraction of characters that are sentence punctuation."""
+    """Fraction of characters that are sentence punctuation.
+
+    stable_round (floor-based): these ratios have power-of-two
+    denominators often enough that exact decimal midpoints occur, and
+    engine round()s break those ties differently (sf0.1 sweep)."""
+    from .stable import stable_round
+
     total = F.length(text)
     stripped = F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    return F.round((total - stripped) / total, scale)
+    return stable_round((total - stripped) / total, scale)
 
 
 def avg_token_len(text: Column, scale: int = 6) -> Column:
-    """Mean token length = non-whitespace chars / token count."""
+    """Mean token length = non-whitespace chars / token count
+    (stable_round — see punct_ratio)."""
+    from .stable import stable_round
+
     non_ws = F.length(F.regexp_replace(F.trim(text), WHITESPACE, ""))
-    return F.round(non_ws / token_count(text), scale)
+    return stable_round(non_ws / token_count(text), scale)
 
 
 def quality_score(text: Column, scale: int = 6) -> Column:
     """Composite quality heuristic: stopword density + moderate token
     length + low punctuation. Deterministic double arithmetic."""
+    from .stable import stable_round
+
     toks = tokens(text)
     sw_ratio = stopword_count(toks) / F.size(toks)
     len_term = F.least(avg_token_len(text, 12) / F.lit(10.0), F.lit(1.0))
-    return F.round(
+    return stable_round(
         0.4 * sw_ratio + 0.3 * len_term + 0.3 * (1.0 - punct_ratio(text, 12)),
         scale,
     )

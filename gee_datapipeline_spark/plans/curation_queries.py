@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import stable_round
 from ..functions import text as X
 from .registry import Query, register
 
@@ -80,7 +81,7 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.round(
+            stable_round(
                 F.coalesce(
                     F.col("n_dup_spans")
                     / F.nullif(F.col("n_spans"), F.lit(0)).cast("double"),
@@ -119,10 +120,10 @@ register(
                    count(s.h) AS n_spans,
                    CAST(coalesce(sum(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END), 0)
                         AS BIGINT) AS n_dup_spans,
-                   round(coalesce(
+                   floor(coalesce(
                        sum(CASE WHEN sd.n_docs > 1 THEN 1 ELSE 0 END)
                            / CAST(nullif(count(s.h), 0) AS DOUBLE),
-                       0.0), 6) AS dup_span_frac
+                       0.0) * 1000000.0 + 0.5) / 1000000.0 AS dup_span_frac
             FROM documents d
             LEFT JOIN spans s ON d.doc_id = s.doc_id
             LEFT JOIN span_docs sd ON s.h = sd.h
@@ -151,7 +152,7 @@ def _gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = X.tokens(t)
     n = F.size(toks).cast("long")
     mwl = X.avg_token_len(t)  # rounded to 6dp in both engines
-    alpha_frac = F.round(
+    alpha_frac = stable_round(
         F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
         / n.cast("double"),
         6,
@@ -199,15 +200,17 @@ register(
                        string_split_regex(lower(trim(text)), '\s+') AS toks,
                        CAST(len(string_split_regex(lower(trim(text)), '\s+'))
                             AS BIGINT) AS n_words,
-                       round(len(regexp_replace(trim(text), '\s+', '', 'g'))
+                       floor(len(regexp_replace(trim(text), '\s+', '', 'g'))
                              / CAST(len(string_split_regex(lower(trim(text)), '\s+'))
-                                    AS DOUBLE), 6) AS mean_word_len
+                                    AS DOUBLE) * 1000000.0 + 0.5)
+                           / 1000000.0 AS mean_word_len
                 FROM documents
             ),
             m AS (
                 SELECT doc_id, n_words, mean_word_len,
-                       round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-                             / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac,
+                       floor(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                             / CAST(n_words AS DOUBLE) * 1000000.0 + 0.5)
+                           / 1000000.0 AS alpha_word_frac,
                        CAST(len(list_intersect(list_distinct(toks),
                                 ['{_SW_LIST}'])) AS INTEGER)
                            AS n_distinct_stopwords

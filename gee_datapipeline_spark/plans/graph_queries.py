@@ -12,7 +12,9 @@ oracle.
 
 Determinism: per-edge contributions are IEEE doubles (deterministic),
 per-node sums go through DECIMAL(38,12), and each iteration's rank is
-rounded to 12 dp — so iteration k's input is bit-identical in both
+quantized to 12 dp with ``stable_round`` (floor-based half-up — pure
+IEEE ops, immune to the string-vs-numeric round-tie divergence the
+sf0.1 sweep caught) — so iteration k's input is bit-identical in both
 engines and the fixpoint trajectory cannot diverge.
 """
 
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import sql_stable_round, stable_round
 from .registry import Query, register
 
 DAMPING = 0.85
@@ -104,7 +107,7 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
             .select(
                 "node",
-                F.round(
+                stable_round(
                     F.lit(base)
                     + F.lit(DAMPING)
                     * F.coalesce(F.col("mass").cast("double"), F.lit(0.0)),
@@ -112,7 +115,7 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", F.round("rank", 10).alias("rank"))
+    return ranks.select("node", stable_round("rank", 10).alias("rank"))
 
 
 def _pagerank_oracle() -> str:
@@ -122,9 +125,11 @@ def _pagerank_oracle() -> str:
         steps.append(
             f"""r{k} AS (
                 SELECT n.node,
-                       round((1.0 - {DAMPING}) / (SELECT n FROM nn)
-                             + {DAMPING} * coalesce(CAST(m.mass AS DOUBLE), 0.0),
-                             12) AS rank
+                       {sql_stable_round(
+                           f"(1.0 - {DAMPING}) / (SELECT n FROM nn) "
+                           f"+ {DAMPING} "
+                           "* coalesce(CAST(m.mass AS DOUBLE), 0.0)", 12
+                       )} AS rank
                 FROM nodes n LEFT OUTER JOIN (
                     SELECT e.dst,
                            sum(CAST(r.rank * e.frac AS DECIMAL(38,12)))
@@ -165,7 +170,7 @@ def _pagerank_oracle() -> str:
             SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
         ),
         {steps_sql}
-        SELECT node, round(rank, 10) AS rank FROM {prev}
+        SELECT node, {sql_stable_round('rank', 10)} AS rank FROM {prev}
     """
 
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
+from ..functions.stable import stable_round
 from ..operators.sampling import KNUTH, MOD, sample_hash
 from .registry import Query, register
 
@@ -196,7 +197,7 @@ def _quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             n_tok.alias("n_tokens"),
-            F.round(score, 6).alias("keep_prob"),
+            stable_round(score, 6).alias("keep_prob"),
         )
         .filter(sample_hash("doc_id") < thresh)
     )
@@ -214,7 +215,7 @@ register(
                 FROM documents
             )
             SELECT doc_id, source, n_tokens,
-                   round(score, 6) AS keep_prob
+                   floor(score * 1000000.0 + 0.5) / 1000000.0 AS keep_prob
             FROM scored
             WHERE (doc_id * {KNUTH}) % {MOD}
                       < CAST(floor(score * {MOD}.0) AS BIGINT)
@@ -300,10 +301,10 @@ def _score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select(
-            "doc_id", "source", F.round(raw, 6).alias("raw_score")
+            "doc_id", "source", stable_round(raw, 6).alias("raw_score")
         )
         .withColumn(
-            "calibrated", F.round(F.percent_rank().over(w), 6)
+            "calibrated", stable_round(F.percent_rank().over(w), 6)
         )
     )
 
@@ -315,15 +316,15 @@ register(
         oracle=f"""
             WITH scored AS (
                 SELECT doc_id, source,
-                       round(least(1.0, {SQL_TOKENS} / 256.0), 6)
-                           AS raw_score
+                       floor(least(1.0, {SQL_TOKENS} / 256.0)
+                             * 1000000.0 + 0.5) / 1000000.0 AS raw_score
                 FROM documents
             )
             SELECT doc_id, source, raw_score,
-                   round(percent_rank() OVER (
+                   floor(percent_rank() OVER (
                        PARTITION BY source
                        ORDER BY raw_score ASC, doc_id ASC
-                   ), 6) AS calibrated
+                   ) * 1000000.0 + 0.5) / 1000000.0 AS calibrated
             FROM scored
         """,
         tags=("sampling", "calibration", "llm-pipeline"),

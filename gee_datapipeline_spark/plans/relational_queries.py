@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.stable import (
+    stable_round,
     sql_stable_avg,
     sql_stable_sum,
     stable_avg,
@@ -626,7 +627,7 @@ def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(
             F.min(
-                F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+                stable_round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
             ).alias("unit_price")
         )
     )
@@ -658,7 +659,7 @@ register(
         oracle="""
             WITH unit AS (
                 SELECT p_partkey, p_name, l_suppkey,
-                       min(round(l_extendedprice / l_quantity, 6)) AS unit_price
+                       min(floor((l_extendedprice / l_quantity) * 1000000.0 + 0.5) / 1000000.0) AS unit_price
                 FROM lineitem
                 JOIN part ON l_partkey = p_partkey
                 WHERE p_type = 'STANDARD' AND p_size < 10

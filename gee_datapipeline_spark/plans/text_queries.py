@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
-from ..functions.stable import sql_stable_avg, stable_avg
+from ..functions.stable import sql_stable_avg, stable_avg, stable_round
 from .registry import Query, register
 
 
@@ -153,7 +153,7 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count(t).alias("n_tokens"),
         X.avg_token_len(t).alias("avg_token_len"),
         X.punct_ratio(t).alias("punct_ratio"),
-        F.round(X.stopword_count(toks) / F.size(toks), 6).alias(
+        stable_round(X.stopword_count(toks) / F.size(toks), 6).alias(
             "stopword_ratio"
         ),
         X.quality_score(t).alias("quality_score"),
@@ -178,14 +178,18 @@ register(
                 FROM documents
             )
             SELECT doc_id, n_tokens,
-                   round(atl, 6) AS avg_token_len,
-                   round(pr, 6) AS punct_ratio,
-                   round(len(list_filter(toks, x -> x IN ('{_SW}')))
-                         / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-                   round(0.4 * (len(list_filter(toks, x -> x IN ('{_SW}')))
-                                / CAST(n_tokens AS DOUBLE))
-                         + 0.3 * least(round(atl, 12) / 10.0, 1.0)
-                         + 0.3 * (1.0 - round(pr, 12)), 6) AS quality_score
+                   floor(atl * 1000000.0 + 0.5) / 1000000.0
+                       AS avg_token_len,
+                   floor(pr * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+                   floor((len(list_filter(toks, x -> x IN ('{_SW}')))
+                          / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS stopword_ratio,
+                   floor((0.4 * (len(list_filter(toks, x -> x IN ('{_SW}')))
+                                 / CAST(n_tokens AS DOUBLE))
+                          + 0.3 * least(floor(atl * 1e12 + 0.5) / 1e12
+                                        / 10.0, 1.0)
+                          + 0.3 * (1.0 - floor(pr * 1e12 + 0.5) / 1e12))
+                         * 1000000.0 + 0.5) / 1000000.0 AS quality_score
             FROM base
         """,
         tags=("text",),
@@ -309,7 +313,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("n_common")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
@@ -645,11 +649,11 @@ register(
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   round(n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+                   floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
             FROM common
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
-            WHERE round(n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE), 6)
+            WHERE floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                   >= {JACCARD_THRESHOLD}
         """,
         tags=("dedup", "join"),
@@ -714,8 +718,8 @@ register(
                 FROM common
                 JOIN counts ca ON ca.doc_id = doc_a
                 JOIN counts cb ON cb.doc_id = doc_b
-                WHERE round(n_common / CAST(ca.n_sh + cb.n_sh - n_common
-                            AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+                WHERE floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common
+                            AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 >= {JACCARD_THRESHOLD}
             ),
             edges AS (
                 SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -928,7 +932,7 @@ def _repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_gram.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
         F.max("c").alias("top_bigram_n"),
-        F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+        stable_round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
     )
 
 
@@ -955,7 +959,7 @@ register(
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS n_bigrams,
                    CAST(max(c) AS BIGINT) AS top_bigram_n,
-                   round(max(c) / CAST(sum(c) AS DOUBLE), 6)
+                   floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS repetition_ratio
             FROM per_gram GROUP BY 1
         """,
@@ -993,7 +997,7 @@ def _contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_sh",
             F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            F.round(
+            stable_round(
                 F.coalesce("n_hit", F.lit(0)) / F.col("n_sh"), 6
             ).alias("contamination"),
         )
@@ -1033,7 +1037,7 @@ register(
             )
             SELECT t.doc_id, t.n_sh,
                    coalesce(h.n_hit, 0) AS n_hit,
-                   round(coalesce(h.n_hit, 0) / CAST(t.n_sh AS DOUBLE), 6)
+                   floor((coalesce(h.n_hit, 0) / CAST(t.n_sh AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
                        AS contamination
             FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
         """,
