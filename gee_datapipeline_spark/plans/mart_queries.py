@@ -1,12 +1,14 @@
-"""Remaining TPC-H-shaped mart queries (Q3/Q7/Q9/Q10/Q13/Q16/Q17/Q19/Q20/Q22).
+"""Remaining TPC-H-shaped mart queries
+(Q3/Q7/Q8/Q9/Q10/Q13/Q16/Q17/Q19/Q20/Q22).
 
 Together with ``relational_queries`` (Q1/Q2/Q4/Q5/Q6/Q12/Q14/Q15/Q18/Q21)
 this completes the classic decision-support shapes over the driver star
 schema — the query surface a user of the reference's relational layer
 would expect from a drop-in engine. The schema has no ``partsupp``
-table, so Q2/Q9/Q11/Q16/Q20 shapes substitute lineitem-observed
-supplier-part relationships; the plan shapes (and what the optimizer
-must do with them) are unchanged.
+table, so Q2/Q9/Q16/Q20 shapes substitute lineitem-observed
+supplier-part relationships (and Q11, which is ONLY about partsupp
+availability, is the one genuinely out-of-schema shape); the plan
+shapes (and what the optimizer must do with them) are unchanged.
 
 Scale discipline, same as everywhere: dimensions broadcast, the fact
 table is scanned once with every pushable filter pushed, aggregates are
@@ -583,5 +585,117 @@ register(
             GROUP BY 1
         """,
         tags=("tpch", "anti-join", "scalar-subquery"),
+    )
+)
+
+
+# ------------------------------------------ Q8: national market share
+
+
+def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of STANDARD-part revenue sold to
+    customers in NATION_0..NATION_4's region, per year. One fact scan
+    with part/supplier/customer-chain dimensions broadcast; the share is
+    a conditional ratio over decimal-stable sums in a single aggregate
+    pass (the Q14 pattern with a nation predicate), quantized with
+    stable_round so the division can't hit an engine rounding tie."""
+    from ..functions.stable import stable_round
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    region = _t(spark, sf_dir, "region")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_nationkey % 5 == region.r_regionkey,
+                )
+            ),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .filter(F.col("r_regionkey") == 0)
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    target_vol = F.when(
+        F.col("supp_nation") == "NATION_3", vol
+    ).otherwise(F.lit(0.0).cast("decimal(30,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            cust_region, orders.o_custkey == cust_region.c_custkey, "left_semi"
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(target_vol).cast("double"), 2).alias(
+                "nation_volume"
+            ),
+            F.round(F.sum(vol).cast("double"), 2).alias("total_volume"),
+            stable_round(
+                F.sum(target_vol).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+register(
+    Query(
+        name="market_share",
+        spark=_market_share,
+        oracle="""
+            WITH cust_region AS (
+                SELECT c_custkey
+                FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_nationkey % 5 = r_regionkey
+                WHERE r_regionkey = 0
+            )
+            SELECT year(o_orderdate) AS o_year,
+                   round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(30,6))
+                                  ELSE CAST(0.0 AS DECIMAL(30,6)) END)
+                              AS DOUBLE), 2) AS nation_volume,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,6))) AS DOUBLE), 2)
+                       AS total_volume,
+                   floor(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                                  THEN CAST(l_extendedprice * (1 - l_discount)
+                                            AS DECIMAL(30,6))
+                                  ELSE CAST(0.0 AS DECIMAL(30,6)) END)
+                              AS DOUBLE)
+                         / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                         AS DECIMAL(30,6))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_type = 'STANDARD'
+              AND o_orderdate >= TIMESTAMP '1999-01-01'
+              AND o_orderdate < TIMESTAMP '2001-01-01'
+              AND o_custkey IN (SELECT c_custkey FROM cust_region)
+            GROUP BY 1
+        """,
+        tags=("tpch", "conditional-ratio"),
     )
 )
