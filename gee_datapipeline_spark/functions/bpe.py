@@ -27,11 +27,18 @@ from pyspark.sql import functions as F
 
 
 def chars(col: Column) -> Column:
-    """Split a word into single-character symbols."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: col.substr(i, F.lit(1)),
-    )
+    """Split a word into single-character symbols.
+
+    Guarded for the empty string: ``sequence(1, 0)`` is a DESCENDING
+    ``[1, 0]`` in Spark, which would yield a bogus ``["", ""]`` symbol
+    pair — the empty word maps to an empty symbol array instead."""
+    return F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: col.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def merge_pair(syms: Column, left: str, right: str) -> Column:

@@ -420,6 +420,77 @@ def ivf_centroids(
     return centroids.localCheckpoint(eager=True)
 
 
+def ivf_centroids_cached(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    exact: bool = False,
+    cache_dir: str | None = None,
+) -> DataFrame:
+    """Build-once IVF quantizer: train via :func:`ivf_centroids` the
+    first time, persist the O(n_centroids × dim) centroid table to a
+    parquet artifact keyed by a corpus fingerprint, and serve every
+    later call from that artifact.
+
+    At 100 TB the quantizer is a *model artifact*, not a per-query
+    subplan — training costs multiple corpus scans + shuffles, while the
+    trained table is a few KB. The cache key is
+    ``(corpus fingerprint, id_col, emb_col, n_centroids, lloyd_iters,
+    exact)``; the fingerprint is one cheap aggregate scan
+    (row count + order-independent modular sum of ``xxhash64(id, emb)``)
+    so any corpus change — row added, vector edited — retrains.
+    Training in ``exact`` mode is fully deterministic, so cached and
+    fresh centroids are bit-identical and the training-inclusive oracle
+    (``ann_ivf_train``) stays valid for cached consumers too.
+
+    The artifact lives on the driver-local filesystem (default
+    ``$SPARK_GRAFT_ARTIFACT_DIR`` or ``<tmp>/gee_spark_artifacts``); on
+    a real cluster point ``cache_dir`` at shared storage (s3a/hdfs) and
+    the same read-or-train logic applies. Any cache failure falls back
+    to plain training — the cache is an optimization, never a
+    correctness dependency.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    fp_row = (
+        vectors.select(
+            F.xxhash64(F.col(id_col), F.col(emb_col)).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
+        .first()
+    )
+    key = hashlib.md5(
+        f"{fp_row['n']}:{fp_row['s']}:{id_col}:{emb_col}:"
+        f"{n_centroids}:{lloyd_iters}:{exact}:v1".encode()
+    ).hexdigest()[:16]
+    root = cache_dir or os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
+    )
+    path = os.path.join(root, f"ivf_centroids_{key}.parquet")
+    spark = vectors.sparkSession
+    try:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.parquet(path)
+    except Exception:
+        pass
+    centroids = ivf_centroids(
+        vectors, id_col, emb_col, n_centroids, lloyd_iters, exact=exact
+    )
+    try:
+        centroids.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    except Exception:
+        return centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -555,10 +626,13 @@ def ann_ivf_topk(
     n_probe: int = 4,
     lloyd_iters: int = 1,
     exact: bool = False,
+    quantizer: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF coarse quantization.
 
-    One quantizer, trained on the base vectors, shared by both sides
+    One quantizer, trained on the base vectors (or passed pre-trained
+    via ``quantizer`` — see :func:`ivf_centroids_cached` for the
+    build-once artifact path), shared by both sides
     (probes assigned against foreign centroids — NOT their own). Base
     vectors live in exactly one cell (``n_probe=1``); probes fan out to
     their ``n_probe`` nearest cells; candidates are the equi-join on
@@ -568,9 +642,10 @@ def ann_ivf_topk(
     """
     from pyspark.sql import Window
 
-    quantizer = ivf_centroids(
-        vectors, id_col, emb_col, n_centroids, lloyd_iters, exact=exact
-    )
+    if quantizer is None:
+        quantizer = ivf_centroids(
+            vectors, id_col, emb_col, n_centroids, lloyd_iters, exact=exact
+        )
     cells = ivf_assign(
         vectors, quantizer, id_col, emb_col, n_probe=1, exact=exact
     ).select(

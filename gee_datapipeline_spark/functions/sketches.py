@@ -78,7 +78,12 @@ def cms_estimate(
     """Point-estimate each candidate term's frequency: min over the d
     matrix cells the term hashes to. The candidate side is tiny (it's a
     heavy-hitter shortlist) and broadcasts; the join is equi on
-    (depth, bucket) against the ≤ d·w-row matrix."""
+    (depth, bucket) against the ≤ d·w-row matrix.
+
+    A probe cell absent from the sparse matrix means zero items hashed
+    there, so it must contribute 0 to the min — hence the LEFT join with
+    ``coalesce(cnt, 0)``. An inner join would over-estimate (min over
+    fewer cells) or silently drop terms whose every cell is empty."""
     buckets = F.array(
         *[cms_bucket(F.col(term_col), i, width) for i in range(depth)]
     )
@@ -86,10 +91,9 @@ def cms_estimate(
         term_col, F.posexplode(buckets).alias("depth", "bucket")
     )
     return (
-        F.broadcast(probes)
-        .join(sketch, ["depth", "bucket"])
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(term_col)
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
 
 

@@ -319,8 +319,8 @@ def _cms_oracle() -> str:
                  (SELECT unnest(range({CMS_DEPTH})) AS i) d
         ),
         est AS (
-            SELECT p.term, min(s.cnt) AS cms_estimate
-            FROM probes p JOIN sketch s
+            SELECT p.term, min(coalesce(s.cnt, 0)) AS cms_estimate
+            FROM probes p LEFT JOIN sketch s
               ON p.depth = s.depth AND p.bucket = s.bucket
             GROUP BY 1
         )

@@ -121,15 +121,19 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle() -> str:
     steps = []
     prev = "r0"
+    # repr() of the Python-computed doubles so both engines start from
+    # the identical IEEE constants (1.0 - 0.85 != exact-decimal 0.15).
+    teleport = sql_stable_round(
+        f"CAST({1.0 - DAMPING!r} AS DOUBLE) / (SELECT n FROM nn) "
+        f"+ CAST({DAMPING!r} AS DOUBLE) "
+        "* coalesce(CAST(m.mass AS DOUBLE), 0.0)",
+        12,
+    )
     for k in range(1, ITERATIONS + 1):
         steps.append(
             f"""r{k} AS (
                 SELECT n.node,
-                       {sql_stable_round(
-                           f"(1.0 - {DAMPING}) / (SELECT n FROM nn) "
-                           f"+ {DAMPING} "
-                           "* coalesce(CAST(m.mass AS DOUBLE), 0.0)", 12
-                       )} AS rank
+                       {teleport} AS rank
                 FROM nodes n LEFT OUTER JOIN (
                     SELECT e.dst,
                            sum(CAST(r.rank * e.frac AS DECIMAL(38,12)))
@@ -167,7 +171,8 @@ def _pagerank_oracle() -> str:
         ),
         nn AS (SELECT count(*) AS n FROM nodes),
         r0 AS (
-            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+            SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+            FROM nodes
         ),
         {steps_sql}
         SELECT node, {sql_stable_round('rank', 10)} AS rank FROM {prev}

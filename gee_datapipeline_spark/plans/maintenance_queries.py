@@ -42,7 +42,16 @@ def _corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials shrink the shuffle to |sources| rows per partition. The
     modular sum (not xor) is used so duplicated rows cannot cancel."""
     docs = load_table(spark, sf_dir, "documents")
-    h = _row_hash(F.concat_ws(":", F.col("doc_id"), F.col("text")))
+    # coalesce NULLs explicitly: concat_ws would silently SKIP a NULL
+    # field (hashing "id" instead of "id:"), while the oracle's || would
+    # NULL the whole row — coalesce on both sides keeps parity.
+    h = _row_hash(
+        F.concat_ws(
+            ":",
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
     return (
         docs.select("source", h.alias("h"))
         .groupBy("source")
@@ -57,7 +66,8 @@ def _corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ROW_HASH = " + ".join(
     "(strpos('0123456789abcdef', "
-    f"substr(md5(doc_id || ':' || text), {i + 1}, 1)) - 1) "
+    f"substr(md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':' "
+    f"|| coalesce(text, '')), {i + 1}, 1)) - 1) "
     f"* {16 ** (_HASH_HEX_CHARS - 1 - i)}"
     for i in range(_HASH_HEX_CHARS)
 )

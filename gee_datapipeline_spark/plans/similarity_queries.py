@@ -255,13 +255,31 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-dot production scoring path stays covered by
     tests/test_similarity.py determinism tests. Complements ann_lsh:
     IVF adapts to the data distribution (centroids follow density),
-    LSH is data-independent."""
-    from ..functions.similarity import ann_ivf_topk
+    LSH is data-independent.
+
+    The quantizer comes from the build-once artifact cache
+    (``ivf_centroids_cached``): trained on first touch, served from a
+    fingerprint-keyed parquet afterwards — at 100 TB the quantizer is a
+    model artifact, not a per-query subplan. Exact-mode training is
+    deterministic, so the cached table is bit-identical to fresh
+    training and the full training-inclusive oracle below stays valid;
+    the training pipeline itself is separately gated by
+    ``ann_ivf_train``."""
+    from ..functions.similarity import ann_ivf_topk, ivf_centroids_cached
 
     e = _emb(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_QUERIES)
+    quantizer = ivf_centroids_cached(
+        e, n_centroids=IVF_CENTROIDS, lloyd_iters=1, exact=True
+    )
     return ann_ivf_topk(
-        e, probes, k=TOP_K, n_centroids=16, n_probe=6, exact=True
+        e,
+        probes,
+        k=TOP_K,
+        n_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        exact=True,
+        quantizer=quantizer,
     )
 
 
@@ -269,59 +287,36 @@ IVF_CENTROIDS = 16
 IVF_PROBE = 6
 
 
-def _ann_ivf_oracle() -> str:
-    """DuckDB mirror of the exact-mode IVF pipeline: seed sample by md5
-    order → one Lloyd step (decimal-stable means, rounded 6dp) → 1-probe
-    indexing / 6-probe querying against the SHARED quantizer → exact
-    decimal-cosine re-rank. Every float accumulation is decimal, every
-    ordering carries a total tie-break, so the centroid trajectory and
-    the final top-k are bit-identical across engines."""
-    from ..functions.similarity import (
-        QUANT_SCALE,
-        sql_cosine,
-        sql_decimal_dot,
+def _ivf_sql_qdot(a: str, b: str) -> str:
+    """Integer-quantized dot: Σ floor(aᵢ·2^20)·floor(bᵢ·2^20) — the
+    mirror of the Spark assignment's LONG aggregates (exact: every
+    partial sum < 2^46)."""
+    from ..functions.similarity import QUANT_SCALE
+
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * {QUANT_SCALE}.0) "
+        f"AS BIGINT) * CAST(floor(CAST({b}[i] AS DOUBLE) "
+        f"* {QUANT_SCALE}.0) AS BIGINT)))"
     )
 
+
+def _ivf_sql_qnorm(a: str) -> str:
+    return f"sqrt(CAST({_ivf_sql_qdot(a, a)} AS DOUBLE))"
+
+
+def _ivf_training_ctes() -> str:
+    """Shared DuckDB CTE chain mirroring exact-mode quantizer training
+    (:func:`gee_datapipeline_spark.functions.similarity.ivf_centroids`):
+    md5 seed order → quantized-dot cell assignment → one decimal-stable
+    Lloyd mean rounded 6dp. Used by both the training-inclusive
+    ``ann_ivf`` oracle and the standalone ``ann_ivf_train`` gate."""
+    from ..functions.similarity import sql_decimal_dot
+
     dd = sql_decimal_dot
-
-    def qdot(a: str, b: str) -> str:
-        """Integer-quantized dot: Σ floor(aᵢ·2^20)·floor(bᵢ·2^20) — the
-        mirror of the Spark assignment's LONG aggregates (exact: every
-        partial sum < 2^46)."""
-        return (
-            f"list_sum(list_transform(generate_series(1, len({a})), "
-            f"i -> CAST(floor(CAST({a}[i] AS DOUBLE) * {QUANT_SCALE}.0) "
-            f"AS BIGINT) * CAST(floor(CAST({b}[i] AS DOUBLE) "
-            f"* {QUANT_SCALE}.0) AS BIGINT)))"
-        )
-
-    def qnorm(a: str) -> str:
-        return f"sqrt(CAST({qdot(a, a)} AS DOUBLE))"
-
-    def assign(src: str, n_keep: int, out_id: str, out_emb: str) -> str:
-        """Rank ``src`` rows (vec_id, embedding, norm) against cents by
-        the quantized similarity; carry the TRUE norm for re-ranking."""
-        return f"""
-            SELECT {out_id}, {out_emb}, norm AS {out_emb.replace('emb', 'norm')}, cid
-            FROM (
-                SELECT s.vec_id AS {out_id}, s.embedding AS {out_emb},
-                       s.norm, c.cid,
-                       row_number() OVER (
-                           PARTITION BY s.vec_id
-                           ORDER BY CASE WHEN {qnorm('s.embedding')}
-                                         * {qnorm('c.c_emb')} > 0
-                                    THEN CAST({qdot('s.embedding', 'c.c_emb')}
-                                              AS DOUBLE)
-                                         / ({qnorm('s.embedding')}
-                                            * {qnorm('c.c_emb')})
-                                    ELSE -2.0 END DESC,
-                                    c.cid ASC
-                       ) AS crk
-                FROM {src} s CROSS JOIN cents c
-            ) WHERE crk <= {n_keep}"""
-
-    return f"""
-        WITH base AS (
+    qdot = _ivf_sql_qdot
+    qnorm = _ivf_sql_qnorm
+    return f"""base AS (
             SELECT vec_id, embedding,
                    sqrt({dd('embedding', 'embedding')}) AS norm
             FROM embeddings
@@ -368,7 +363,45 @@ def _ann_ivf_oracle() -> str:
                                   AS DOUBLE) / count(v), 6) AS cv
                 FROM flat GROUP BY cid, dim
             ) GROUP BY cid
-        ),
+        )"""
+
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB mirror of the exact-mode IVF pipeline: seed sample by md5
+    order → one Lloyd step (decimal-stable means, rounded 6dp) → 1-probe
+    indexing / 6-probe querying against the SHARED quantizer → exact
+    decimal-cosine re-rank. Every float accumulation is decimal, every
+    ordering carries a total tie-break, so the centroid trajectory and
+    the final top-k are bit-identical across engines."""
+    from ..functions.similarity import sql_cosine
+
+    qdot = _ivf_sql_qdot
+    qnorm = _ivf_sql_qnorm
+
+    def assign(src: str, n_keep: int, out_id: str, out_emb: str) -> str:
+        """Rank ``src`` rows (vec_id, embedding, norm) against cents by
+        the quantized similarity; carry the TRUE norm for re-ranking."""
+        return f"""
+            SELECT {out_id}, {out_emb}, norm AS {out_emb.replace('emb', 'norm')}, cid
+            FROM (
+                SELECT s.vec_id AS {out_id}, s.embedding AS {out_emb},
+                       s.norm, c.cid,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id
+                           ORDER BY CASE WHEN {qnorm('s.embedding')}
+                                         * {qnorm('c.c_emb')} > 0
+                                    THEN CAST({qdot('s.embedding', 'c.c_emb')}
+                                              AS DOUBLE)
+                                         / ({qnorm('s.embedding')}
+                                            * {qnorm('c.c_emb')})
+                                    ELSE -2.0 END DESC,
+                                    c.cid ASC
+                       ) AS crk
+                FROM {src} s CROSS JOIN cents c
+            ) WHERE crk <= {n_keep}"""
+
+    return f"""
+        WITH {_ivf_training_ctes()},
         cells AS ({assign(
             'base', 1, 'neighbor_id', 'n_emb'
         )}),
@@ -400,6 +433,43 @@ register(
         name="ann_ivf",
         spark=_ann_ivf,
         oracle=_ann_ivf_oracle(),
+        tags=("similarity", "ivf"),
+    )
+)
+
+
+def _ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone gate for IVF quantizer TRAINING (always fresh — never
+    the artifact cache): md5-ordered seed sample → quantized-dot cell
+    assignment → one decimal-stable Lloyd step. Emits the trained
+    centroid matrix flattened to (cid, dim, c_val) scalars so the
+    value-hash compares cell-by-cell. This keeps the training pipeline
+    under a full oracle while ``ann_ivf`` amortizes it via
+    ``ivf_centroids_cached``."""
+    from ..functions.similarity import ivf_centroids
+
+    e = _emb(spark, sf_dir)
+    cents = ivf_centroids(
+        e, n_centroids=IVF_CENTROIDS, lloyd_iters=1, exact=True
+    )
+    return cents.select(
+        "cid", F.posexplode("c_emb").alias("dim", "c_val")
+    )
+
+
+def _ann_ivf_train_oracle() -> str:
+    return f"""
+        WITH {_ivf_training_ctes()}
+        SELECT cid, i - 1 AS dim, CAST(c_emb[i] AS DOUBLE) AS c_val
+        FROM cents, unnest(generate_series(1, len(c_emb))) AS t(i)
+    """
+
+
+register(
+    Query(
+        name="ann_ivf_train",
+        spark=_ann_ivf_train,
+        oracle=_ann_ivf_train_oracle(),
         tags=("similarity", "ivf"),
     )
 )

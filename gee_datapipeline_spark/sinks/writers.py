@@ -122,11 +122,10 @@ def render_png(df: DataFrame, path: str) -> None:
             f"refusing to render {n} px (> {MAX_IMAGE_PIXELS}): image-"
             "shaped sinks require bounded images (SURVEY.md §7 watch-list #5)"
         )
-    rows = df.select("x", "y", "r", "g", "b", "a").collect()
-    w = max(r.x for r in rows) + 1
-    h = max(r.y for r in rows) + 1
-    img = np.zeros((h, w, 4), dtype="uint8")
-    for r in rows:
-        img[r.y, r.x] = (r.r, r.g, r.b, r.a)
+    pdf = df.select("x", "y", "r", "g", "b", "a").toPandas()
+    xs = pdf["x"].to_numpy()
+    ys = pdf["y"].to_numpy()
+    img = np.zeros((ys.max() + 1, xs.max() + 1, 4), dtype="uint8")
+    img[ys, xs] = pdf[["r", "g", "b", "a"]].to_numpy(dtype="uint8")
     with open(path, "wb") as fh:
         fh.write(encode_png(img))

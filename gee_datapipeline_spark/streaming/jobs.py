@@ -281,12 +281,21 @@ def idempotent_batch_writer(out_dir: str):
     checkpoint + idempotent-writes recipe; a table sink would key on
     (query_id, batch_id) in its own commit log instead.
 
+    The marker probe goes through the Hadoop FileSystem API resolved
+    from the batch's own SparkSession, so the skip works for any
+    supported scheme (``file://``, ``hdfs://``, ``s3a://``...) — a
+    driver-local ``os.path.exists`` would silently return False for
+    remote sinks and degrade exactly-once back to overwrite-on-replay.
+
     Returns the callback to pass to ``writeStream.foreachBatch``."""
-    import os
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        target = os.path.join(out_dir, f"batch_id={batch_id}")
-        if os.path.exists(os.path.join(target, "_SUCCESS")):
+        target = f"{out_dir.rstrip('/')}/batch_id={batch_id}"
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return
         batch_df.write.mode("overwrite").parquet(target)
 
