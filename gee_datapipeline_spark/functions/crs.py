@@ -2,17 +2,29 @@
 
 The reference reprojects raster coordinates to EPSG:4326 with
 ``rasterio.warp.transform`` and falls back to identity on failure
-(fix_transparency.py:71-74). pyproj/rasterio are not in this container,
-so the two projections the reference's data actually lives in are
+(fix_transparency.py:71-74) — and its source rasters arrive in
+*arbitrary* ``src.crs`` (Sentinel-5P / VIIRS exports are commonly UTM).
+pyproj/rasterio are not in this container, so the projections are
 implemented directly from their public formulas:
 
 - EPSG:4326 (lon/lat degrees, WGS84) — the canonical model CRS.
 - EPSG:3857 (Web Mercator meters) — what the folium/leaflet viewers
   render in (index.html map tiles).
+- EPSG:326xx / 327xx (UTM north/south, WGS84) — ellipsoidal transverse
+  Mercator via the 6th-order Krüger flattening series (Karney 2011,
+  "Transverse Mercator with an accuracy of a few nanometers"; the same
+  series PROJ uses as ``tmerc`` default). Forward and inverse; inverse
+  recovers geodetic latitude by Newton iteration on the conformal
+  tangent. Accuracy is sub-micrometer within a zone.
 
-Both directions are vectorized NumPy inside an Arrow-batched pandas UDF;
-unknown CRS pairs raise (or identity-fallback, mirroring the reference)
-rather than silently guessing.
+The NumPy forms back the Arrow-batched pandas UDF (API surface). For the
+relational scale path, :func:`utm_forward_steps` emits the SAME formula
+chain as portable SQL strings evaluable by both Spark (``F.expr`` —
+JVM-side, whole-stage codegen, no Python) and DuckDB (oracle mirror):
+identical expression trees, constants interpolated from the identical
+Python doubles, so the engines differ only by libm ulps — absorbed by
+rounding projected meters to 3 dp before any bucketing or compare.
+Unknown CRS pairs raise (or identity-fallback, mirroring the reference).
 """
 
 from __future__ import annotations
@@ -39,6 +51,211 @@ def _webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
     lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_RADIUS_M)) - np.pi / 2)
     return lon, lat
 
+# --- WGS84 ellipsoid + UTM convention constants (public: EPSG 9807) ---
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+UTM_K0 = 0.9996
+UTM_FE = 500000.0
+UTM_FN_SOUTH = 10000000.0
+
+_N = WGS84_F / (2.0 - WGS84_F)  # third flattening
+_E2 = WGS84_F * (2.0 - WGS84_F)  # eccentricity^2
+_E = math.sqrt(_E2)
+# Rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64 + n^6/256)
+_RECT_A = (
+    WGS84_A
+    / (1.0 + _N)
+    * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+)
+
+# Krüger series coefficients to n^6 (Karney 2011 eqs. 35-36; identical
+# to the PROJ etmerc/Poder-Engsager expansion truncated at 6th order).
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
+    - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440
+    + 281 * _N**5 / 630 - 1983433 * _N**6 / 1935360,
+    61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
+    + 167603 * _N**6 / 181440,
+    49561 * _N**4 / 161280 - 179 * _N**5 / 168
+    + 6601661 * _N**6 / 7257600,
+    34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+    212378941 * _N**6 / 319334400,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
+    - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
+    - 1118711 * _N**6 / 3870720,
+    17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
+    + 5569 * _N**6 / 90720,
+    4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+    4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+    20648693 * _N**6 / 638668800,
+)
+
+
+def utm_zone_lon0(zone: int) -> float:
+    """Central meridian (degrees) of UTM zone 1..60."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone out of range: {zone}")
+    return float(zone * 6 - 183)
+
+
+def parse_utm_epsg(code: str):
+    """``EPSG:326xx``/``EPSG:327xx`` → (zone, south) or None."""
+    c = code.upper()
+    if not c.startswith("EPSG:"):
+        return None
+    try:
+        num = int(c[5:])
+    except ValueError:
+        return None
+    if 32601 <= num <= 32660:
+        return num - 32600, False
+    if 32701 <= num <= 32760:
+        return num - 32700, True
+    return None
+
+
+def utm_forward_np(lon: np.ndarray, lat: np.ndarray, zone: int,
+                   south: bool = False):
+    """Geodetic (lon, lat) degrees → UTM (easting, northing) meters."""
+    lam = np.radians(lon - utm_zone_lon0(zone))
+    phi = np.radians(lat)
+    sphi = np.sin(phi)
+    sigma = np.sinh(_E * np.arctanh(_E * sphi))
+    tau = np.tan(phi)
+    taup = tau * np.sqrt(1 + sigma**2) - sigma * np.sqrt(1 + tau**2)
+    coslam = np.cos(lam)
+    xip = np.arctan2(taup, coslam)
+    etap = np.arcsinh(np.sin(lam) / np.sqrt(taup**2 + coslam**2))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+        eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+    e = UTM_FE + UTM_K0 * _RECT_A * eta
+    n = (UTM_FN_SOUTH if south else 0.0) + UTM_K0 * _RECT_A * xi
+    return e, n
+
+
+def utm_inverse_np(e: np.ndarray, n: np.ndarray, zone: int,
+                   south: bool = False):
+    """UTM (easting, northing) meters → geodetic (lon, lat) degrees.
+
+    Latitude is recovered from the conformal tangent τ′ by Newton
+    iteration (Karney 2011 §6); 5 iterations reach machine precision."""
+    eta = (np.asarray(e, dtype=np.float64) - UTM_FE) / (UTM_K0 * _RECT_A)
+    xi = (
+        np.asarray(n, dtype=np.float64) - (UTM_FN_SOUTH if south else 0.0)
+    ) / (UTM_K0 * _RECT_A)
+    xip = xi.copy()
+    etap = eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etap = etap - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    shp = np.sinh(etap)
+    cxp = np.cos(xip)
+    taup = np.sin(xip) / np.sqrt(shp**2 + cxp**2)
+    lam = np.arctan2(shp, cxp)
+    tau = taup.copy()
+    for _ in range(5):
+        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau**2)))
+        f_tau = (
+            tau * np.sqrt(1 + sig**2) - sig * np.sqrt(1 + tau**2) - taup
+        )
+        dtau = (
+            (np.sqrt((1 + sig**2) * (1 + tau**2)) - sig * tau)
+            * (1 - _E2)
+            * np.sqrt(1 + tau**2)
+            / (1 + (1 - _E2) * tau**2)
+        )
+        tau = tau - f_tau / dtau
+    lon = np.degrees(lam) + utm_zone_lon0(zone)
+    lat = np.degrees(np.arctan(tau))
+    return lon, lat
+
+
+def utm_forward_steps(
+    lon_expr: str, lat_expr: str, zone: int, south: bool = False
+) -> list[tuple[str, str]]:
+    """The forward transform as a chain of named portable-SQL steps.
+
+    Each ``(name, expr)`` may reference earlier names. The emitted
+    subset (sin/cos/tan/atan2/exp/ln/sqrt/radians/arithmetic) parses and
+    evaluates identically in Spark SQL and DuckDB; hyperbolics are
+    spelled out via exp/ln on BOTH engines so the expression trees — not
+    just the math — are the same, leaving only libm ulp differences.
+    All constants are interpolated from the same Python doubles.
+
+    Consumers: Spark via ``withColumn(name, F.expr(expr))`` folds
+    (whole-stage codegen, no Python), DuckDB via a nested-SELECT chain
+    (:func:`sql_utm_forward_select`).
+    """
+    lon0 = utm_zone_lon0(zone)
+    fn = UTM_FN_SOUTH if south else 0.0
+    kA = UTM_K0 * _RECT_A
+    steps: list[tuple[str, str]] = [
+        ("__lam", f"radians(({lon_expr}) - {lon0!r})"),
+        ("__phi", f"radians({lat_expr})"),
+        ("__esphi", f"{_E!r} * sin(__phi)"),
+        # atanh(x) = ln((1+x)/(1-x))/2 ; sinh(x) = (exp(x)-exp(-x))/2
+        ("__q", f"{_E!r} * ln((1 + __esphi) / (1 - __esphi)) / 2"),
+        ("__sigma", "(exp(__q) - exp(-__q)) / 2"),
+        ("__tau", "tan(__phi)"),
+        (
+            "__taup",
+            "__tau * sqrt(1 + __sigma * __sigma) "
+            "- __sigma * sqrt(1 + __tau * __tau)",
+        ),
+        ("__coslam", "cos(__lam)"),
+        ("__xip", "atan2(__taup, __coslam)"),
+        (
+            "__z",
+            "sin(__lam) / sqrt(__taup * __taup + __coslam * __coslam)",
+        ),
+        # asinh(z) = ln(z + sqrt(z^2 + 1))
+        ("__etap", "ln(__z + sqrt(__z * __z + 1))"),
+        (
+            "__xi",
+            "__xip + "
+            + " + ".join(
+                f"{a!r} * sin({2 * j} * __xip) "
+                f"* ((exp({2 * j} * __etap) + exp(-({2 * j}) * __etap)) / 2)"
+                for j, a in enumerate(_ALPHA, start=1)
+            ),
+        ),
+        (
+            "__eta",
+            "__etap + "
+            + " + ".join(
+                f"{a!r} * cos({2 * j} * __xip) "
+                f"* ((exp({2 * j} * __etap) - exp(-({2 * j}) * __etap)) / 2)"
+                for j, a in enumerate(_ALPHA, start=1)
+            ),
+        ),
+        # round to mm so JVM-vs-DuckDB libm ulps can never flip a
+        # downstream bucket or hash compare
+        ("utm_e", f"round({UTM_FE!r} + {kA!r} * __eta, 3)"),
+        ("utm_n", f"round({fn!r} + {kA!r} * __xi, 3)"),
+    ]
+    return steps
+
+
+def sql_utm_forward_select(
+    source_sql: str, lon_expr: str, lat_expr: str, zone: int,
+    south: bool = False
+) -> str:
+    """Wrap ``source_sql`` in a nested-SELECT chain computing
+    ``utm_e``/``utm_n`` — the DuckDB mirror of the Spark
+    ``withColumn(F.expr(...))`` fold over :func:`utm_forward_steps`."""
+    sql = f"SELECT * FROM ({source_sql})"
+    for name, expr in utm_forward_steps(lon_expr, lat_expr, zone, south):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
 _XY_SCHEMA = T.StructType(
     [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
 )
@@ -52,13 +269,36 @@ def make_crs_transform_udf(src: str, dst: str, strict: bool = False):
     coordinates")."""
     src_n, dst_n = src.upper(), dst.upper()
 
+    def to_4326(code: str):
+        """Return fn (x, y) -> (lon, lat), or None if unsupported."""
+        if code == "EPSG:4326":
+            return lambda x, y: (x, y)
+        if code == "EPSG:3857":
+            return _webmercator_to_lonlat
+        utm = parse_utm_epsg(code)
+        if utm:
+            return lambda x, y: utm_inverse_np(x, y, *utm)
+        return None
+
+    def from_4326(code: str):
+        """Return fn (lon, lat) -> (x, y), or None if unsupported."""
+        if code == "EPSG:4326":
+            return lambda x, y: (x, y)
+        if code == "EPSG:3857":
+            return _lonlat_to_webmercator
+        utm = parse_utm_epsg(code)
+        if utm:
+            return lambda x, y: utm_forward_np(x, y, *utm)
+        return None
+
     def pick():
         if src_n == dst_n:
             return lambda x, y: (x, y)
-        if (src_n, dst_n) == ("EPSG:4326", "EPSG:3857"):
-            return _lonlat_to_webmercator
-        if (src_n, dst_n) == ("EPSG:3857", "EPSG:4326"):
-            return _webmercator_to_lonlat
+        # any supported pair routes through the 4326 hub (how PROJ
+        # pipelines compose too); 4326 legs are identity lambdas
+        inv, fwd = to_4326(src_n), from_4326(dst_n)
+        if inv is not None and fwd is not None:
+            return lambda x, y: fwd(*inv(x, y))
         if strict:
             raise ValueError(f"unsupported CRS pair {src} -> {dst}")
         return lambda x, y: (x, y)  # reference fallback behavior

@@ -449,3 +449,86 @@ register(
         tags=("source", "json"),
     )
 )
+
+
+# ------------------------------------------------- UTM reprojection (F8)
+
+
+_UTM_ZONE_DELHI = 43  # Delhi bbox (76.95-77.55 E) sits in UTM zone 43N
+
+
+def _crs_utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/U3 — pixel ingest through a non-4326 CRS: reproject every
+    fixture pixel to UTM zone 43N (the reference's Sentinel/VIIRS
+    exports over North India arrive in arbitrary ``src.crs``, commonly
+    UTM — fix_transparency.py:71-74) and aggregate into 10 km easting/
+    northing grid cells (count + stable mean).
+
+    The forward transform is the 6th-order Krüger series emitted as
+    portable SQL (``functions.crs.utm_forward_steps``) and folded via
+    ``F.expr`` — pure JVM column math inside whole-stage codegen, no
+    Python/UDF in the loop; the oracle evaluates the IDENTICAL
+    expression chain in DuckDB. Projected meters are rounded to 3 dp
+    before bucketing so libm ulp differences cannot flip a cell."""
+    from ..functions.crs import utm_forward_steps
+    from ..functions.stable import DECIMAL, stable_round
+
+    df = _pixels(spark).filter(F.col("value").isNotNull()).select(
+        "dataset", "lon", "lat", "value"
+    )
+    for name, expr in utm_forward_steps("lon", "lat", _UTM_ZONE_DELHI):
+        df = df.withColumn(name, F.expr(expr))
+    # stable_round (floor-form) instead of engine round: a /count
+    # quotient can land exactly on a 6 dp midpoint, which Spark and
+    # DuckDB round() tie-break differently.
+    mean_val = stable_round(
+        F.sum(F.col("value").cast(DECIMAL)).cast("double")
+        / F.count("value"),
+        6,
+    )
+    return (
+        df.withColumn(
+            "cell_e", F.floor(F.col("utm_e") / 10000).cast("long")
+        )
+        .withColumn("cell_n", F.floor(F.col("utm_n") / 10000).cast("long"))
+        .groupBy("dataset", "cell_e", "cell_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            mean_val.alias("mean_value"),
+        )
+    )
+
+
+def _crs_utm_grid_oracle() -> str:
+    from ..functions.crs import sql_utm_forward_select
+    from ..functions.stable import DECIMAL, sql_stable_round
+
+    projected = sql_utm_forward_select(
+        f"""SELECT dataset, lon, lat, value
+            FROM read_parquet('{_PX}') WHERE value IS NOT NULL""",
+        "lon",
+        "lat",
+        _UTM_ZONE_DELHI,
+    )
+    mean_val = sql_stable_round(
+        f"cast(sum(cast(value as {DECIMAL})) as double) / count(value)", 6
+    )
+    return f"""
+        SELECT dataset,
+               CAST(floor(utm_e / 10000) AS BIGINT) AS cell_e,
+               CAST(floor(utm_n / 10000) AS BIGINT) AS cell_n,
+               count(*) AS n_px,
+               {mean_val} AS mean_value
+        FROM ({projected})
+        GROUP BY dataset, cell_e, cell_n
+    """
+
+
+register(
+    Query(
+        name="crs_utm_grid",
+        spark=_crs_utm_grid,
+        oracle=_crs_utm_grid_oracle(),
+        tags=("geo", "F8", "U3", "crs"),
+    )
+)

@@ -76,13 +76,190 @@ def test_crs_roundtrip_webmercator(spark):
 
 def test_crs_identity_fallback(spark):
     """F8 — unsupported pair falls back to identity (the reference's
-    try/except, fix_transparency.py:71-74); strict mode raises."""
+    try/except, fix_transparency.py:71-74); strict mode raises.
+    EPSG:27700 (OSGB, needs a datum shift) is deliberately out of scope."""
     df = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
-    ident = make_crs_transform_udf("EPSG:32643", "EPSG:4326")
+    ident = make_crs_transform_udf("EPSG:27700", "EPSG:4326")
     r = df.select(ident(F.col("x"), F.col("y")).alias("o")).collect()[0].o
     assert (r.x, r.y) == (1.0, 2.0)
     with pytest.raises(ValueError, match="unsupported CRS pair"):
-        make_crs_transform_udf("EPSG:32643", "EPSG:4326", strict=True)
+        make_crs_transform_udf("EPSG:27700", "EPSG:4326", strict=True)
+
+
+# ------------------------------------------------------------- UTM (F8)
+
+
+def _snyder_utm_forward(lon, lat, zone):
+    """Independent check implementation: Snyder 1987 (USGS PP 1395,
+    eqs. 8-9..8-15) Redfearn-style UTM forward — a DIFFERENT public
+    series from the Krüger expansion under test. Agreement is ~0.1 mm
+    within a zone."""
+    import numpy as np
+
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    phi = np.radians(lat)
+    lam = np.radians(lon - (zone * 6 - 183))
+    N = a / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+    T = np.tan(phi) ** 2
+    C = ep2 * np.cos(phi) ** 2
+    A = lam * np.cos(phi)
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+        * np.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+        - (35 * e2**3 / 3072) * np.sin(6 * phi)
+    )
+    x = (
+        k0
+        * N
+        * (
+            A
+            + (1 - T + C) * A**3 / 6
+            + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+        )
+        + 500000.0
+    )
+    y = k0 * (
+        M
+        + N
+        * np.tan(phi)
+        * (
+            A**2 / 2
+            + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    return x, y
+
+
+def test_utm_forward_matches_snyder():
+    """Krüger series vs the independent Snyder series: < 1 mm across a
+    grid spanning the zone width and ±80° latitude."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import utm_forward_np
+
+    lon = np.linspace(72.5, 77.5, 21)  # zone 43 spans 72-78
+    lat = np.linspace(-80.0, 80.0, 41)
+    LON, LAT = np.meshgrid(lon, lat)
+    e1, n1 = utm_forward_np(LON.ravel(), LAT.ravel(), 43)
+    e2, n2 = _snyder_utm_forward(LON.ravel(), LAT.ravel(), 43)
+    assert np.abs(e1 - e2).max() < 1e-3
+    assert np.abs(n1 - n2).max() < 1e-3
+
+
+def test_utm_central_meridian_anchors():
+    """Closed-form anchors: E is exactly 500 km on the central meridian;
+    N equals k0 × the meridian arc, checked against a NUMERICALLY
+    INTEGRATED arc length (independent of any series)."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import utm_forward_np
+
+    a, f, k0 = 6378137.0, 1 / 298.257223563, 0.9996
+    e2 = f * (2 - f)
+    e, n = utm_forward_np(np.array([75.0]), np.array([40.0]), 43)
+    assert e[0] == pytest.approx(500000.0, abs=1e-6)
+    phi = np.linspace(0.0, np.radians(40.0), 2_000_001)
+    integrand = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    arc = np.trapz(integrand, phi)
+    assert n[0] == pytest.approx(k0 * arc, abs=1e-3)
+    # equator → N = 0; southern hemisphere false northing
+    _, n0 = utm_forward_np(np.array([74.0]), np.array([0.0]), 43)
+    assert n0[0] == pytest.approx(0.0, abs=1e-9)
+    es, ns = utm_forward_np(np.array([75.0]), np.array([-40.0]), 43,
+                            south=True)
+    assert ns[0] == pytest.approx(10000000.0 - k0 * arc, abs=1e-3)
+
+
+def test_utm_roundtrip_property():
+    """forward ∘ inverse = identity to < 1e-9 degrees over random points
+    spanning the zone (the reference's arbitrary-src.crs contract)."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        utm_forward_np,
+        utm_inverse_np,
+    )
+
+    rng = np.random.default_rng(1234)
+    lon = 75.0 + rng.uniform(-3, 3, 5000)
+    lat = rng.uniform(-84, 84, 5000)
+    e, n = utm_forward_np(lon, lat, 43)
+    lon2, lat2 = utm_inverse_np(e, n, 43)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # south variant
+    e, n = utm_forward_np(lon, -np.abs(lat), 43, south=True)
+    lon2, lat2 = utm_inverse_np(e, n, 43, south=True)
+    assert np.abs(lon2 - lon).max() < 1e-9
+
+
+def test_utm_udf_and_chain(spark):
+    """F8/U3 — EPSG:32643↔4326 through the pandas-UDF surface, plus the
+    chained 32643→3857 route (UTM → 4326 hub → Web Mercator)."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import utm_forward_np
+
+    df = spark.createDataFrame(
+        [(77.2, 28.6), (73.9, 15.5), (76.0, -10.0)], ["lon", "lat"]
+    )
+    fwd = make_crs_transform_udf("EPSG:4326", "EPSG:32643")
+    back = make_crs_transform_udf("EPSG:32643", "EPSG:4326")
+    out = (
+        df.withColumn("m", fwd(F.col("lon"), F.col("lat")))
+        .withColumn("r", back(F.col("m.x"), F.col("m.y")))
+        .collect()
+    )
+    for r in out:
+        ee, nn = utm_forward_np(np.array([r.lon]), np.array([r.lat]), 43)
+        assert r.m.x == pytest.approx(ee[0], abs=1e-6)
+        assert r.m.y == pytest.approx(nn[0], abs=1e-6)
+        assert r.r.x == pytest.approx(r.lon, abs=1e-9)
+        assert r.r.y == pytest.approx(r.lat, abs=1e-9)
+    chained = make_crs_transform_udf("EPSG:32643", "EPSG:3857")
+    direct = make_crs_transform_udf("EPSG:4326", "EPSG:3857")
+    got = (
+        df.withColumn("m", fwd(F.col("lon"), F.col("lat")))
+        .withColumn("wm", chained(F.col("m.x"), F.col("m.y")))
+        .withColumn("wd", direct(F.col("lon"), F.col("lat")))
+        .collect()
+    )
+    for r in got:
+        assert r.wm.x == pytest.approx(r.wd.x, abs=1e-6)
+        assert r.wm.y == pytest.approx(r.wd.y, abs=1e-6)
+
+
+def test_utm_sql_steps_match_numpy(spark):
+    """The portable-SQL forward chain (the relational scale path, no
+    Python) agrees with the NumPy reference after the 3 dp round."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        utm_forward_np,
+        utm_forward_steps,
+    )
+
+    rng = np.random.default_rng(7)
+    lon = (75.0 + rng.uniform(-3, 3, 500)).tolist()
+    lat = rng.uniform(5, 40, 500).tolist()
+    df = spark.createDataFrame(list(zip(lon, lat)), ["lon", "lat"])
+    for name, expr in utm_forward_steps("lon", "lat", 43):
+        df = df.withColumn(name, F.expr(expr))
+    got = df.select("lon", "lat", "utm_e", "utm_n").collect()
+    e_ref, n_ref = utm_forward_np(np.array(lon), np.array(lat), 43)
+    ref = {
+        (lo, la): (round(e, 3), round(n, 3))
+        for lo, la, e, n in zip(lon, lat, e_ref, n_ref)
+    }
+    for r in got:
+        re_, rn_ = ref[(r.lon, r.lat)]
+        assert r.utm_e == pytest.approx(re_, abs=1e-3)
+        assert r.utm_n == pytest.approx(rn_, abs=1e-3)
 
 
 def test_render_layer_map_selection():
