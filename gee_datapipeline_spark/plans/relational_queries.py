@@ -918,3 +918,104 @@ register(
         tags=("merge", "cdc", "outer-join"),
     )
 )
+
+
+# --------------------------------------------- TPC-H Q11 shape (analog)
+
+# The driver testdata has no partsupp table, so the Q11 "important
+# stock" shape runs over a DERIVED partsupp analog: per (partkey,
+# suppkey) shipped value aggregated from lineitem. Same plan skeleton as
+# the real Q11: derive → broadcast-join the nation-filtered supplier
+# dim → per-part value → HAVING against a global-scalar fraction.
+STOCK_NATION = "NATION_7"
+STOCK_FRACTION = 1e-3  # Q11 uses 0.0001/SF; sized to this data
+
+
+def _supplier_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts whose stock value (held by suppliers of
+    one nation) exceeds a fixed fraction of that nation's total.
+
+    Scale shape: ONE fact shuffle builds the derived partsupp (groupBy
+    partkey,suppkey with map-side partials); supplier⋈nation is
+    broadcast; the global total is a scalar broadcast-joined back
+    (never a second fact scan — it reuses the per-part aggregate).
+    Every accumulation is exact DECIMAL end-to-end; both engines cast
+    the identical decimals to double for the threshold compare, so the
+    boundary set cannot diverge."""
+    dec = "decimal(30,6)"
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == STOCK_NATION
+    )
+    nat_sup = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    partsupp = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast(dec)
+            ).alias("ps_value")
+        )
+    )
+    per_part = (
+        partsupp.join(
+            F.broadcast(nat_sup),
+            partsupp.l_suppkey == nat_sup.s_suppkey,
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("ps_value").alias("part_value"))
+    )
+    grand = per_part.agg(F.sum("part_value").alias("g"))
+    return (
+        per_part.crossJoin(F.broadcast(grand))
+        .filter(
+            F.col("part_value").cast("double")
+            > F.col("g").cast("double") * F.lit(STOCK_FRACTION)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            stable_round(F.col("part_value").cast("double"), 2).alias(
+                "stock_value"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="supplier_stock_value",
+        spark=_supplier_stock_value,
+        oracle=f"""
+            WITH nat_sup AS (
+                SELECT s_suppkey
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = '{STOCK_NATION}'
+            ),
+            partsupp AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,6))) AS ps_value
+                FROM lineitem GROUP BY 1, 2
+            ),
+            per_part AS (
+                SELECT l_partkey, sum(ps_value) AS part_value
+                FROM partsupp JOIN nat_sup ON l_suppkey = s_suppkey
+                GROUP BY 1
+            ),
+            grand AS (SELECT sum(part_value) AS g FROM per_part)
+            SELECT l_partkey AS partkey,
+                   {{stable_round_sql}} AS stock_value
+            FROM per_part, grand
+            WHERE CAST(part_value AS DOUBLE)
+                  > CAST(g AS DOUBLE) * {STOCK_FRACTION!r}
+        """.replace(
+            "{stable_round_sql}",
+            "floor(CAST(part_value AS DOUBLE) * 100.0 + 0.5) / 100.0",
+        ),
+        tags=("join", "aggregation", "subquery", "tpch-q11"),
+    )
+)

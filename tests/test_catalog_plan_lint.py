@@ -65,6 +65,7 @@ BNLJ_WHITELIST = {
     "ann_lsh",
     "ann_lsh_recall",
     "pq_codes",
+    "supplier_stock_value",  # global-scalar threshold broadcast (Q11)
 }
 
 LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)
