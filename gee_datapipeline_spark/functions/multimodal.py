@@ -33,7 +33,8 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = (
-    "media_id long, frame_idx int, frame_ts_ms int, sha256 string"
+    "media_id long, frame_idx int, frame_ts_ms int, sha256 string, "
+    "mean_y double"
 )
 
 AUDIO_FEATURE_SCHEMA = (
@@ -204,26 +205,62 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = True
 ) -> DataFrame:
     """Video frame sampling: one output row per sampled frame (UDTF
-    shape — mapInPandas yielding more rows than it consumes)."""
+    shape — mapInPandas yielding more rows than it consumes).
+
+    ``fake=False`` decodes REAL Y4M (YUV4MPEG2) payloads with the
+    in-repo pure-Python codec (``functions.videocodec`` — same family
+    as the PNG/WAV codecs): sample timestamps walk [0, duration) in
+    ``every_ms`` steps, each maps to the frame whose presentation
+    interval contains it (``ts·fps_num // (1000·fps_den)``), and each
+    sampled frame reports the sha256 of its luma plane plus its mean
+    luma. Undecodable payloads yield zero rows — corrupt media is data,
+    not an error. ``fake=True`` keeps the plumbing-only deterministic
+    hash fan-out (payload‖ts) for synthetic media with no real bytes;
+    its ``mean_y`` is NULL."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .videocodec import decode_y4m, y4m_duration_ms
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 if r["payload"] is None or r["kind"] != "video":
                     continue
-                duration = int(r["duration_ms"] or 0)
-                if not fake:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real frame extraction requires ffmpeg bindings"
+                if fake:
+                    duration = int(r["duration_ms"] or 0)
+                    for i, ts in enumerate(
+                        range(0, max(duration, 1), every_ms)
+                    ):
+                        h = hashlib.sha256(
+                            bytes(r["payload"]) + ts.to_bytes(4, "big")
+                        ).hexdigest()
+                        rows.append((r["media_id"], i, ts, h, None))
+                    continue
+                try:
+                    frames, fps = decode_y4m(bytes(r["payload"]))
+                except ValueError:
+                    continue
+                nf = len(frames)
+                duration = y4m_duration_ms(nf, fps)
+                num, den = fps
+                for ts in range(0, max(int(duration), 1), every_ms):
+                    fi = min(nf - 1, ts * num // (1000 * den))
+                    plane = frames[fi]
+                    rows.append(
+                        (
+                            r["media_id"],
+                            int(fi),
+                            ts,
+                            hashlib.sha256(plane.tobytes()).hexdigest(),
+                            float(plane.mean()),
+                        )
                     )
-                for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
-                    h = hashlib.sha256(
-                        bytes(r["payload"]) + ts.to_bytes(4, "big")
-                    ).hexdigest()
-                    rows.append((r["media_id"], i, ts, h))
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "frame_ts_ms", "sha256"]
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms", "sha256",
+                    "mean_y",
+                ],
             ).astype(
                 {"frame_idx": "int32", "frame_ts_ms": "int32"}
             )

@@ -221,6 +221,57 @@ register(
 )
 
 
+def _multimodal_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction differential: Spark decodes actual
+    Y4M (YUV4MPEG2) payload bytes with the in-repo pure-Python codec
+    (``functions.videocodec`` — mono and 420 streams, same family as
+    the PNG/WAV codecs) through the UDTF-shaped ``sample_frames`` path,
+    sampling at the exact frame period (40 ms @ F25:1) so every frame
+    is sampled once. The oracle reads the generator's closed-form
+    expectations: per-frame-constant luma planes make each frame's mean
+    luma its fill value. Truncated streams (exp_video_ok=false) must
+    yield zero rows — corrupt media is data, not an error."""
+    from ..functions.multimodal import sample_frames
+    from ..functions.stable import stable_round
+
+    media = _media_fixture(spark).select(
+        "media_id",
+        "kind",
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        "payload",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=40, fake=False)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("sha256").alias("n_distinct_frames"),
+        F.max("frame_idx").alias("last_frame_idx"),
+        stable_round(F.avg("mean_y"), 4).alias("mean_y4"),
+    )
+
+
+register(
+    Query(
+        name="multimodal_frames_real",
+        spark=_multimodal_frames_real,
+        oracle=f"""
+            SELECT media_id,
+                   exp_n_frames AS n_frames,
+                   exp_n_frames AS n_distinct_frames,
+                   CAST(exp_n_frames - 1 AS INTEGER) AS last_frame_idx,
+                   floor(exp_frame_luma_sum / exp_n_frames * 10000.0
+                         + 0.5) / 10000.0 AS mean_y4
+            FROM read_parquet('{_media_fixture_path()}')
+            WHERE kind = 'video' AND exp_video_ok
+        """,
+        tags=("multimodal", "codec", "video"),
+    )
+)
+
+
 def _audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode differential: Spark parses actual RIFF/WAVE
     bytes (``functions.audiocodec``); the oracle reads closed-form

@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 2
+FIXTURES_VERSION = 3
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -108,6 +108,9 @@ _MEDIA_ARROW = pa.schema(
         ("exp_duration_ms", pa.float64()),
         ("exp_rms", pa.float64()),
         ("exp_zero_crossings", pa.int64()),
+        ("exp_video_ok", pa.bool_()),
+        ("exp_n_frames", pa.int64()),
+        ("exp_frame_luma_sum", pa.float64()),
     ]
 )
 
@@ -115,25 +118,31 @@ _MEDIA_ARROW = pa.schema(
 def media_rows(n: int = 60) -> list[tuple]:
     """Deterministic media payloads with closed-form expected features.
 
-    Five kinds cycle by ``media_id``: constant-gray PNG, constant-RGB
-    PNG, constant-RGB BMP, ±amp square-wave WAV, and an undecodable
-    binary blob. Constant images make the expected mean luma an exact
-    closed form (Rec.601 of the constant color); the square wave makes
-    RMS exactly the amplitude and zero-crossings exactly n-1 — so the
-    oracle needs no codec, only these stored expectations."""
+    Six kinds cycle by ``media_id``: constant-gray PNG, constant-RGB
+    PNG, constant-RGB BMP, ±amp square-wave WAV, an undecodable binary
+    blob, and a Y4M video of per-frame-constant luma planes. Constant
+    images make the expected mean luma an exact closed form (Rec.601 of
+    the constant color); the square wave makes RMS exactly the amplitude
+    and zero-crossings exactly n-1; constant video frames make each
+    frame's mean luma exactly its fill value (stored as the per-video
+    sum) — so the oracle needs no codec, only these stored
+    expectations. Videos with ``media_id % 24 == 11`` are truncated
+    mid-frame (``exp_video_ok=false``) to pin the corrupt-payload path."""
     import numpy as np
 
     from ..functions.audiocodec import encode_wav
     from ..functions.imagecodec import encode_bmp, encode_png
+    from ..functions.videocodec import encode_y4m
 
     rows = []
     for i in range(n):
-        m = i % 5
+        m = i % 6
         w, h = 4 + i % 13, 3 + i % 7
-        img_ok = audio_ok = False
+        img_ok = audio_ok = video_ok = False
         width = height = 0
         luma = None
         sr, ns, dur, rms, zc = 0, 0, 0.0, 0.0, 0
+        nframes, luma_sum = 0, 0.0
         if m == 0:
             v = (i * 37) % 256
             payload = encode_png(np.full((h, w), v, dtype=np.uint8))
@@ -164,12 +173,36 @@ def media_rows(n: int = 60) -> list[tuple]:
             kind, mime = "audio", "audio/wav"
             audio_ok, sr = True, 16_000
             dur, rms, zc = 1000.0 * ns / 16_000, float(amp), ns - 1
-        else:
+        elif m == 4:
             payload = f"opaque payload #{i} - not decodable media".encode()
             kind, mime, ns = "binary", "application/octet-stream", 0
+        else:
+            # Y4M video: per-frame-constant luma planes, F25:1, mono and
+            # 420 alternating. Frame j fill = (17i + 31j) mod 256 —
+            # distinct within a video (31 is odd, nf ≤ 8), so
+            # n_distinct_frames == n_frames.
+            nf = 3 + i % 6
+            vw, vh = 6 + 2 * (i % 4), 4 + 2 * (i % 3)
+            fills = [(17 * i + 31 * j) % 256 for j in range(nf)]
+            frames = np.stack(
+                [np.full((vh, vw), v, dtype=np.uint8) for v in fills]
+            )
+            payload = encode_y4m(
+                frames,
+                fps=(25, 1),
+                colorspace="mono" if i % 2 == 0 else "420jpeg",
+            )
+            kind, mime = "video", "video/x-yuv4mpeg"
+            if i % 24 == 11:  # truncate mid-frame → undecodable
+                payload = payload[: len(payload) - vw * vh // 2]
+            else:
+                video_ok = True
+                nframes = nf
+                luma_sum = float(sum(fills))
         rows.append(
             (i, kind, mime, payload, img_ok, width, height, luma,
-             audio_ok, sr, ns if m == 3 else 0, dur, rms, zc)
+             audio_ok, sr, ns if m == 3 else 0, dur, rms, zc,
+             video_ok, nframes, luma_sum)
         )
     return rows
 

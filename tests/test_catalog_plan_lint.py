@@ -40,6 +40,7 @@ EXECUTING_BUILDERS = {
     "raster_ingest_tif",       # reads fixture rasters at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
+    "multimodal_frames_real",
     "audio_decode_real",
 }
 

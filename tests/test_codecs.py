@@ -341,3 +341,105 @@ def test_bpe_ish_tokens_basic(spark):
         "It", "'s", " 42", " degrees", ",", " really", "!",
     ]
     assert row["n"] == 7
+
+
+# ---------------------------------------------------------- Y4M (video)
+
+
+def test_y4m_roundtrip_mono_and_420():
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.videocodec import (
+        decode_y4m,
+        encode_y4m,
+        y4m_duration_ms,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    for cs in ("mono", "420jpeg", "420mpeg2"):
+        data = encode_y4m(frames, fps=(30, 1), colorspace=cs)
+        got, fps = decode_y4m(data)
+        assert fps == (30, 1)
+        assert got.shape == frames.shape
+        assert (got == frames).all()
+    assert y4m_duration_ms(5, (25, 1)) == 200.0
+
+
+def test_y4m_header_defaults_and_fractional_fps():
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.videocodec import decode_y4m
+
+    # hand-built stream: C token absent → 420jpeg default; NTSC fps
+    w, h = 4, 2
+    y = bytes(range(w * h))
+    c = bytes((w // 2) * (h // 2))
+    data = (
+        b"YUV4MPEG2 W4 H2 F30000:1001 Ip A1:1\n"
+        + b"FRAME\n" + y + c + c
+    )
+    frames, fps = decode_y4m(data)
+    assert fps == (30000, 1001)
+    assert frames.shape == (1, 2, 4)
+    assert frames[0, 0, 1] == 1
+
+
+def test_y4m_corrupt_raises():
+    import numpy as np
+    import pytest
+
+    from gee_datapipeline_spark.functions.videocodec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = np.zeros((2, 4, 4), dtype=np.uint8)
+    data = encode_y4m(frames, colorspace="mono")
+    with pytest.raises(ValueError):
+        decode_y4m(data[: len(data) - 3])  # truncated frame
+    with pytest.raises(ValueError):
+        decode_y4m(b"JUNKSTREAM" + data)  # bad magic
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1\n")  # zero frames
+    with pytest.raises(ValueError):
+        encode_y4m(np.zeros((1, 3, 5), dtype=np.uint8),
+                   colorspace="420jpeg")  # odd dims
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cweird\nFRAME\n" + bytes(16))
+
+
+def test_sample_frames_real_y4m(spark):
+    """Frame sampling against a known Y4M payload: every frame sampled
+    once at the frame period; constant frames → exact mean luma."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.multimodal import sample_frames
+    from gee_datapipeline_spark.functions.videocodec import encode_y4m
+
+    fills = [10, 200, 77]
+    frames = np.stack(
+        [np.full((4, 6), v, dtype=np.uint8) for v in fills]
+    )
+    payload = encode_y4m(frames, fps=(25, 1), colorspace="420jpeg")
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-yuv4mpeg", bytearray(payload), None, None,
+          None, {})],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms int, meta map<string,string>",
+    )
+    rows = sorted(
+        sample_frames(media, every_ms=40, fake=False).collect(),
+        key=lambda r: r.frame_ts_ms,
+    )
+    assert [r.frame_idx for r in rows] == [0, 1, 2]
+    assert [r.frame_ts_ms for r in rows] == [0, 40, 80]
+    assert [r.mean_y for r in rows] == [10.0, 200.0, 77.0]
+    assert len({r.sha256 for r in rows}) == 3
+    # corrupt payload → zero rows, no crash
+    bad = spark.createDataFrame(
+        [(2, "video", "video/x-yuv4mpeg", bytearray(payload[:-5]), None,
+          None, None, {})],
+        media.schema,
+    )
+    assert sample_frames(bad, every_ms=40, fake=False).count() == 0
