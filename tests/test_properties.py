@@ -167,3 +167,175 @@ def test_asof_join_null_payload_stays_atomic(spark):
         # NOT inherit "r_old" from ts=5
         ("u1", 30): (20, None),
     }
+
+
+# ------------------------------------------------ behavior-query family
+#
+# The differential gate cannot see bugs where Spark and the oracle share
+# a mistaken SQL shape, so the newest shared-shape family (funnel /
+# retention / WAU / SCD2) gets pure-Python references and invariant
+# checks over generated event logs.
+
+_EVT_BASE = datetime.datetime(2025, 3, 3, 0, 0, 0)  # a Monday
+
+
+def _queries():
+    from gee_datapipeline_spark.plans import QUERIES
+    from gee_datapipeline_spark.plans.registry import _load_all
+
+    _load_all()
+    return QUERIES
+
+
+def _write_events(tmpdir, rows):
+    """rows: [(user_id, event_type, ts_offset_seconds)] → events.parquet
+    shaped like the driver table."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                _EVT_BASE + datetime.timedelta(seconds=off)
+                for _, _, off in rows
+            ],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, t, _ in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmpdir}/events.parquet")
+    return tmpdir
+
+
+_EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=21 * 86400),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENT_ROWS)
+def test_funnel_matches_python_reference(spark, rows, tmp_path_factory):
+    """Funnel: stage counts equal an independent sequential-scan
+    reference, and are monotone non-increasing."""
+    QUERIES = _queries()
+
+    d = _write_events(str(tmp_path_factory.mktemp("ev")), rows)
+    got = {
+        r.stage: r.users
+        for r in QUERIES["funnel_conversion"].spark(spark, d).collect()
+    }
+    # python reference: min signup, then min click >= t1, then any
+    # purchase >= t2 — per user
+    users = {u for u, _, _ in rows}
+    s1 = s2 = s3 = 0
+    for u in users:
+        sign = [o for uu, t, o in rows if uu == u and t == "signup"]
+        if not sign:
+            continue
+        s1 += 1
+        t1 = min(sign)
+        clicks = [o for uu, t, o in rows if uu == u and t == "click"
+                  and o >= t1]
+        if not clicks:
+            continue
+        s2 += 1
+        t2 = min(clicks)
+        if any(o >= t2 for uu, t, o in rows
+               if uu == u and t == "purchase"):
+            s3 += 1
+    assert got.get("1_signup", 0) == s1
+    assert got.get("2_click", 0) == s2
+    assert got.get("3_purchase", 0) == s3
+    assert got.get("1_signup", 0) >= got.get("2_click", 0) >= got.get(
+        "3_purchase", 0
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENT_ROWS)
+def test_retention_cohort_invariants(spark, rows, tmp_path_factory):
+    """Retention triangle: offset-0 count equals cohort size, offsets
+    are non-negative, and no offset exceeds its cohort's size."""
+    QUERIES = _queries()
+
+    d = _write_events(str(tmp_path_factory.mktemp("ev")), rows)
+    out = QUERIES["retention_cohorts"].spark(spark, d).collect()
+    # python cohort sizes: users grouped by Monday of first event
+    first = {}
+    for u, _, o in rows:
+        first[u] = min(first.get(u, o), o)
+    cohort_size = {}
+    for u, o in first.items():
+        day = (_EVT_BASE + datetime.timedelta(seconds=o)).date()
+        monday = day - datetime.timedelta(days=day.weekday())
+        key = monday.strftime("%Y-%m-%d")
+        cohort_size[key] = cohort_size.get(key, 0) + 1
+    zero = {r.cohort_week: r.active_users for r in out
+            if r.week_offset == 0}
+    assert zero == cohort_size
+    for r in out:
+        assert r.week_offset >= 0
+        assert 0 < r.active_users <= cohort_size[r.cohort_week]
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENT_ROWS)
+def test_wau_matches_python_reference(spark, rows, tmp_path_factory):
+    """WAU: trailing-7-day distinct users per activity day equals the
+    brute-force reference; WAU(d) >= DAU(d) everywhere."""
+    QUERIES = _queries()
+
+    d = _write_events(str(tmp_path_factory.mktemp("ev")), rows)
+    got = {
+        r.window_end: r.wau
+        for r in QUERIES["weekly_active_users"].spark(spark, d).collect()
+    }
+    user_days = {
+        (u, (_EVT_BASE + datetime.timedelta(seconds=o)).date())
+        for u, _, o in rows
+    }
+    days = {day for _, day in user_days}
+    expect, dau = {}, {}
+    for day in days:
+        lo = day - datetime.timedelta(days=6)
+        expect[day.strftime("%Y-%m-%d")] = len(
+            {u for u, dd in user_days if lo <= dd <= day}
+        )
+        dau[day.strftime("%Y-%m-%d")] = len(
+            {u for u, dd in user_days if dd == day}
+        )
+    assert got == expect
+    for k, wau in got.items():
+        assert wau >= dau[k]
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENT_ROWS)
+def test_scd2_intervals_contiguous(spark, rows, tmp_path_factory):
+    """SCD2: per user, intervals are contiguous and non-overlapping
+    (valid_to == next valid_from), exactly one open current row per
+    user, and consecutive states always differ."""
+    QUERIES = _queries()
+
+    d = _write_events(str(tmp_path_factory.mktemp("ev")), rows)
+    out = QUERIES["scd2_user_state"].spark(spark, d).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == {u for u, _, _ in rows}
+    for u, recs in by_user.items():
+        recs.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in recs) == 1
+        assert recs[-1].is_current and recs[-1].valid_to is None
+        for a, b in zip(recs, recs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no overlap
+            assert a.state != b.state  # collapsed consecutive repeats
