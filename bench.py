@@ -89,6 +89,12 @@ HEADLINE = [
     "sql_surface_report",
     "key_skew_profile",
     "contract_audit",
+    # r4 additions: amortized-IVF training gate, UTM reprojection,
+    # TPC-H Q11 analog, real Y4M frame extraction
+    "ann_ivf_train",
+    "crs_utm_grid",
+    "supplier_stock_value",
+    "multimodal_frames_real",
 ]
 
 
@@ -168,38 +174,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # Round-over-round regression gate: any query >2× its time in the
-    # latest recorded BENCH_r{N}.json is flagged (and fails the run
-    # under SPARK_GRAFT_BENCH_STRICT=1). New queries have no baseline
-    # and are skipped.
+    # Round-over-round regression gate: any query >20% over its time in
+    # the latest recorded BENCH_r{N}.json is annotated; >2× fails the
+    # run under SPARK_GRAFT_BENCH_STRICT=1. New queries have no
+    # baseline and are skipped. A regression without an annotation is
+    # indistinguishable from an unnoticed one, so the reporting
+    # threshold is deliberately much tighter than the failure one.
     regressions: dict[str, str] = {}
-    # Known, intentional slowdowns (semantics changed on purpose) —
-    # reported under "expected_deltas", not flagged as regressions:
-    #   asof_clicks_to_errors: row-atomic struct carry (NULL-payload
-    #     correctness fix) costs ~1.4x on the window stage.
-    #   minhash_lsh_pairs / simhash_pairs: gate entries switched to the
-    #     DuckDB-reproducible md5perm/md5hex hash families to gain full
-    #     value-hash oracles (~1.3-1.7x vs xxhash64 production family).
-    #   ann_ivf: gate entry switched to exact mode (md5 seed order +
-    #     decimal dots) to gain a FULL k-means-inclusive oracle; the
-    #     double-dot production path remains available via exact=False.
+    # Known deltas (annotated, not flagged): either the semantics
+    # changed on purpose, or the query is measured-noisy on this VM
+    # (re-measured solo across fresh sessions, timing swings with
+    # session state / vCPU steal, plan unchanged).
     expected = {
-        "asof_clicks_to_errors",
-        "minhash_lsh_pairs",
-        "simhash_pairs",
-        "ann_ivf",
+        "asof_clicks_to_errors": "row-atomic struct carry, NULL-payload "
+        "correctness fix, ~1.4x on the window stage",
+        "minhash_lsh_pairs": "DuckDB-reproducible md5perm hash family "
+        "for the full value-hash oracle (~1.3-1.7x vs xxhash64)",
+        "simhash_pairs": "DuckDB-reproducible md5hex hash family for "
+        "the full value-hash oracle",
+        "ann_ivf": "exact-mode gate (md5 seeds + decimal dots) for the "
+        "k-means-inclusive oracle; quantizer now cached (r4)",
+        "text_quality": "session-state noise: solo re-measure spans "
+        "0.43-1.08s across fresh sessions, plan untouched since r2",
+        "audio_decode_real": "proven noise class: r3's 1.62x vanished "
+        "on the r4 solo run (0.512 -> 0.296s)",
+        "multimodal_decode_real": "same noise class as "
+        "audio_decode_real (r3 0.480 -> r4 solo 0.355s)",
     }
     expected_deltas: dict[str, str] = {}
+    hard_regressions = False
     baseline = latest_bench_baseline()
     if baseline is not None:
         base_name, base = baseline
         for name, sec in timings.items():
             prev = base.get("queries", {}).get(name)
-            if prev and prev > 0 and sec > 2.0 * prev:
+            if prev and prev > 0 and sec > 1.2 * prev:
+                note = f"{prev}s -> {sec}s vs {base_name}"
                 if name in expected:
-                    expected_deltas[name] = f"{prev}s -> {sec}s vs {base_name}"
+                    expected_deltas[name] = f"{note} ({expected[name]})"
                 else:
-                    regressions[name] = f"{prev}s -> {sec}s vs {base_name}"
+                    regressions[name] = note
+                    hard_regressions = hard_regressions or sec > 2.0 * prev
 
     print(
         json.dumps(
@@ -221,8 +236,10 @@ def main() -> None:
         )
     )
     if regressions:
-        print(f"REGRESSIONS >2x: {regressions}", file=sys.stderr)
-        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+        print(f"REGRESSIONS >20%: {regressions}", file=sys.stderr)
+        if hard_regressions and os.environ.get(
+            "SPARK_GRAFT_BENCH_STRICT"
+        ) == "1":
             sys.exit(1)
 
 
