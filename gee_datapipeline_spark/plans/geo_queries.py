@@ -532,3 +532,71 @@ register(
         tags=("geo", "F8", "U3", "crs"),
     )
 )
+
+
+# ----------------------------------------- Z-order layout (scale design)
+
+
+_Z_BUCKET_SHIFT = 6  # 64 consecutive Morton codes per bucket
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order clustering audit: interleave each pixel's grid
+    (x, y) into its Z-code (``functions.geo.z_order_key`` — the sort
+    key the raster sink writes by, so row-group min/max stats prune
+    2-D ranges), bucket consecutive codes, and report each bucket's
+    row count and bbox span. The span stays small precisely because
+    the curve preserves locality — the layout property that makes
+    Z-ordering the standard multi-dimensional file-clustering technique
+    at 100 TB. All-integer arithmetic, so the oracle mirrors it
+    exactly."""
+    from ..functions.geo import z_order_key
+
+    px = _pixels(spark)
+    return (
+        px.withColumn("z", z_order_key(F.col("x"), F.col("y")))
+        .withColumn(
+            "z_bucket", F.shiftright("z", _Z_BUCKET_SHIFT).cast("long")
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+            (
+                (F.max("x") - F.min("x")) + (F.max("y") - F.min("y"))
+            ).alias("bbox_span"),
+        )
+    )
+
+
+def _sql_morton(xe: str, ye: str, bits: int = 16) -> str:
+    """DuckDB mirror of ``z_order_key``: Σ_b ((x>>b)&1)·4^b·(1 + 2·[y])
+    written with multiplication by precomputed powers (exact BIGINT
+    arithmetic — no float anywhere, so parity is structural)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xe}) // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"((({ye}) // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+register(
+    Query(
+        name="zorder_layout",
+        spark=_zorder_layout,
+        oracle=f"""
+            SELECT CAST({_sql_morton('x', 'y')} // {1 << _Z_BUCKET_SHIFT}
+                        AS BIGINT) AS z_bucket,
+                   count(*) AS n_px,
+                   min(x) AS min_x, max(x) AS max_x,
+                   min(y) AS min_y, max(y) AS max_y,
+                   (max(x) - min(x)) + (max(y) - min(y)) AS bbox_span
+            FROM read_parquet('{_PX}')
+            GROUP BY 1
+        """,
+        tags=("geo", "layout", "zorder"),
+    )
+)

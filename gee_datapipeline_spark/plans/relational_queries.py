@@ -935,13 +935,17 @@ def _supplier_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 analog: parts whose stock value (held by suppliers of
     one nation) exceeds a fixed fraction of that nation's total.
 
-    Scale shape: ONE fact shuffle builds the derived partsupp (groupBy
-    partkey,suppkey with map-side partials); supplier⋈nation is
-    broadcast; the global total is a scalar broadcast-joined back
-    (never a second fact scan — it reuses the per-part aggregate).
-    Every accumulation is exact DECIMAL end-to-end; both engines cast
-    the identical decimals to double for the threshold compare, so the
-    boundary set cannot diverge."""
+    Scale shape: the nation filter is a broadcast SEMI-join applied to
+    the fact BEFORE the heavy aggregate — filtering on a group key
+    commutes with groupBy, so only the ~1/|nations| surviving rows pay
+    the (partkey, suppkey) shuffle (the oracle filters after the
+    aggregate; identical result, this order is the 100 TB plan). ONE
+    fact shuffle builds the derived partsupp with map-side partials;
+    the global total is a scalar broadcast-joined back (never a second
+    fact scan — it reuses the per-part aggregate). Every accumulation
+    is exact DECIMAL end-to-end; both engines cast the identical
+    decimals to double for the threshold compare, so the boundary set
+    cannot diverge."""
     dec = "decimal(30,6)"
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
@@ -951,8 +955,13 @@ def _supplier_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_sup = sup.join(
         F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
     ).select("s_suppkey")
+    li_nat = li.join(
+        F.broadcast(nat_sup),
+        li.l_suppkey == nat_sup.s_suppkey,
+        "left_semi",
+    )
     partsupp = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li_nat.groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(
                 (
@@ -961,13 +970,8 @@ def _supplier_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ps_value")
         )
     )
-    per_part = (
-        partsupp.join(
-            F.broadcast(nat_sup),
-            partsupp.l_suppkey == nat_sup.s_suppkey,
-        )
-        .groupBy("l_partkey")
-        .agg(F.sum("ps_value").alias("part_value"))
+    per_part = partsupp.groupBy("l_partkey").agg(
+        F.sum("ps_value").alias("part_value")
     )
     grand = per_part.agg(F.sum("part_value").alias("g"))
     return (
