@@ -162,3 +162,53 @@ def test_cosine_zero_norm_guard(spark):
     }
     assert assigned[2] == 1  # zero vector: sim -2 everywhere → lowest cid
     assert assigned[1] == 1 and assigned[3] == 2
+
+
+def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
+    """The build-once quantizer artifact: (a) a second call with the
+    same corpus serves bit-identical centroids from the cache, (b) any
+    corpus change flips the fingerprint and retrains — never a stale
+    read."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.functions.similarity import (
+        ivf_centroids,
+        ivf_centroids_cached,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float((3 * i) % 5), 1.0]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    cache = str(tmp_path / "artifacts")
+    kw = dict(n_centroids=4, lloyd_iters=1, exact=True, cache_dir=cache)
+    first = sorted(
+        ivf_centroids_cached(vecs, **kw).collect(), key=lambda r: r.cid
+    )
+    assert len(os.listdir(cache)) == 1
+    again = sorted(
+        ivf_centroids_cached(vecs, **kw).collect(), key=lambda r: r.cid
+    )
+    assert [(r.cid, r.c_emb) for r in again] == [
+        (r.cid, r.c_emb) for r in first
+    ]
+    fresh = sorted(
+        ivf_centroids(vecs, n_centroids=4, lloyd_iters=1, exact=True)
+        .collect(),
+        key=lambda r: r.cid,
+    )
+    assert [(r.cid, r.c_emb) for r in fresh] == [
+        (r.cid, r.c_emb) for r in first
+    ]
+    # corpus change → new fingerprint, retrain (second artifact)
+    changed = vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.array(F.lit(9.0), F.lit(9.0),
+                                             F.lit(9.0)))
+        .otherwise(F.col("embedding")),
+    )
+    got2 = ivf_centroids_cached(changed, **kw).collect()
+    assert len(os.listdir(cache)) == 2
+    assert got2  # trained successfully on the changed corpus
