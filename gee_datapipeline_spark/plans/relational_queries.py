@@ -970,9 +970,13 @@ def _supplier_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ps_value")
         )
     )
+    # part-count-sized; eager-checkpoint so the global-total branch
+    # reuses it instead of re-scanning and re-aggregating the fact
+    # (Catalyst's exchange reuse doesn't fire across the broadcast
+    # boundary here) — the pagerank/ann_ivf pattern.
     per_part = partsupp.groupBy("l_partkey").agg(
         F.sum("ps_value").alias("part_value")
-    )
+    ).localCheckpoint(eager=True)
     grand = per_part.agg(F.sum("part_value").alias("g"))
     return (
         per_part.crossJoin(F.broadcast(grand))

@@ -37,6 +37,7 @@ EXECUTING_BUILDERS = {
     "orc_roundtrip",
     "pagerank_trade_network",  # eager-checkpoints its edge table
     "ann_ivf",                 # eager-checkpoints its quantizer
+    "supplier_stock_value",    # eager-checkpoints the per-part aggregate
     "raster_ingest_tif",       # reads fixture rasters at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
