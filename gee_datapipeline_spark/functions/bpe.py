@@ -38,7 +38,7 @@ def chars(col: Column) -> Column:
             F.sequence(F.lit(1), F.length(col)),
             lambda i: col.substr(i, F.lit(1)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).when(F.length(col) == 0, F.array().cast("array<string>"))
 
 
 def merge_pair(syms: Column, left: str, right: str) -> Column:

@@ -113,3 +113,18 @@ def test_apply_bpe_matches_reference(spark):
     }
     for w in wc:
         assert got[w] == ref_apply(w, merges), w
+
+
+def test_chars_empty_string_yields_empty_array(spark):
+    """Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], which would
+    turn the empty word into a bogus ["", ""] symbol pair."""
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.functions.bpe import chars
+
+    df = spark.createDataFrame([("",), ("ab",), (None,)], "w string")
+    got = {r.w: r.c for r in df.select(
+        "w", chars(F.col("w")).alias("c")).collect()}
+    assert got[""] == []
+    assert got["ab"] == ["a", "b"]
+    assert got[None] is None

@@ -76,3 +76,38 @@ def test_rerun_determinism(spark, name):
     h1 = _result_hash(q(spark, SF_SMOKE))
     h2 = _result_hash(q(spark, SF_SMOKE))
     assert h1 == h2
+
+
+def test_corpus_checksum_null_text_parity(spark, tmp_path):
+    """NULL document text: Spark's concat_ws would silently skip the
+    field while the oracle's || would NULL the row — both sides now
+    coalesce, so the checksums stay identical."""
+    import duckdb
+    import pandas as pd
+
+    from gee_datapipeline_spark.plans import QUERIES
+    from gee_datapipeline_spark.plans.registry import _load_all
+
+    _load_all()
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["a", "a", "b"],
+            "text": ["hello", None, "world"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    q = QUERIES["corpus_checksum"]
+    got = {
+        r.source: (r.n_rows, r.checksum)
+        for r in q.spark(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2]) for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert got["a"][0] == 2  # the NULL-text row is counted, not dropped

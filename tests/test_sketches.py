@@ -60,3 +60,37 @@ def test_cms_matrix_is_monoid(spark):
 def test_cms_matrix_size_bounded(spark):
     terms = _terms(spark, [f"t{i}" for i in range(5000)])
     assert cms_build(terms).count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_cms_estimate_unseen_term_is_zero(spark):
+    """A candidate term absent from the sketched corpus must estimate 0
+    (missing matrix cells count as zero via the left join), never be
+    over-estimated from partial cell matches or silently dropped."""
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = spark.createDataFrame(
+        [("alpha alpha beta",), ("beta gamma",)], "text string"
+    )
+    terms = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    )
+    sketch = cms_build(terms)
+    probes = spark.createDataFrame(
+        [("alpha",), ("zzz-never-seen",)], "term string"
+    )
+    got = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(sketch, probes).collect()
+    }
+    assert set(got) == {"alpha", "zzz-never-seen"}
+    assert got["alpha"] >= 2  # CMS never under-estimates
+    # unseen term: every cell it hashes to is either empty (0) or a
+    # collision; with this tiny corpus at CMS width, min must be 0
+    assert got["zzz-never-seen"] == 0
