@@ -576,10 +576,12 @@ def _sql_morton(xe: str, ye: str, bits: int = 16) -> str:
     """DuckDB mirror of ``z_order_key``: Σ_b ((x>>b)&1)·4^b·(1 + 2·[y])
     written with multiplication by precomputed powers (exact BIGINT
     arithmetic — no float anywhere, so parity is structural)."""
+    xm = f"(({xe}) % {1 << bits})"  # mirror of the Spark-side bit mask
+    ym = f"(({ye}) % {1 << bits})"
     terms = []
     for b in range(bits):
-        terms.append(f"((({xe}) // {1 << b}) % 2) * {1 << (2 * b)}")
-        terms.append(f"((({ye}) // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(({xm} // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({ym} // {1 << b}) % 2) * {1 << (2 * b + 1)}")
     return "(" + " + ".join(terms) + ")"
 
 
