@@ -54,17 +54,30 @@ def cms_build(
     term_col: str = "term",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Build the sketch matrix from one row per term OCCURRENCE.
+    """Build the sketch matrix from one row per term OCCURRENCE — or,
+    with ``weight_col``, from pre-aggregated (term, count) rows: a cell
+    then sums the weights of the terms hashing to it, which is
+    bit-identical to counting the raw occurrences (CMS increments are
+    additive) but hashes each DISTINCT term once instead of once per
+    occurrence. When a term-frequency table already exists upstream,
+    the weighted form is the one to use at scale.
 
     Returns (depth, bucket, cnt) — at most depth·width rows."""
     buckets = F.array(
         *[cms_bucket(F.col(term_col), i, width) for i in range(depth)]
     )
+    cnt = (
+        F.sum(weight_col) if weight_col is not None else F.count(F.lit(1))
+    )
+    cols = [F.posexplode(buckets).alias("depth", "bucket")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col))
     return (
-        terms.select(F.posexplode(buckets).alias("depth", "bucket"))
+        terms.select(*cols)
         .groupBy("depth", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt.alias("cnt"))
     )
 
 

@@ -256,13 +256,20 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences = docs.select(
         F.explode(X.tokens(F.col("text"))).alias("term")
     )
-    exact = (
+    # Tokenize + count the corpus ONCE into a vocabulary-sized table
+    # (materialized — it feeds both branches, and without the
+    # checkpoint each branch would re-scan and re-tokenize the corpus).
+    # The sketch then builds in weighted mode: identical counters, but
+    # md5 runs per DISTINCT term, not per occurrence.
+    term_counts = (
         occurrences.groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.desc("true_count"), F.asc("term"))
-        .limit(20)
+        .localCheckpoint(eager=True)
     )
-    sketch = cms_build(occurrences)
+    exact = term_counts.orderBy(
+        F.desc("true_count"), F.asc("term")
+    ).limit(20)
+    sketch = cms_build(term_counts, weight_col="true_count")
     est = cms_estimate(sketch, exact.select("term"))
     return (
         exact.join(est, "term")

@@ -81,8 +81,17 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             "out_weight"
         )
     )
-    e = edges.join(F.broadcast(out_w), "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_weight")).alias("frac")
+    # The normalized-fraction table appears once per power step in the
+    # unrolled DAG — materialize it too, or every iteration re-runs the
+    # out_w shuffle and the broadcast build (3× repeated work r3 paid).
+    e = (
+        edges.join(F.broadcast(out_w), "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.col("out_weight")).alias("frac"),
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
