@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gee_datapipeline_spark.session import get_spark  # noqa: E402
+from gee_datapipeline_spark.session import get_spark, release_scratch  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -171,6 +171,10 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # Free the finished query's localCheckpoint scratch so dead
+        # blocks from iterative queries never tax a later query's run
+        # (the long-lived-session hygiene a real cluster job would do).
+        release_scratch(spark)
 
     total = round(sum(timings.values()), 3)
 

@@ -50,3 +50,32 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_scratch(spark: SparkSession) -> int:
+    """Unpersist every persisted / locally-checkpointed RDD still
+    registered with the session's block manager.
+
+    Iterative queries (PageRank, connected components, k-means, Q11)
+    eagerly ``localCheckpoint`` intermediate tables to truncate lineage;
+    those blocks stay in the block manager until the JVM garbage-collects
+    the last reference. In a long-lived session running many queries
+    back-to-back the dead scratch accumulates, and on a bounded driver
+    heap the resulting GC pressure surfaces as latency in *later,
+    unrelated* queries. Call between jobs (never mid-query — the blocks
+    are live until the consuming action finishes). Durable artifacts
+    (e.g. the IVF centroid cache) are parquet files on disk, not block
+    manager state, so this never invalidates them.
+
+    Returns the number of RDDs released."""
+    import gc
+
+    # Drop Python-side DataFrame references first so py4j finalizers
+    # release their JVM handles and the unpersist below reaches every
+    # dead block.
+    gc.collect()
+    rdds = spark.sparkContext._jsc.getPersistentRDDs()
+    n = len(rdds)
+    for rdd in rdds.values():
+        rdd.unpersist(False)
+    return n

@@ -111,3 +111,19 @@ def test_corpus_checksum_null_text_parity(spark, tmp_path):
     }
     assert got == want
     assert got["a"][0] == 2  # the NULL-text row is counted, not dropped
+
+
+def test_release_scratch_frees_checkpoint_blocks(spark):
+    """Session hygiene: after a query's action completes, release_scratch
+    unpersists its localCheckpoint scratch so a long-lived session never
+    accumulates dead blocks (the r4 bench fix — leftover iterative-query
+    scratch showed up as GC latency in later, unrelated queries)."""
+    from gee_datapipeline_spark.session import release_scratch
+
+    release_scratch(spark)  # start clean — other tests may leave blocks
+    df = spark.range(1000).localCheckpoint(eager=True)
+    assert df.count() == 1000
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= 1
+    del df
+    assert release_scratch(spark) >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
