@@ -767,3 +767,33 @@ def ann_lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= k
     )
+
+
+def gram_screen_pairs(ids_a, mat_a, ids_b, mat_b, cut, upper=False):
+    """Vectorized cosine screen over one tile of an exact all-pairs
+    scan: dense gram-matrix product in float64, threshold at ``cut``
+    (callers pass the gate threshold MINUS a safety margin and
+    decimal-rescore survivors, so float64-vs-decimal summation error
+    can never drop a qualifying pair). Zero-norm vectors have cosine
+    0.0 by definition, matching :func:`cosine`.
+
+    With ``upper=True`` the two sides are the same block and only the
+    strict upper triangle (id_a < id_b) is kept — one emission per
+    unordered pair. Returns (lo, hi) int64 id arrays oriented min/max.
+    """
+    import numpy as np
+
+    na = np.linalg.norm(mat_a, axis=1)
+    nb = np.linalg.norm(mat_b, axis=1)
+    denom = np.outer(na, nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, (mat_a @ mat_b.T) / denom, 0.0)
+    m = cos >= cut
+    if upper:
+        m &= ids_a[:, None] < ids_b[None, :]
+    ii, jj = np.nonzero(m)
+    xa, xb = ids_a[ii], ids_b[jj]
+    return (
+        np.minimum(xa, xb).astype("int64"),
+        np.maximum(xa, xb).astype("int64"),
+    )

@@ -17,6 +17,7 @@ from ..catalog import load_table
 from ..functions.similarity import (
     cosine,
     decimal_dot,
+    gram_screen_pairs,
     sq_norm,
     sql_cosine,
     sql_decimal_dot,
@@ -479,15 +480,90 @@ register(
 NEAR_DUP_COS = 0.35  # sized to the synthetic table: ~0.1% of pairs qualify
 
 
+NEAR_DUP_BLOCKS = 8
+# Prefilter slack: the rounded-to-6dp gate admits exact cosines down to
+# threshold - 5e-7, and float64-matmul vs decimal-fold summation differ
+# by ~1e-13 relative — 1e-5 covers both with orders of magnitude to
+# spare, while discarding essentially every true negative.
+_NEAR_DUP_MARGIN = 1e-5
+
+
+def _near_dup_candidates(e: DataFrame) -> DataFrame:
+    """Block-nested-loop exact all-pairs screen: assign each vector to
+    one of NEAR_DUP_BLOCKS blocks, replicate each row to every block
+    pair it participates in (NB-fold narrow fan-out, the analog of the
+    classic block-matmul tiling), and screen each (i, j) tile with ONE
+    vectorized NumPy gram-matrix product inside applyInPandas. Work per
+    tile is dense BLAS over ~2n/NB vectors; the shuffle is NB·n rows —
+    the optimal layout for an inherently quadratic exact screen, and
+    the tile count scales with cluster width at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
+    nb = NEAR_DUP_BLOCKS
+    cut = float(NEAR_DUP_COS) - _NEAR_DUP_MARGIN
+
+    rep = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.col("vec_id"), F.lit(nb)).alias("b"),
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("o"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "b",
+            F.least("b", "o").alias("pi"),
+            F.greatest("b", "o").alias("pj"),
+        )
+    )
+
+    def screen(key, pdf):  # noqa: ANN001 — pandas-UDF contract
+        pi, pj = int(key[0]), int(key[1])
+        left = pdf[pdf["b"] == pi]
+        right = pdf[pdf["b"] == pj] if pi != pj else left
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype(
+                {"vec_id_a": "int64", "vec_id_b": "int64"}
+            )
+        lo, hi = gram_screen_pairs(
+            left["vec_id"].to_numpy(),
+            np.stack(left["embedding"].to_numpy()).astype("float64"),
+            right["vec_id"].to_numpy(),
+            np.stack(right["embedding"].to_numpy()).astype("float64"),
+            cut,
+            # Diagonal tile compares a block against itself: keep only
+            # the strict upper triangle so each unordered pair emits
+            # once. Off-diagonal ids come from different residue
+            # classes (never equal) and orient by min/max.
+            upper=(pi == pj),
+        )
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+    return rep.groupBy("pi", "pj").applyInPandas(
+        screen, "vec_id_a long, vec_id_b long"
+    )
+
+
 def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (the dedup family's
     semantic variant): all unordered pairs with cosine ≥ threshold.
 
-    This is the exact (quadratic) correctness baseline — the 100 TB path
-    is the same predicate over LSH/IVF candidate pairs (ann_lsh /
-    ann_ivf), which both reduce the cross product to bucket-local joins.
+    Exact, in two stages: a block-matmul screen over every pair in
+    float64 with a safety margin (``_near_dup_candidates`` — dense BLAS
+    per tile, never a per-pair expression fold), then a decimal-exact
+    re-score of the tiny survivor set so the output is bit-identical to
+    the oracle's summation. The r3 single-stage form evaluated the
+    decimal fold on all n²/2 pairs through interpreted higher-order
+    functions — 188 s at sf0.1 vs ~4 s for this plan, same rows.
+
+    The 100 TB path is the same predicate over LSH/IVF candidate pairs
+    (ann_lsh / ann_ivf), which reduce the cross product further to
+    bucket-local joins; this block screen is the exact-recall fallback.
     """
     e = _emb(spark, sf_dir)
+    cand = _near_dup_candidates(e)
     with_norm = e.select(
         "vec_id", "embedding", F.sqrt(sq_norm(F.col("embedding"))).alias("norm")
     )
@@ -501,7 +577,9 @@ def _embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
-    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+    pairs = a.join(F.broadcast(cand), "vec_id_a").join(
+        b, "vec_id_b"
+    )
     scored = pairs.select(
         "vec_id_a",
         "vec_id_b",
@@ -672,24 +750,46 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_c")).alias("cluster_id"),
         F.col("b.c_cos").alias("centroid_cos"),
     ).join(with_norm, "vec_id")
-    a = assigned.select(
+    # Cluster-local near-dup pairs, two-stage like embedding_near_dup:
+    # per-cluster NumPy gram-matrix screen with a float64 margin
+    # (applyInPandas — one shuffle keyed on cluster_id, dense BLAS per
+    # cluster), then a decimal-exact re-score of the survivors so the
+    # kept/dropped decision is bit-identical to the oracle. The
+    # single-stage form evaluated the interpreted decimal fold on every
+    # within-cluster pair.
+    import numpy as np
+    import pandas as pd
+
+    sem_cut = float(SEM_TAU) - 1e-5
+
+    def screen(key, pdf):  # noqa: ANN001 — pandas-UDF contract
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": []}).astype(
+                {"vec_id_a": "int64", "vec_id_b": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        lo, hi = gram_screen_pairs(ids, mat, ids, mat, sem_cut, upper=True)
+        return pd.DataFrame({"vec_id_a": lo, "vec_id_b": hi})
+
+    cand = (
+        assigned.select("vec_id", "cluster_id", "embedding")
+        .groupBy("cluster_id")
+        .applyInPandas(screen, "vec_id_a long, vec_id_b long")
+    )
+    a = with_norm.select(
         F.col("vec_id").alias("vec_id_a"),
-        F.col("cluster_id").alias("cl_a"),
         F.col("embedding").alias("emb_a"),
         F.col("norm").alias("norm_a"),
     )
-    b = assigned.select(
+    b = with_norm.select(
         F.col("vec_id").alias("vec_id_b"),
-        F.col("cluster_id").alias("cl_b"),
         F.col("embedding").alias("emb_b"),
         F.col("norm").alias("norm_b"),
     )
     dropped = (
-        a.join(
-            b,
-            (F.col("cl_a") == F.col("cl_b"))
-            & (F.col("vec_id_a") < F.col("vec_id_b")),
-        )
+        a.join(F.broadcast(cand), "vec_id_a")
+        .join(b, "vec_id_b")
         .filter(
             F.round(
                 cosine(
