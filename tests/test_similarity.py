@@ -212,3 +212,71 @@ def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
     got2 = ivf_centroids_cached(changed, **kw).collect()
     assert len(os.listdir(cache)) == 2
     assert got2  # trained successfully on the changed corpus
+
+
+def test_near_dup_screen_margin_at_threshold(spark, tmp_path):
+    """Adversarial gate for the two-stage near-dup plan: pairs engineered
+    to land exactly AT, a hair above, and a hair below the cosine
+    threshold (where the float64 screen and the decimal re-score could
+    disagree) must match the DuckDB oracle row-for-row — proving the
+    screen margin never drops a qualifying pair and the decimal
+    re-score kills every sub-threshold candidate the screen admits."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from gee_datapipeline_spark.plans.similarity_queries import NEAR_DUP_COS
+
+    dim = 8
+    rng = np.random.default_rng(7)
+    th = float(NEAR_DUP_COS)
+
+    def at_angle(c):
+        v = np.zeros(dim)
+        v[0], v[1] = c, math.sqrt(1.0 - c * c)
+        return v
+
+    base = np.zeros(dim)
+    base[0] = 1.0
+    vecs = [
+        base,                         # 0: reference axis
+        at_angle(th),                 # 1: exactly at threshold
+        at_angle(th + 1e-7),          # 2: inside by less than margin
+        at_angle(th - 1e-7),          # 3: outside by less than margin
+        at_angle(th + 0.05),          # 4: clearly in
+        at_angle(th - 0.05),          # 5: clearly out
+        base.copy(),                  # 6: exact duplicate (cos 1)
+        np.zeros(dim),                # 7: zero vector (cos defined 0)
+    ]
+    for _ in range(56):
+        vecs.append(rng.normal(size=dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype="int64"),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": np.zeros(len(vecs), dtype="int32"),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    q = QUERIES["embedding_near_dup"]
+    got = {
+        (r.vec_id_a, r.vec_id_b): f"{r.cos_sim:.6f}"
+        for r in q.spark(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1]): f"{r[2]:.6f}"
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert got == want
+    assert (0, 6) in got          # exact duplicate found
+    assert (0, 4) in got          # clearly-in pair found
+    assert (0, 5) not in got      # clearly-out pair absent
+    assert all(0 != b or a != 7 for a, b in got)  # zero vector never pairs
