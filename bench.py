@@ -95,6 +95,12 @@ HEADLINE = [
     "crs_utm_grid",
     "supplier_stock_value",
     "multimodal_frames_real",
+    # r4 perf-sweep graduates: exact all-pairs via block gram-matrix
+    # screen + decimal re-score, SemDeDup, and the HLL accuracy gate —
+    # all rebuilt this round, kept visible here round-over-round.
+    "embedding_near_dup",
+    "semantic_dedup",
+    "approx_distinct_profile",
 ]
 
 
