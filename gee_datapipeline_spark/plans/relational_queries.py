@@ -20,7 +20,7 @@ from ..functions.stable import (
     stable_sum,
 )
 from ..operators.joins import asof_join, interval_join, value_proximity_join
-from .registry import Query, register
+from .registry import QUERIES, Query, register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -210,6 +210,48 @@ register(
             GROUP BY 1
         """,
         tags=("J4", "F1", "join"),
+    )
+)
+
+
+def _interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, the SCALE PATH: when intervals align to a calendar unit the
+    range predicate collapses to an equi-join on the bucket key
+    (date_trunc month), so the plan is a BroadcastHashJoin — O(1) probe
+    per fact row — instead of the generic broadcast nested-loop's
+    O(|spine|) predicate evaluations per row. Identical semantics and
+    oracle to ``interval_join_monthly``; at a 100 TB fact table the
+    nested-loop form multiplies the scan cost by the spine length while
+    this form adds one hash probe. This is the bucketize-first rewrite
+    the ``interval_join`` docstring prescribes for non-tiny spines."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "month_start", F.date_trunc("month", "l_shipdate").cast("date")
+    )
+    months = (
+        li.select("month_start")
+        .distinct()
+        .select(
+            "month_start",
+            F.date_format("month_start", "yyyy-MM").alias("month_label"),
+        )
+    )
+    joined = li.join(F.broadcast(months), "month_start")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("month_label").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum(revenue).alias("revenue"),
+    )
+
+
+register(
+    Query(
+        name="interval_join_bucketized",
+        spark=_interval_join_bucketized,
+        # Same result as the generic range-join form — the oracle is
+        # deliberately the BETWEEN formulation, so the gate proves the
+        # bucket rewrite is semantics-preserving, not just self-equal.
+        oracle=QUERIES["interval_join_monthly"].oracle,
+        tags=("J4", "F1", "join", "scale-path"),
     )
 )
 

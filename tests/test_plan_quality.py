@@ -389,3 +389,12 @@ def test_sql_surface_report_pushes_filter(spark):
     """The raw-SQL front door gets the same pushdown as the DSL."""
     plan = _plan(QUERIES["sql_surface_report"].spark(spark, SF_SMOKE))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_interval_join_bucketized_is_hash_join(spark):
+    """The calendar-aligned interval join must collapse to an equi-join
+    on the bucket key: BroadcastHashJoin (O(1) probe per fact row),
+    never the generic nested-loop's O(|spine|) evaluations per row."""
+    plan = _plan(QUERIES["interval_join_bucketized"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
