@@ -323,6 +323,118 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+SHINGLE_DF_CAP = 4  # drop shingles present in more than this many docs
+
+
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_jaccard_pairs` with the stop-shingle guard the exact form
+    needs on adversarial corpora: shingles whose document frequency
+    exceeds SHINGLE_DF_CAP are dropped BEFORE the self-join, and the
+    Jaccard is computed over the capped shingle sets (numerator and
+    denominator from the same filtered feature space — a well-defined
+    similarity over discriminative shingles, not a biased estimate of
+    the uncapped one).
+
+    Scale rationale: the exact self-join's candidate count is
+    sum(df²) over shingles — one boilerplate 10-million-doc shingle
+    yields 10^14 candidate pairs. The cap bounds per-shingle fan-out at
+    CAP², making the join's output linear in the shingle table no
+    matter how templated the corpus is; near-dup pairs survive because
+    the shingles that make two documents near-dups are exactly the rare
+    ones. One extra hash-agg (the DF table) + a broadcast-ready
+    semi-join against it."""
+    docs = _docs(spark, sf_dir)
+    sh = X.shingles_df(docs, "doc_id", F.col("text"))
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(keep, "shingle")
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+register(
+    Query(
+        name="ngram_jaccard_capped",
+        spark=_ngram_jaccard_capped,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                           AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            keep AS (
+                SELECT shingle FROM sh
+                GROUP BY 1 HAVING count(*) <= {SHINGLE_DF_CAP}
+            ),
+            capped AS (
+                SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+            ),
+            counts AS (
+                SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1
+            ),
+            common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_common
+                FROM capped a JOIN capped b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common
+                                          AS DOUBLE)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS jaccard
+            FROM common
+            JOIN counts ca ON ca.doc_id = doc_a
+            JOIN counts cb ON cb.doc_id = doc_b
+            WHERE floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common
+                                         AS DOUBLE)) * 1000000.0 + 0.5)
+                  / 1000000.0 >= {JACCARD_THRESHOLD}
+        """,
+        tags=("dedup", "join", "scale-path"),
+    )
+)
+
+
 # ------------------------------------------------------- vocabulary stats
 
 
