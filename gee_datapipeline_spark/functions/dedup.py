@@ -181,11 +181,16 @@ def minhash_lsh_pairs(
     text_col: Column,
     threshold: float = 0.5,
     num_hashes: int = DEFAULT_NUM_HASHES,
-    num_bands: int = DEFAULT_BANDS,
+    num_bands: int | None = None,
     shingle_n: int = 3,
     family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs with estimated Jaccard >= threshold.
+
+    ``num_bands=None`` (default) derives the band count from the
+    S-curve via :func:`pick_bands_rows`, so the banding tracks the
+    requested threshold instead of a hand-tuned constant (at the
+    defaults, 0.5 → 8×4 — unchanged from the historical value).
 
     Plan: shingle rows (codegen, shuffle-parallel) → 32-way min
     aggregate → band explode → self equi-join on (band_id, band_hash) →
@@ -194,6 +199,8 @@ def minhash_lsh_pairs(
     (b, r) S-curve, not n²."""
     from .text import shingles_df
 
+    if num_bands is None:
+        num_bands, _ = pick_bands_rows(threshold, num_hashes)
     sh = shingles_df(docs, id_col, text_col, shingle_n)
     sigs = minhash_signatures_df(sh, num_hashes, family)
 
@@ -373,3 +380,38 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def pick_bands_rows(
+    threshold: float, num_hashes: int = DEFAULT_NUM_HASHES
+) -> tuple[int, int]:
+    """S-curve-driven (bands, rows) choice for MinHash LSH (the
+    standard construction, Leskovec/Rajaraman/Ullman "Mining of Massive
+    Datasets" §3.4): a pair with Jaccard s becomes a candidate with
+    probability 1 - (1 - s^r)^b, a sigmoid whose inflection sits near
+    (1/b)^(1/r). Among the factorizations b·r = num_hashes, pick the
+    one whose inflection lands closest to ``threshold`` (in log space,
+    so 0.25-vs-0.5 and 0.5-vs-1.0 count as equal misses).
+
+    This replaces hand-tuned band counts with a measured-target choice:
+    callers state the Jaccard level they want candidates at, and the
+    curve's steepness then only improves as num_hashes grows.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    import math
+
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        inflection = (1.0 / b) ** (1.0 / r)
+        miss = abs(math.log(inflection) - math.log(threshold))
+        # ties (e.g. symmetric factorizations): prefer more rows —
+        # steeper curve, fewer false positives per candidate band
+        key = (miss, -r)
+        if best is None or key < (best[0], -best[2]):
+            best = (miss, b, r)
+    assert best is not None
+    return best[1], best[2]

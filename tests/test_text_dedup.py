@@ -209,3 +209,25 @@ def test_sampling_deterministic_and_bounded(spark):
         strat.groupBy("grp").count().select(F.max("count")).first()[0]
     )
     assert per_group == 5
+
+
+def test_pick_bands_rows_scurve():
+    """S-curve parameter choice: valid factorization, threshold
+    tracking (higher threshold => never fewer rows per band), and
+    backward compatibility with the historical hand-tuned default."""
+    from gee_datapipeline_spark.functions.dedup import (
+        DEFAULT_NUM_HASHES,
+        pick_bands_rows,
+    )
+
+    prev_r = 0
+    for t in (0.1, 0.25, 0.5, 0.75, 0.9):
+        b, r = pick_bands_rows(t)
+        assert b * r == DEFAULT_NUM_HASHES
+        assert r >= prev_r
+        prev_r = r
+    assert pick_bands_rows(0.5) == (8, 4)  # the pre-picker constant
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pick_bands_rows(1.0)
