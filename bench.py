@@ -101,6 +101,10 @@ HEADLINE = [
     "embedding_near_dup",
     "semantic_dedup",
     "approx_distinct_profile",
+    # r4 scale-path variants: calendar-bucketized interval join (hash
+    # probe vs nested-loop), DF-capped exact Jaccard (adversarial guard)
+    "interval_join_bucketized",
+    "ngram_jaccard_capped",
 ]
 
 
