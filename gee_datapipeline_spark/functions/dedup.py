@@ -238,6 +238,74 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: Column,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int | None = None,
+    shingle_n: int = 3,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup: match a NEW BATCH against an EXISTING
+    corpus index, returning (corpus_id, batch_id, est_jaccard) pairs.
+
+    This is the production ingestion shape at 100 TB: the corpus's
+    banded signatures are a build-once artifact (persist ``corpus``'s
+    side of this plan, bucketed by (band_id, band_hash)); each arriving
+    batch computes only ITS signatures and probes the index — the
+    corpus is never self-joined and never re-shingled. A daily 100 GB
+    batch against a 100 TB corpus costs O(batch) new work plus one
+    index probe, instead of the O(corpus²-candidates) full re-dedup.
+
+    The batch side is typically orders of magnitude smaller than the
+    corpus, so its exploded bands are broadcast — the corpus-side scan
+    joins with zero shuffle. Within-batch duplicates are a separate
+    (batch-only) :func:`minhash_lsh_pairs` pass, deliberately not
+    duplicated here.
+    """
+    from .text import shingles_df
+
+    if num_bands is None:
+        num_bands, _ = pick_bands_rows(threshold, num_hashes)
+
+    def banded(docs: DataFrame) -> DataFrame:
+        sh = shingles_df(docs, id_col, text_col, shingle_n)
+        sigs = minhash_signatures_df(sh, num_hashes, family)
+        return sigs.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                lsh_bands(F.col("sig"), num_bands, num_hashes)
+            ).alias("band"),
+        ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+    c, b = banded(corpus).alias("c"), F.broadcast(banded(batch)).alias("b")
+    cand = (
+        c.join(
+            b,
+            (F.col("c.band_id") == F.col("b.band_id"))
+            & (F.col("c.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("c.doc_id").alias("corpus_id"),
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.sig").alias("sig_c"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    return cand.select(
+        "corpus_id",
+        "batch_id",
+        F.round(
+            signature_agreement(F.col("sig_c"), F.col("sig_b")), 6
+        ).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
 # ------------------------------------------------------------- SimHash
 
 

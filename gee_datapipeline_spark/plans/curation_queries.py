@@ -424,3 +424,193 @@ register(
         tags=("bpe", "iterative", "llm-pipeline"),
     )
 )
+
+
+# -------------------------------------------- block-level boilerplate
+
+BLOCK_W = 5  # tokens per non-overlapping block
+BLOCK_DF_MAX = 5  # a block in >= this many distinct docs is boilerplate
+
+
+def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style duplicated-segment REMOVAL (Penedo et al. 2023):
+    docs are segmented into non-overlapping ``BLOCK_W``-token blocks;
+    any block occurring in >= ``BLOCK_DF_MAX`` distinct documents is
+    boilerplate and is cut, and the CLEANED text is reconstructed in
+    original block order. Unlike ``span_dedup`` (a stride-1 *profile*),
+    this is the mutation operator a curation pipeline actually applies.
+
+    Scale shape: block doc-frequency is one hash-aggregate on 128-bit
+    digests (map-side combined); the join back is digest-keyed; the
+    reassembly is one per-doc hash-aggregate whose collect_list is
+    bounded by the document's own block count — text never rides a
+    shuffle except inside its own doc's reassembly row."""
+    docs = _docs(spark, sf_dir)
+    blocks = (
+        docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform("
+                    f"sequence(0, cast(ceil(size(t) / {BLOCK_W}.0) as int)"
+                    f" - 1), b -> concat_ws(' ',"
+                    f" slice(t, b * {BLOCK_W} + 1, {BLOCK_W})))"
+                )
+            ).alias("block_idx", "block_text"),
+        )
+        .withColumn("h", F.md5("block_text"))
+    )
+    dfreq = blocks.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    annotated = blocks.join(dfreq, "h")
+    kept = (
+        annotated.filter(F.col("n_docs") < BLOCK_DF_MAX)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(block_idx, block_text))), s -> s.block_text)"
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    totals = blocks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+register(
+    Query(
+        name="boilerplate_removal",
+        spark=_boilerplate_removal,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            blocks AS (
+                SELECT doc_id, b AS block_idx,
+                       array_to_string(
+                           t[b * {BLOCK_W} + 1 : b * {BLOCK_W} + {BLOCK_W}],
+                           ' ') AS block_text
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(generate_series(
+                               0,
+                               CAST(ceil(len(t) / {BLOCK_W}.0) AS INTEGER) - 1
+                           )) AS b
+                    FROM toks
+                )
+            ),
+            dfreq AS (
+                SELECT md5(block_text) AS h,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM blocks GROUP BY 1
+            ),
+            kept AS (
+                SELECT doc_id,
+                       string_agg(block_text, ' ' ORDER BY block_idx)
+                           AS cleaned_text,
+                       count(*) AS n_kept
+                FROM blocks JOIN dfreq ON dfreq.h = md5(block_text)
+                WHERE n_docs < {BLOCK_DF_MAX}
+                GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(k.cleaned_text, '') AS cleaned_text,
+                   coalesce(t2.n_blocks, 0) AS n_blocks,
+                   coalesce(k.n_kept, 0) AS n_kept
+            FROM documents d
+            LEFT JOIN kept k ON k.doc_id = d.doc_id
+            LEFT JOIN totals t2 ON t2.doc_id = d.doc_id
+        """,
+        tags=("dedup", "curation", "llm-pipeline"),
+    )
+)
+
+
+# ---------------------------------------- leakage-safe train/val/test
+
+SPLIT_TRAIN_LT = 8  # hv % 10 < 8 -> train (80%)
+SPLIT_VAL_EQ = 8  # hv % 10 = 8 -> val (10%); 9 -> test
+
+
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment at the DEDUP-CLUSTER level: every doc
+    inherits its near-dup cluster's split, so near-duplicates can never
+    straddle train and eval (the contamination mode a doc-level hash
+    split invites). Composition: connected components over the n-gram
+    Jaccard pair graph (``dedup_clusters``) -> md5 hash of the cluster
+    representative -> 80/10/10 bucket. Deterministic on any engine,
+    reproducible across runs — auditable the way a published data card
+    requires."""
+    from .text_queries import _dedup_clusters
+
+    clusters = _dedup_clusters(spark, sf_dir)
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        F.when(hv < SPLIT_TRAIN_LT, "train")
+        .when(hv == SPLIT_VAL_EQ, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from .registry import QUERIES
+
+    inner = QUERIES["dedup_clusters"].oracle
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', substr("
+        f"md5(CAST(cluster_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+            SELECT doc_id, cluster_id,
+                   CASE WHEN hv < {SPLIT_TRAIN_LT} THEN 'train'
+                        WHEN hv = {SPLIT_VAL_EQ} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id, cluster_id,
+                       CAST({base} AS BIGINT) % 10 AS hv
+                FROM ( {inner} ) c
+            )
+    """
+
+
+register(
+    Query(
+        name="leakage_safe_split",
+        spark=_leakage_safe_split,
+        oracle=_leakage_split_oracle(),
+        tags=("sampling", "dedup", "llm-pipeline"),
+    )
+)

@@ -653,6 +653,107 @@ register(
 )
 
 
+# ------------------------------------- incremental (new-batch) near-dup
+
+# Deterministic corpus/batch split for the gate: sources src16..src19
+# (numeric suffix >= 16, ~20% of docs) arrive as the "new batch"; the
+# rest are the already-indexed corpus. Mirrorable in both engines as
+# integer arithmetic on the source suffix.
+INCR_BATCH_MIN_SRC = 16
+
+
+def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new batch probed against the
+    existing corpus's banded MinHash index
+    (functions.dedup.minhash_incremental_pairs). The corpus side is
+    never self-joined — at 100 TB its banded signatures are a persisted
+    artifact and each arriving batch broadcasts its own (small) banded
+    signatures into a zero-shuffle probe. Gate runs the md5perm family
+    so the full pipeline value-hashes against the DuckDB mirror."""
+    from ..functions.dedup import minhash_incremental_pairs
+
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    return minhash_incremental_pairs(
+        docs.filter(src_num < INCR_BATCH_MIN_SRC),
+        docs.filter(src_num >= INCR_BATCH_MIN_SRC),
+        "doc_id",
+        F.col("text"),
+        threshold=0.3,
+        family="md5perm",
+    )
+
+
+def _minhash_incr_oracle(
+    threshold: float = 0.3, k: int = 32, bands: int = 8
+) -> str:
+    """DuckDB mirror of the incremental md5perm MinHash probe: same
+    signature pipeline as ``_minhash_oracle``, but the join is
+    corpus-side × batch-side (disjoint by the source split), with band
+    collision again expressed as slice equality."""
+    from ..functions.dedup import MH_PERM_P, mh_perm_constants
+
+    r = k // bands
+    a_c, b_c = mh_perm_constants(k)
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    mins = ",\n                   ".join(
+        f"min(({a_c[i]} * __h + {b_c[i]}) % {MH_PERM_P}) AS mh{i}"
+        for i in range(k)
+    )
+    band_eq = "\n                  OR ".join(
+        "("
+        + " AND ".join(f"c.mh{b * r + j} = b.mh{b * r + j}" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN c.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(substr(source, 4) AS INTEGER) AS src_num,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, src_num,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+                FROM toks WHERE len(t) >= 3
+            ),
+            hashed AS (
+                SELECT doc_id, src_num, CAST({base} AS BIGINT) AS __h FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, src_num, {mins}
+                FROM hashed GROUP BY doc_id, src_num
+            )
+            SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+                   round(({agree}) / {k}.0, 6) AS est_jaccard
+            FROM sig c JOIN sig b
+              ON c.src_num < {INCR_BATCH_MIN_SRC}
+             AND b.src_num >= {INCR_BATCH_MIN_SRC}
+             AND ({band_eq})
+            WHERE round(({agree}) / {k}.0, 6) >= {threshold}
+    """
+
+
+register(
+    Query(
+        name="minhash_incremental",
+        spark=_minhash_incremental,
+        oracle=_minhash_incr_oracle(),
+        tags=("dedup", "lsh", "incremental"),
+    )
+)
+
+
 def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup #2: SimHash with banded Hamming join
     (functions.dedup.simhash_pairs). The gate runs the md5hex family at

@@ -231,3 +231,49 @@ def test_pick_bands_rows_scurve():
 
     with _pytest.raises(ValueError):
         pick_bands_rows(1.0)
+
+
+def test_minhash_incremental_cross_side_only(spark, near_dup_docs):
+    """The incremental probe must surface exactly the near-dup pairs
+    that straddle the corpus/batch split — never within-side pairs —
+    and must agree with the full-corpus LSH pass on those pairs."""
+    from gee_datapipeline_spark.functions.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    # Split the constructed corpus so each near-dup pair straddles the
+    # boundary: evens are "corpus", odds are the arriving "batch".
+    corpus = near_dup_docs.filter(F.col("doc_id") % 2 == 0)
+    batch = near_dup_docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = minhash_incremental_pairs(
+        corpus, batch, "doc_id", F.col("text"), threshold=0.3
+    )
+    found = {(r.corpus_id, r.batch_id) for r in pairs.collect()}
+    assert found == {(0, 1), (2, 3)}, found
+
+    # Same pairs, same estimate as the symmetric full pass.
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            near_dup_docs, "doc_id", F.col("text"), threshold=0.3
+        ).collect()
+    }
+    est = {(r.corpus_id, r.batch_id): r.est_jaccard for r in pairs.collect()}
+    assert est == full
+
+
+def test_minhash_incremental_broadcasts_batch(spark, near_dup_docs):
+    """The batch side's banded signatures must broadcast — the corpus
+    index is probed with zero corpus-side shuffle on the band key (the
+    100 TB ingestion contract)."""
+    from gee_datapipeline_spark.functions.dedup import (
+        minhash_incremental_pairs,
+    )
+
+    corpus = near_dup_docs.filter(F.col("doc_id") % 2 == 0)
+    batch = near_dup_docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = minhash_incremental_pairs(
+        corpus, batch, "doc_id", F.col("text"), threshold=0.3
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
