@@ -105,6 +105,15 @@ HEADLINE = [
     # probe vs nested-loop), DF-capped exact Jaccard (adversarial guard)
     "interval_join_bucketized",
     "ngram_jaccard_capped",
+    # r4 ingestion-pipeline completions: new-batch index probe,
+    # boilerplate block removal, cluster-level split assignment,
+    # quality-based canonical selection, and the full curation
+    # pipeline (quality ∩ exact-dedup ∩ near-dup canonical) as one plan
+    "minhash_incremental",
+    "boilerplate_removal",
+    "leakage_safe_split",
+    "cluster_representative",
+    "curation_pipeline_e2e",
 ]
 
 

@@ -614,3 +614,161 @@ register(
         tags=("sampling", "dedup", "llm-pipeline"),
     )
 )
+
+
+# ------------------------------------ quality-based canonical selection
+
+
+def _cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection by QUALITY, not by id: per near-dup
+    cluster (``dedup_clusters``), keep the member with the highest
+    composite quality score (ties broken by lowest doc_id). This is the
+    keep-rule a real curation pipeline applies — "keep the best copy",
+    not "keep whichever arrived first".
+
+    Scale shape: one struct-max hash aggregate on cluster_id —
+    ``max(struct(quality, -doc_id))`` gets map-side partial
+    aggregation, so the shuffle carries one candidate row per cluster
+    per map partition instead of every member (a window + row_number
+    would shuffle and sort ALL members). The quality join is doc_id
+    equi-keyed."""
+    from .text_queries import _dedup_clusters, _text_quality
+
+    clusters = _dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = _text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    best = joined.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("q"),
+                (-F.col("doc_id")).alias("nid"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("best.nid")).alias("rep_doc_id"),
+        F.col("best.q").alias("rep_quality"),
+        "n_members",
+    )
+
+
+def _cluster_rep_oracle() -> str:
+    from .registry import QUERIES
+
+    clusters = QUERIES["dedup_clusters"].oracle
+    quality = QUERIES["text_quality"].oracle
+    return f"""
+            SELECT cluster_id, doc_id AS rep_doc_id,
+                   quality_score AS rep_quality, n_members
+            FROM (
+                SELECT c.cluster_id, c.doc_id, q.quality_score,
+                       count(*) OVER (PARTITION BY c.cluster_id)
+                           AS n_members,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY q.quality_score DESC, c.doc_id
+                       ) AS rn
+                FROM ( {clusters} ) c
+                JOIN ( {quality} ) q ON q.doc_id = c.doc_id
+            )
+            WHERE rn = 1
+    """
+
+
+register(
+    Query(
+        name="cluster_representative",
+        spark=_cluster_representative,
+        oracle=_cluster_rep_oracle(),
+        tags=("dedup", "quality", "llm-pipeline"),
+    )
+)
+
+
+# ----------------------------------------- end-to-end curation pipeline
+
+PIPE_N_SHARDS = 8
+
+
+def _curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE curation pipeline as one declarative plan — the query
+    a user actually ships: Gopher quality gate ∩ exact-dedup survivor
+    (min doc_id per md5(text)) ∩ near-dup cluster canonical
+    (``dedup_clusters``), with whitespace token counts and a
+    deterministic output shard for the survivors.
+
+    Scale shape: the quality gate and token count ride ONE documents
+    scan (pure map stage); exact-dedup is a 128-bit-digest hash
+    aggregate followed by a doc_id semi-join; the canonical gate is a
+    doc_id semi-join against the CC output. Each gate is computed
+    independently on the full corpus, so the three can run as parallel
+    stages and the intersection is two digest-keyed semi-joins — text
+    never rides any shuffle."""
+    from .text_queries import _dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    gates = _gopher_quality(spark, sf_dir).select("doc_id", "keep")
+    toks = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    exact_first = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    canon = (
+        _dedup_clusters(spark, sf_dir)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % PIPE_N_SHARDS
+    )
+    return (
+        gates.filter(F.col("keep"))
+        .join(exact_first, "doc_id", "left_semi")
+        .join(canon, "doc_id", "left_semi")
+        .join(toks, "doc_id")
+        .select("doc_id", "n_tokens", shard.alias("shard"))
+    )
+
+
+def _pipeline_oracle() -> str:
+    from .registry import QUERIES
+
+    gopher = QUERIES["gopher_quality"].oracle
+    clusters = QUERIES["dedup_clusters"].oracle
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr("
+        f"md5(CAST(g.doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+            SELECT g.doc_id,
+                   len(string_split_regex(lower(trim(d.text)), '\\s+'))
+                       AS n_tokens,
+                   CAST({hv} AS BIGINT) % {PIPE_N_SHARDS} AS shard
+            FROM ( {gopher} ) g
+            JOIN documents d ON d.doc_id = g.doc_id
+            WHERE g.keep
+              AND g.doc_id IN (
+                  SELECT min(doc_id) FROM documents GROUP BY md5(text))
+              AND g.doc_id IN (
+                  SELECT doc_id FROM ( {clusters} ) WHERE is_canonical)
+    """
+
+
+register(
+    Query(
+        name="curation_pipeline_e2e",
+        spark=_curation_pipeline_e2e,
+        oracle=_pipeline_oracle(),
+        tags=("curation", "dedup", "quality", "llm-pipeline"),
+    )
+)
