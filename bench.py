@@ -114,6 +114,10 @@ HEADLINE = [
     "leakage_safe_split",
     "cluster_representative",
     "curation_pipeline_e2e",
+    # r4 late additions: per-series linear gap-fill (satellite
+    # time-series repair) and adjacency-intersection triangle counting
+    "gapfill_interpolate",
+    "triangle_count",
 ]
 
 

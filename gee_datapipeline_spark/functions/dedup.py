@@ -238,8 +238,70 @@ def minhash_lsh_pairs(
     ).filter(F.col("est_jaccard") >= threshold)
 
 
-def minhash_incremental_pairs(
+def banded_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: Column,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int | None = None,
+    shingle_n: int = 3,
+    family: str = "xxhash64",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash signatures: one row per (doc, band) with the full
+    signature carried alongside — the schema of the persistable corpus
+    index (:func:`minhash_index_write`) and the probe side of
+    :func:`minhash_incremental_pairs`."""
+    from .text import shingles_df
+
+    if num_bands is None:
+        num_bands, _ = pick_bands_rows(threshold, num_hashes)
+    sh = shingles_df(docs, id_col, text_col, shingle_n)
+    sigs = minhash_signatures_df(sh, num_hashes, family)
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            lsh_bands(F.col("sig"), num_bands, num_hashes)
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+
+
+def minhash_index_write(
     corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: Column,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int | None = None,
+    shingle_n: int = 3,
+    family: str = "xxhash64",
+) -> None:
+    """Persist the corpus's banded MinHash signatures as a build-once
+    parquet artifact. At 100 TB the corpus is shingled and hashed
+    exactly ONCE; every future ingestion batch probes this table
+    (:func:`minhash_index_probe`) instead of recomputing the corpus
+    side. Probe-time callers must pass the same (num_hashes, num_bands,
+    shingle_n, family) the index was built with — the parameters are
+    part of the artifact's identity, like a model checkpoint's config.
+    New batches are appended to the index with ``mode="append"`` of
+    this same plan after their own probe pass."""
+    banded_signatures(
+        corpus,
+        id_col,
+        text_col,
+        num_hashes,
+        num_bands,
+        shingle_n,
+        family,
+        threshold,
+    ).write.mode("overwrite").parquet(path)
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
     batch: DataFrame,
     id_col: str,
     text_col: Column,
@@ -249,40 +311,33 @@ def minhash_incremental_pairs(
     shingle_n: int = 3,
     family: str = "xxhash64",
 ) -> DataFrame:
-    """Incremental near-dup: match a NEW BATCH against an EXISTING
-    corpus index, returning (corpus_id, batch_id, est_jaccard) pairs.
+    """Probe a persisted corpus index (:func:`minhash_index_write`)
+    with a new batch: only the batch is shingled/hashed; its banded
+    signatures broadcast into a single pass over the index parquet —
+    zero corpus-side shuffle, O(batch) new compute."""
+    idx = spark.read.parquet(path)
+    probe = F.broadcast(
+        banded_signatures(
+            batch,
+            id_col,
+            text_col,
+            num_hashes,
+            num_bands,
+            shingle_n,
+            family,
+            threshold,
+        )
+    )
+    return _banded_probe(idx, probe, threshold)
 
-    This is the production ingestion shape at 100 TB: the corpus's
-    banded signatures are a build-once artifact (persist ``corpus``'s
-    side of this plan, bucketed by (band_id, band_hash)); each arriving
-    batch computes only ITS signatures and probes the index — the
-    corpus is never self-joined and never re-shingled. A daily 100 GB
-    batch against a 100 TB corpus costs O(batch) new work plus one
-    index probe, instead of the O(corpus²-candidates) full re-dedup.
 
-    The batch side is typically orders of magnitude smaller than the
-    corpus, so its exploded bands are broadcast — the corpus-side scan
-    joins with zero shuffle. Within-batch duplicates are a separate
-    (batch-only) :func:`minhash_lsh_pairs` pass, deliberately not
-    duplicated here.
-    """
-    from .text import shingles_df
-
-    if num_bands is None:
-        num_bands, _ = pick_bands_rows(threshold, num_hashes)
-
-    def banded(docs: DataFrame) -> DataFrame:
-        sh = shingles_df(docs, id_col, text_col, shingle_n)
-        sigs = minhash_signatures_df(sh, num_hashes, family)
-        return sigs.select(
-            "doc_id",
-            "sig",
-            F.explode(
-                lsh_bands(F.col("sig"), num_bands, num_hashes)
-            ).alias("band"),
-        ).select("doc_id", "sig", "band.band_id", "band.band_hash")
-
-    c, b = banded(corpus).alias("c"), F.broadcast(banded(batch)).alias("b")
+def _banded_probe(
+    corpus_banded: DataFrame, batch_banded: DataFrame, threshold: float
+) -> DataFrame:
+    """(band_id, band_hash) equi-join of pre-banded corpus × batch
+    signatures → deduped candidate pairs → signature-agreement
+    estimate, thresholded."""
+    c, b = corpus_banded.alias("c"), batch_banded.alias("b")
     cand = (
         c.join(
             b,
@@ -304,6 +359,60 @@ def minhash_incremental_pairs(
             signature_agreement(F.col("sig_c"), F.col("sig_b")), 6
         ).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: Column,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int | None = None,
+    shingle_n: int = 3,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup: match a NEW BATCH against an EXISTING
+    corpus index, returning (corpus_id, batch_id, est_jaccard) pairs.
+
+    This is the production ingestion shape at 100 TB: the corpus's
+    banded signatures are a build-once artifact
+    (:func:`minhash_index_write` persists exactly this plan's corpus
+    side); each arriving batch computes only ITS signatures and probes
+    the index — the corpus is never self-joined and never re-shingled.
+    A daily 100 GB batch against a 100 TB corpus costs O(batch) new
+    work plus one index probe, instead of the O(corpus²-candidates)
+    full re-dedup.
+
+    The batch side is typically orders of magnitude smaller than the
+    corpus, so its exploded bands are broadcast — the corpus-side scan
+    joins with zero shuffle. Within-batch duplicates are a separate
+    (batch-only) :func:`minhash_lsh_pairs` pass, deliberately not
+    duplicated here.
+    """
+    c = banded_signatures(
+        corpus,
+        id_col,
+        text_col,
+        num_hashes,
+        num_bands,
+        shingle_n,
+        family,
+        threshold,
+    )
+    b = F.broadcast(
+        banded_signatures(
+            batch,
+            id_col,
+            text_col,
+            num_hashes,
+            num_bands,
+            shingle_n,
+            family,
+            threshold,
+        )
+    )
+    return _banded_probe(c, b, threshold)
 
 
 # ------------------------------------------------------------- SimHash

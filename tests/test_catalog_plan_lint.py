@@ -38,6 +38,7 @@ EXECUTING_BUILDERS = {
     "pagerank_trade_network",  # eager-checkpoints its edge table
     "ann_ivf",                 # eager-checkpoints its quantizer
     "supplier_stock_value",    # eager-checkpoints the per-part aggregate
+    "triangle_count",          # eager-checkpoints the deduped edge list
     "raster_ingest_tif",       # reads fixture rasters at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
@@ -68,6 +69,7 @@ BNLJ_WHITELIST = {
     "ann_lsh_recall",
     "pq_codes",
     "supplier_stock_value",  # global-scalar threshold broadcast (Q11)
+    "triangle_count",  # final 1-row stats composition (tri × edges × nodes)
 }
 
 LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)
