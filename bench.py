@@ -118,6 +118,8 @@ HEADLINE = [
     # time-series repair) and adjacency-intersection triangle counting
     "gapfill_interpolate",
     "triangle_count",
+    # perceptual image dedup (real PNG decode -> dHash -> hash-groupBy)
+    "image_dhash_dedup",
 ]
 
 

@@ -219,3 +219,36 @@ def mean_luma(img: np.ndarray) -> float:
         return float(img[:, :, 0].mean())
     r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
     return float((0.299 * r + 0.587 * g + 0.114 * b).mean())
+
+
+def _gray_plane(img: np.ndarray) -> np.ndarray:
+    """Float64 luma plane: Rec.601 for color, identity for grayscale."""
+    if img.ndim == 2:
+        return img.astype(np.float64)
+    ch = img.shape[2]
+    if ch == 2:  # gray + alpha
+        return img[:, :, 0].astype(np.float64)
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash) — the standard perceptual
+    fingerprint for image near-dup detection (public algorithm:
+    grayscale → 9×8 downsample → bit c of row r set iff
+    pixel[r,c] > pixel[r,c+1], packed at bit index r·8+c).
+
+    Perceptually-identical images (same gradient structure at any
+    resolution or contrast) collapse to the same 64-bit key, turning
+    image dedup into the same hash-groupBy shape as exact text dedup —
+    no pairwise comparison. Returned as a SIGNED 64-bit value so it
+    lands in a Spark/parquet BIGINT column unchanged.
+    """
+    small = resize_nearest(_gray_plane(img), 9, 8)
+    bits = (small[:, :-1] > small[:, 1:]).astype(np.uint64)
+    idx = (
+        np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+        + np.arange(8, dtype=np.uint64)[None, :]
+    )
+    v = int((bits << idx).sum(dtype=np.uint64))
+    return v - (1 << 64) if v >= (1 << 63) else v

@@ -32,6 +32,10 @@ IMAGE_FEATURE_SCHEMA = (
     "width int, height int, mean_luma double, decode_ok boolean"
 )
 
+DHASH_SCHEMA = (
+    "media_id long, decode_ok boolean, dhash long, width int, height int"
+)
+
 FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_idx int, frame_ts_ms int, sha256 string, "
     "mean_y double"
@@ -102,6 +106,46 @@ def image_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield res
 
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual fingerprint (dHash) via
+    ``mapInPandas`` over the real pure-Python codec — the image
+    analogue of the text pipeline's content digest: downstream image
+    dedup is then an ordinary hash-groupBy on the ``dhash`` column
+    (no pairwise comparison, no shuffle of pixel data; only the 8-byte
+    key rides the aggregation). Near-dup banding (Hamming-adjacent
+    buckets) composes on top exactly like SimHash's band blocking.
+    Undecodable payloads yield ``decode_ok=false`` with a NULL hash —
+    corrupt media is data, not an error, in a 100 TB corpus."""
+    from .imagecodec import decode_image, dhash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks, hashes, ws, hs = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                img = None
+                if p is not None:
+                    try:
+                        img = decode_image(bytes(p))
+                    except (ValueError, struct_error, zlib_error):
+                        img = None
+                oks.append(img is not None)
+                hashes.append(None if img is None else dhash64(img))
+                ws.append(0 if img is None else img.shape[1])
+                hs.append(0 if img is None else img.shape[0])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "decode_ok": oks,
+                    "dhash": pd.Series(hashes, dtype="Int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
 
 
 RESIZE_SCHEMA = (

@@ -310,6 +310,66 @@ register(
 )
 
 
+def _dhash_fixture_path() -> str:
+    from ..sources.fixtures import ensure_geo_fixtures, fixture_path
+
+    ensure_geo_fixtures()
+    return fixture_path("dhash_media")
+
+
+def _image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: 64-bit dHash per image (REAL PNG decode
+    inside ``mapInPandas``), then a plain hash-groupBy on the
+    fingerprint — image near-dup collapses to the exact-dedup shape,
+    with no pairwise pixel comparison anywhere. The fixture images
+    sharing a hash differ in resolution and contrast, so equal keys
+    certify perceptual (not byte) identity; group count, distinct
+    source dimensions, and min-id canonical are all checked against the
+    generator's closed form (dHash = seed · 0x0101010101010101).
+
+    Scale: the payload never leaves its input partition — only the
+    8-byte hash rides the aggregation shuffle. A Hamming-tolerant
+    near-dup variant is band-blocking over this same column, exactly as
+    :func:`...functions.dedup.simhash_pairs` does for text."""
+    from ..functions.multimodal import image_dhash
+    from ..sources.fixtures import load_fixture
+
+    media = load_fixture(spark, "dhash_media").select("media_id", "payload")
+    hashed = image_dhash(media)
+    return (
+        hashed.filter(F.col("decode_ok"))
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.count_distinct("width", "height").alias("n_dims"),
+            F.min("media_id").alias("canonical_id"),
+        )
+    )
+
+
+register(
+    Query(
+        name="image_dhash_dedup",
+        spark=_image_dhash_dedup,
+        # 72340172838076673 = 0x0101010101010101: each of the 8 rows of
+        # the comparison grid repeats the seed's bit pattern (columns
+        # are block-constant), so the packed hash is seed times the
+        # 8-byte repunit. Seeds < 128 keep the product in BIGINT range.
+        oracle=f"""
+            SELECT exp_seed * 72340172838076673 AS dhash,
+                   count(*) AS n_images,
+                   count(DISTINCT exp_width * 65536 + exp_height)
+                       AS n_dims,
+                   min(media_id) AS canonical_id
+            FROM read_parquet('{_dhash_fixture_path()}')
+            WHERE exp_ok
+            GROUP BY 1
+        """,
+        tags=("multimodal", "codec", "dedup"),
+    )
+)
+
+
 def _streaming_session_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window incident detection as a real streaming run: the
     first observed day of events streams through session_window(gap=30m)

@@ -43,6 +43,7 @@ PIXEL_PARAMS = dict(
 )
 AMENITY_PARAMS = dict(n=20, seed=7)
 MEDIA_PARAMS = dict(n=60)
+DHASH_PARAMS = dict(n=48, variant=2)
 RASTER_PARAMS = dict(
     dates=("2025-01-15", "2025-02-15", "2025-03-15"),
     w=12, h=10, seed=5, cell=0.01, nan_frac=0.1,
@@ -207,6 +208,64 @@ def media_rows(n: int = 60) -> list[tuple]:
     return rows
 
 
+_DHASH_ARROW = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("exp_ok", pa.bool_()),
+        ("exp_seed", pa.int32()),
+        ("exp_width", pa.int32()),
+        ("exp_height", pa.int32()),
+    ]
+)
+
+
+def dhash_rows(n: int = 48, variant: int = 2) -> list[tuple]:
+    """Perceptual-dup image fixture with a closed-form dHash oracle.
+
+    Each decodable image is a grayscale PNG of 9 block-constant column
+    bands whose brighter/darker steps encode the bits of an 7-bit
+    ``seed``: band j+1 = band j − step if bit j of seed is set, else
+    band j + step.  dHash's 9×8 downsample recovers exactly one band
+    per column, so every row of the 8×8 comparison grid equals the
+    seed's bit pattern and the 64-bit hash is the closed form
+    ``seed · 0x0101010101010101`` — computable by the SQL oracle with
+    no codec.  Images sharing a seed differ in resolution (band width
+    1–3 px, height 8–16 px) and contrast (step 9–15), so equal hashes
+    across genuinely different payloads is the perceptual-dup property
+    under test, not a byte-identity artifact.  Seeds stay < 128 so the
+    oracle's multiply fits a signed BIGINT.  Every 16th-ish row is an
+    undecodable text payload (``exp_ok=false``) pinning the
+    corrupt-media path."""
+    import numpy as np
+
+    from ..functions.imagecodec import encode_png
+
+    seeds = [5, 23, 42, 77, 91, 108, 13, 64, 99, 120, 3, 56]
+    rows = []
+    for i in range(n):
+        if i % 16 == 13:
+            payload = f"corrupt image stand-in #{i}".encode()
+            rows.append((i, payload, False, 0, 0, 0))
+            continue
+        seed = seeds[i % len(seeds)]
+        # Variation index is i // len(seeds), DECOUPLED from the seed
+        # cycle, so the copies sharing a hash have pairwise-distinct
+        # resolutions AND contrasts — perceptual duplicates, never
+        # byte-identical payloads (variant=2; v1 tied both to i and
+        # produced identical copies).
+        v = i // len(seeds)
+        kw, kh = 1 + v % 3, 1 + v % 2
+        step = 9 + (v % 4) * 2  # ≤15: 8 cumulative steps stay in [8,248]
+        vals = [128]
+        for j in range(8):
+            vals.append(vals[-1] - step if (seed >> j) & 1 else vals[-1] + step)
+        col = np.repeat(np.array(vals, dtype=np.uint8), kw)
+        img = np.tile(col, (8 * kh, 1))
+        rows.append((i, encode_png(img), True, seed, 9 * kw, 8 * kh))
+    return rows
+
+
 _RASTER_PX_ARROW = pa.schema(
     [
         ("file", pa.string()),
@@ -303,6 +362,7 @@ def _manifest() -> dict:
                    for k, v in PIXEL_PARAMS.items()},
         "amenities": dict(AMENITY_PARAMS),
         "media": dict(MEDIA_PARAMS),
+        "dhash_media": dict(DHASH_PARAMS),
         "rasters": {k: list(v) if isinstance(v, tuple) else v
                     for k, v in RASTER_PARAMS.items()},
     }
@@ -314,7 +374,7 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     manifest_path = base / "MANIFEST.json"
     wanted = _manifest()
     names = ("pixels", "regions", "thresholds", "amenities", "media",
-             "raster_pixels")
+             "dhash_media", "raster_pixels")
     extra = ("points.csv", "logs.jsonl")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
@@ -344,6 +404,10 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     pq.write_table(
         _rows_to_table(media_rows(**MEDIA_PARAMS), _MEDIA_ARROW),
         base / "media.parquet",
+    )
+    pq.write_table(
+        _rows_to_table(dhash_rows(**DHASH_PARAMS), _DHASH_ARROW),
+        base / "dhash_media.parquet",
     )
     tif_files, tif_rows = raster_fixture(**RASTER_PARAMS)
     raster_dir = base / "rasters"

@@ -42,6 +42,7 @@ EXECUTING_BUILDERS = {
     "raster_ingest_tif",       # reads fixture rasters at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
+    "image_dhash_dedup",       # reads the dhash fixture at build time
     "multimodal_frames_real",
     "audio_decode_real",
 }

@@ -443,3 +443,63 @@ def test_sample_frames_real_y4m(spark):
         media.schema,
     )
     assert sample_frames(bad, every_ms=40, fake=False).count() == 0
+
+
+# ------------------------------------------------------------- dHash
+
+
+def test_dhash64_perceptual_invariance():
+    """Same gradient structure at different resolution/contrast → same
+    hash; flipping one comparison flips exactly one bit-block."""
+    from gee_datapipeline_spark.functions.imagecodec import dhash64
+
+    def seed_img(seed, kw, kh, step):
+        vals = [128]
+        for j in range(8):
+            vals.append(vals[-1] - step if (seed >> j) & 1 else vals[-1] + step)
+        col = np.repeat(np.array(vals, dtype=np.uint8), kw)
+        return np.tile(col, (8 * kh, 1))
+
+    for seed in (0, 5, 77, 127):
+        want = seed * 0x0101010101010101
+        got = {
+            dhash64(seed_img(seed, kw, kh, step))
+            for kw in (1, 2, 3)
+            for kh in (1, 2)
+            for step in (9, 15)
+        }
+        assert got == {want}
+    assert dhash64(seed_img(1, 1, 1, 9)) != dhash64(seed_img(3, 1, 1, 9))
+
+
+def test_dhash64_signed_range_and_color():
+    """High-bit hashes wrap to negative int64 (BIGINT-safe); RGB goes
+    through Rec.601 luma, constant images hash to 0."""
+    from gee_datapipeline_spark.functions.imagecodec import dhash64
+
+    # strictly decreasing ramp: every comparison true → all 64 bits set
+    ramp = np.tile(np.arange(255, 120, -15, dtype=np.uint8), (8, 1))
+    assert dhash64(ramp) == -1  # 0xFFFF... as signed
+    rgb = np.zeros((8, 9, 3), dtype=np.uint8)
+    rgb[:, :] = (10, 200, 30)
+    assert dhash64(rgb) == 0
+
+
+def test_image_dhash_sparkside(spark):
+    """mapInPandas dhash: real PNG decode, corrupt payload → NULL hash."""
+    from gee_datapipeline_spark.functions.imagecodec import encode_png
+    from gee_datapipeline_spark.functions.multimodal import image_dhash
+
+    img = np.tile(
+        np.repeat(np.array([128, 137, 146, 155, 164, 173, 182, 191, 200],
+                           dtype=np.uint8), 2),
+        (8, 1),
+    )  # seed 0 pattern (all ascending) → hash 0
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img))), (2, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in image_dhash(media).collect()}
+    assert rows[1].decode_ok and rows[1].dhash == 0
+    assert rows[1].width == 18 and rows[1].height == 8
+    assert not rows[2].decode_ok and rows[2].dhash is None
