@@ -212,36 +212,45 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This beats explicit wedge enumeration (edge ⋈ edge ⋈ edge) 2.5× at
     sf0.1 because the Σ_b deg⁺·deg⁻ wedge rows (49 M here) are never
-    materialized or shuffled — only |E| rows carry arrays. The edge
-    list is deduped once and eagerly checkpointed (used three times),
-    pre-partitioned on the join key so the adjacency groupBy and the
-    first join reuse one exchange. Forward-adjacency arrays are
-    degree-bounded; at 100 TB the degree-ordered orientation (edges
-    point toward the higher-degree endpoint) caps array length at
-    O(√E) — same two joins, different orientation rule. The final
-    single-row stats composition broadcasts 1-row aggregates
-    (whitelisted tiny-side BNLJ)."""
+    materialized or shuffled — only |E| rows carry arrays. Layout
+    (3.7× over the self-join + distinct + groupBy form, 7.4 → 2.0 s
+    warm at sf0.1): co-purchase pairs come from ONE groupBy per order
+    (sorted part array → i<j combinations via a narrow
+    transform/slice explode — the fact table is never self-joined),
+    and the ADJACENCY table is built directly from the combos in the
+    same shuffle that dedups them (``collect_set``); the deduped edge
+    list is then a narrow explode OF the adjacency, so dedup +
+    adjacency cost one exchange total instead of three. Adjacency is
+    eagerly checkpointed (consumed four times). Forward-adjacency
+    arrays are degree-bounded; at 100 TB the degree-ordered
+    orientation (edges point toward the higher-degree endpoint) caps
+    array length at O(√E) — same two joins, different orientation
+    rule. The final single-row stats composition broadcasts 1-row
+    aggregates (whitelisted tiny-side BNLJ)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    pairs = (
-        li.alias("x")
-        .join(
-            li.alias("y"),
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .select(
-            F.col("x.l_partkey").alias("a"),
-            F.col("y.l_partkey").alias("b"),
-        )
-        .distinct()
-        .repartition(32, "a")
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    combos = parts.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(ps, (x, i) ->
+                    transform(slice(ps, i + 2, size(ps) - i - 1),
+                              y -> struct(x AS a, y AS b))))
+                """
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    adj = (
+        combos.repartition(32, "a")
+        .groupBy("a")
+        .agg(F.sort_array(F.collect_set("b")).alias("nbrs"))
         .localCheckpoint()
     )
-    adj = pairs.groupBy("a").agg(
-        F.sort_array(F.collect_set("b")).alias("nbrs")
-    )
+    pairs = adj.select("a", F.explode("nbrs").alias("b"))
     n_tri = (
         pairs.alias("e")
         .join(adj.alias("na"), F.col("e.a") == F.col("na.a"))
@@ -253,7 +262,9 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("k").alias("n_triangles"))
     )
-    n_edge = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_edge = adj.agg(
+        F.sum(F.size("nbrs")).cast("long").alias("n_edges")
+    )
     n_node = pairs.select(
         F.explode(F.array("a", "b")).alias("n")
     ).agg(F.count_distinct("n").alias("n_nodes"))
