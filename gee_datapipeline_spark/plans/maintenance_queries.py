@@ -211,6 +211,99 @@ register(
 )
 
 
+def _raster_fixture_path() -> str:
+    from ..sources.fixtures import ensure_geo_fixtures, fixture_path
+
+    ensure_geo_fixtures()
+    return fixture_path("raster_pixels")
+
+
+def _geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-format interop gate, the GeoTIFF analog of
+    ``orc_roundtrip``: the fixture pixel table is EXPORTED through the
+    S6 GeoTIFF sink (``sinks.writers.write_geotiffs`` — executor-side
+    ``applyInPandas`` + the pure-Python tiffcodec), re-ingested with
+    the S3 ``read_rasters`` scan, and aggregated; the oracle computes
+    the identical aggregate straight from the fixture's parquet twin,
+    so the encode→decode cycle (strip layout, Model tags, NaN nodata,
+    center-convention georeferencing) is what's under test — DuckDB
+    never sees a TIFF. Value sums are decimal-stable; bounds and grid
+    dims pin the geo transform bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.writers import write_geotiffs
+    from ..sources.fixtures import RASTER_PARAMS
+    from ..sources.raster import read_rasters
+
+    src = spark.read.parquet(_raster_fixture_path())
+    px = src.select(
+        F.regexp_extract("file", r"^(.+)_([0-9-]+)\.tif$", 1).alias(
+            "dataset"
+        ),
+        F.regexp_extract("file", r"^(.+)_([0-9-]+)\.tif$", 2).alias(
+            "date"
+        ),
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_tif_roundtrip_")
+    try:
+        write_geotiffs(px, root, RASTER_PARAMS["cell"]).collect()
+        back = read_rasters(spark, os.path.join(root, "*.tif"))
+        out = (
+            back.select(
+                F.regexp_extract(
+                    "path", r"([^/]+\.tif)$", 1
+                ).alias("file"),
+                "x",
+                "y",
+                "lon",
+                "lat",
+                "value",
+            )
+            .groupBy("file")
+            .agg(
+                F.count(F.lit(1)).alias("n_px"),
+                F.count("value").alias("n_obs"),
+                F.round(stable_sum(F.col("value")), 6).alias("sum_v"),
+                (F.max("x") + 1).alias("w"),
+                (F.max("y") + 1).alias("h"),
+                F.round(F.min("lon"), 9).alias("min_lon"),
+                F.round(F.max("lat"), 9).alias("max_lat"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="geotiff_roundtrip",
+        spark=_geotiff_roundtrip,
+        oracle=f"""
+            SELECT file,
+                   count(*) AS n_px,
+                   count(value) AS n_obs,
+                   round({sql_stable_sum('value')}, 6) AS sum_v,
+                   max(x) + 1 AS w,
+                   max(y) + 1 AS h,
+                   round(min(lon), 9) AS min_lon,
+                   round(max(lat), 9) AS max_lat
+            FROM read_parquet('{_raster_fixture_path()}')
+            GROUP BY 1
+        """,
+        tags=("sink", "format", "geotiff"),
+    )
+)
+
+
 # ----------------------------------------------- raw-SQL entry surface
 
 # The engine's SQL front door: exactly this text runs on BOTH engines

@@ -69,6 +69,79 @@ def write_points_csv(
     out.write.mode(mode).option("header", "true").csv(path)
 
 
+def write_geotiffs(
+    df: DataFrame,
+    out_dir: str,
+    cell_deg: float,
+    value_col: str = "value",
+) -> DataFrame:
+    """S6 (full form) — one real GeoTIFF file per (dataset, date)
+    raster, the reference's actual export artifact
+    (``geemap.ee_export_image`` → ``exported_data/viirs_frp_*.tif``,
+    DataDownloader_SNPP_VIIRS_V1.py:174-180, discovered back by the
+    S5 glob). Encoding uses the in-repo pure-Python GeoTIFF codec
+    (``sources.tiffcodec``) so the export round-trips bit-exactly
+    through :func:`..sources.raster.read_rasters`.
+
+    Scale shape: ``applyInPandas`` per (dataset, date) group — each
+    raster is assembled and encoded ON AN EXECUTOR (pixels of one
+    image shuffle to one task; images are bounded, enforced by the
+    ``MAX_IMAGE_PIXELS`` guard, so the group fits comfortably); the
+    driver only sees the returned one-row-per-file manifest.
+    Filenames are deterministic (``{dataset}_{date}.tif``), so a
+    retried task rewrites identical bytes — idempotent under
+    speculative execution. Returns the manifest DataFrame (consume it
+    with an action to drive the writes)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tiffcodec import encode_geotiff
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        dataset = str(pdf["dataset"].iloc[0])
+        date = str(pdf["date"].iloc[0])
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        w, h = int(xs.max()) + 1, int(ys.max()) + 1
+        if w * h > MAX_IMAGE_PIXELS:
+            raise ValueError(
+                f"raster {dataset}/{date} is {w}x{h}, over the "
+                f"{MAX_IMAGE_PIXELS}-pixel image-sink guard"
+            )
+        vals = np.full((h, w), np.nan)
+        vals[ys, xs] = pdf[value_col].to_numpy(dtype="float64")
+        # lon/lat are pixel CENTERS (read_rasters convention,
+        # rasterio.transform.xy style): origin = center − (x + ½)·cell
+        lon = pdf["lon"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        min_lon = float(lon[0] - (xs[0] + 0.5) * cell_deg)
+        min_lat = float(lat[0] - (ys[0] + 0.5) * cell_deg)
+        path = os.path.join(out_dir, f"{dataset}_{date}.tif")
+        payload = encode_geotiff(vals, min_lon, min_lat, cell_deg)
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        return pd.DataFrame(
+            {
+                "dataset": [dataset],
+                "date": [date],
+                "path": [path],
+                "width": pd.Series([w], dtype="int32"),
+                "height": pd.Series([h], dtype="int32"),
+                "n_bytes": pd.Series([len(payload)], dtype="int64"),
+            }
+        )
+
+    return df.groupBy("dataset", "date").applyInPandas(
+        enc,
+        "dataset string, date string, path string, "
+        "width int, height int, n_bytes long",
+    )
+
+
 def rgba_rows(
     df: DataFrame,
     value_col: str = "norm_value",

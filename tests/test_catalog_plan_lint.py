@@ -40,6 +40,7 @@ EXECUTING_BUILDERS = {
     "supplier_stock_value",    # eager-checkpoints the per-part aggregate
     "triangle_count",          # eager-checkpoints the deduped edge list
     "raster_ingest_tif",       # reads fixture rasters at build time
+    "geotiff_roundtrip",       # writes + re-ingests GeoTIFFs at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
     "image_dhash_dedup",       # reads the dhash fixture at build time

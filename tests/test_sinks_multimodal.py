@@ -113,3 +113,62 @@ def test_sample_frames_udtf_shape(spark, media):
     ]
     # images produce no frames
     assert all(r.media_id == 4 for r in frames)
+
+
+def test_write_geotiffs_roundtrip(spark, tmp_path_factory):
+    """S6 full form: pixel table → one GeoTIFF per (dataset, date) on
+    the executors → re-ingest via read_rasters → bit-exact values,
+    center-convention lon/lat, NaN nodata restored as NULL."""
+    import numpy as np
+
+    from gee_datapipeline_spark.sinks.writers import write_geotiffs
+    from gee_datapipeline_spark.sources.raster import read_rasters
+
+    cell = 0.25
+    arrays = {
+        ("no2", "2025-01-15"): np.array(
+            [[1.5, np.nan, 3.0], [4.25, 5.0, -2.125]]
+        ),
+        ("co", "2025-02-15"): np.array(
+            [[0.0, 7.75, 1.0], [np.nan, 2.5, 9.0]]
+        ),
+    }
+    rows = []
+    for (ds, date), vals in arrays.items():
+        h, w = vals.shape
+        for y in range(h):
+            for x in range(w):
+                v = vals[y, x]
+                rows.append(
+                    (ds, date, x, y,
+                     70.0 + (x + 0.5) * cell, 20.0 + (y + 0.5) * cell,
+                     None if np.isnan(v) else float(v))
+                )
+    df = spark.createDataFrame(
+        rows,
+        "dataset string, date string, x int, y int, "
+        "lon double, lat double, value double",
+    )
+    out = str(tmp_path_factory.mktemp("tifs"))
+    manifest = {
+        (r.dataset, r.date): r
+        for r in write_geotiffs(df, out, cell).collect()
+    }
+    assert len(manifest) == 2
+    for (ds, date), vals in arrays.items():
+        m = manifest[(ds, date)]
+        assert m.width == 3 and m.height == 2 and m.n_bytes > 0
+        assert os.path.basename(m.path) == f"{ds}_{date}.tif"
+    back = read_rasters(spark, os.path.join(out, "*.tif")).toPandas()
+    assert len(back) == 12
+    for (ds, date), vals in arrays.items():
+        sub = back[back["path"].str.contains(f"{ds}_{date}")]
+        assert len(sub) == 6
+        for _, r in sub.iterrows():
+            want = vals[int(r.y), int(r.x)]
+            if np.isnan(want):
+                assert r.value is None or np.isnan(r.value)
+            else:
+                assert r.value == want  # bit-exact float64
+            assert r.lon == 70.0 + (int(r.x) + 0.5) * cell
+            assert r.lat == 20.0 + (int(r.y) + 0.5) * cell
