@@ -120,6 +120,8 @@ HEADLINE = [
     "triangle_count",
     # perceptual image dedup (real PNG decode -> dHash -> hash-groupBy)
     "image_dhash_dedup",
+    # token-weighted quality quantiles (integer cumulative-weight windows)
+    "token_weighted_quality",
 ]
 
 

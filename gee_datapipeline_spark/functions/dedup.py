@@ -285,8 +285,8 @@ def minhash_index_write(
     side. Probe-time callers must pass the same (num_hashes, num_bands,
     shingle_n, family) the index was built with — the parameters are
     part of the artifact's identity, like a model checkpoint's config.
-    New batches are appended to the index with ``mode="append"`` of
-    this same plan after their own probe pass."""
+    New batches are appended to the index with
+    :func:`minhash_index_append` after their own probe pass."""
     banded_signatures(
         corpus,
         id_col,
@@ -297,6 +297,36 @@ def minhash_index_write(
         family,
         threshold,
     ).write.mode("overwrite").parquet(path)
+
+
+def minhash_index_append(
+    batch: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: Column,
+    threshold: float = 0.5,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    num_bands: int | None = None,
+    shingle_n: int = 3,
+    family: str = "xxhash64",
+) -> None:
+    """Fold a probed batch INTO the persisted index
+    (:func:`minhash_index_write`) so future batches dedup against it
+    too — the second half of the ingestion loop: probe, decide keeps,
+    append the keepers. Parquet ``append`` adds new files only; the
+    existing corpus signatures are never rewritten, so the operation
+    is O(batch) like the probe. Parameters must match the index's
+    build parameters (they are the artifact's identity)."""
+    banded_signatures(
+        batch,
+        id_col,
+        text_col,
+        num_hashes,
+        num_bands,
+        shingle_n,
+        family,
+        threshold,
+    ).write.mode("append").parquet(path)
 
 
 def minhash_index_probe(

@@ -1307,3 +1307,98 @@ register(
         tags=("text", "dedup", "join"),
     )
 )
+
+
+# ------------------------------------- token-weighted quality quantiles
+
+
+def _token_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted quality quantiles per source: the quality level
+    the median (and p90) TRAINING TOKEN sees. Training consumes
+    tokens, not documents, so a doc-level median over-weights short
+    docs — this is the corpus-health number a data card actually
+    reports.
+
+    Exactness: the weighted quantile is the LOWER quantile — smallest
+    q whose cumulative token weight reaches the target fraction —
+    decided by integer comparisons (``2·cum_w ≥ tot``,
+    ``10·cum_w ≥ 9·tot``), so there is no interpolation and no
+    floating-point threshold for the engines to disagree on.
+
+    Scale: one hash-shuffle on ``source``; both window passes
+    (running and total weight) ride the same (source → q, doc_id)
+    sort; the quantile extraction is a conditional-min hash aggregate,
+    so output is |sources| rows and nothing else leaves the window
+    stage. At 100 TB, sub-shard skewed sources by a salt on the FIRST
+    pass and merge per-shard (cum_w, tot) pairs — same plan shape."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count(t).alias("w"),
+        X.quality_score(t).alias("q"),
+    )
+    run = (
+        Window.partitionBy("source")
+        .orderBy("q", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.select(
+        "source",
+        "q",
+        F.sum("w").over(run).alias("cw"),
+        F.sum("w").over(Window.partitionBy("source")).alias("tot"),
+    )
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("tot").alias("total_tokens"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("q"))).alias(
+            "median_token_quality"
+        ),
+        F.min(
+            F.when(10 * F.col("cw") >= 9 * F.col("tot"), F.col("q"))
+        ).alias("p90_token_quality"),
+    )
+
+
+def _token_weighted_quality_oracle() -> str:
+    from .registry import QUERIES
+
+    quality = QUERIES["text_quality"].oracle
+    return f"""
+        WITH j AS (
+            SELECT d.source, tq.doc_id, tq.n_tokens AS w,
+                   tq.quality_score AS q
+            FROM ( {quality} ) tq
+            JOIN documents d USING (doc_id)
+        ),
+        c AS (
+            SELECT source, q,
+                   sum(w) OVER (
+                       PARTITION BY source ORDER BY q, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cw,
+                   sum(w) OVER (PARTITION BY source) AS tot
+            FROM j
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(max(tot) AS BIGINT) AS total_tokens,
+               min(CASE WHEN 2 * cw >= tot THEN q END)
+                   AS median_token_quality,
+               min(CASE WHEN 10 * cw >= 9 * tot THEN q END)
+                   AS p90_token_quality
+        FROM c GROUP BY 1
+    """
+
+
+register(
+    Query(
+        name="token_weighted_quality",
+        spark=_token_weighted_quality,
+        oracle=_token_weighted_quality_oracle(),
+        tags=("text", "quality", "window", "llm-pipeline"),
+    )
+)

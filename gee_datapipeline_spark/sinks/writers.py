@@ -91,7 +91,13 @@ def write_geotiffs(
     Filenames are deterministic (``{dataset}_{date}.tif``), so a
     retried task rewrites identical bytes — idempotent under
     speculative execution. Returns the manifest DataFrame (consume it
-    with an action to drive the writes)."""
+    with an action to drive the writes).
+
+    ``out_dir`` must be a filesystem path reachable from every
+    executor (local dir in local mode, NFS/fuse mount on a cluster):
+    files are written with plain ``open()``, not the Hadoop
+    FileSystem API, so ``hdfs://``/``s3a://`` URIs are NOT supported —
+    export to a mount, or swap the ``open`` for an fsspec handle."""
     import os
 
     import numpy as np

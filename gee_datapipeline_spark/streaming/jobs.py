@@ -300,3 +300,83 @@ def idempotent_batch_writer(out_dir: str):
         batch_df.write.mode("overwrite").parquet(target)
 
     return write
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    index_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    **minhash_params,
+) -> StreamingQuery:
+    """The streaming ingestion-dedup loop: every arriving micro-batch
+    of documents is probed against the persisted MinHash index
+    (:func:`..functions.dedup.minhash_index_probe` — O(batch) work,
+    batch signatures broadcast, the corpus never recomputed), near-dup
+    matches are dropped, and the SURVIVORS are both written to
+    ``out_dir/batch_id=<n>/`` and folded into the index
+    (:func:`..functions.dedup.minhash_index_append`) so later batches
+    dedup against earlier ones — the full 100 TB ingestion pipeline as
+    one continuously-running query.
+
+    ``foreachBatch`` is the right tool (not a stream-static join): the
+    per-batch logic joins against an EXTERNAL artifact that the batch
+    itself must then update, which no declarative streaming join can
+    express. Exactly-once: the batch output directory's ``_SUCCESS``
+    marker is the commit point (checked through the Hadoop FS API, as
+    in :func:`idempotent_batch_writer`); a replayed batch whose marker
+    exists is skipped wholesale. A crash between the signature append
+    and the output commit re-appends the batch's signatures on replay
+    — harmless, because the probe de-duplicates candidate pairs, so
+    duplicate index rows can never change a keep/drop decision.
+
+    Within-batch near-dups are deliberately out of scope here (exactly
+    as in the batch :func:`..functions.dedup.minhash_incremental_pairs`)
+    — run :func:`..functions.dedup.minhash_lsh_pairs` on the batch
+    first if intra-batch duplicates are possible."""
+    from ..functions.dedup import minhash_index_append, minhash_index_probe
+
+    src = stream_from_dir(spark, in_dir, DOCS_STREAM_SCHEMA)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        target = f"{out_dir.rstrip('/')}/batch_id={batch_id}"
+        jvm = s._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
+        fs = marker.getFileSystem(s._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        matches = minhash_index_probe(
+            s,
+            index_path,
+            batch_df,
+            "doc_id",
+            F.col("text"),
+            threshold,
+            **minhash_params,
+        )
+        dup_ids = matches.select(
+            F.col("batch_id").alias("doc_id")
+        ).distinct()
+        keep = batch_df.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
+        minhash_index_append(
+            keep, index_path, "doc_id", F.col("text"), threshold,
+            **minhash_params,
+        )
+        keep.write.mode("overwrite").parquet(target)
+
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

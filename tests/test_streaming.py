@@ -296,3 +296,60 @@ def test_idempotent_batch_writer_skips_replayed_batch(spark, tmp_path):
 
     write(replay, 1)  # a NEW batch id writes normally
     assert spark.read.parquet(os.path.join(out, "batch_id=1")).count() == 99
+
+
+def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
+    """Streaming ingestion dedup: batch-1 survivors join the index, so
+    a batch-2 near-dup of a batch-1 doc is dropped too; output equals
+    the hand-computed keep set and the index grows by the survivors."""
+    from gee_datapipeline_spark.functions.dedup import minhash_index_write
+    from gee_datapipeline_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        ingest_dedup_stream,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before nightfall arrives"
+    )
+    variant = base.replace("quiet", "silent")  # near-dup of base
+    fresh1 = (
+        "completely different content about distributed query engines "
+        "and columnar storage formats for petabyte scale analytics work"
+    )
+    fresh1_variant = fresh1.replace("work", "jobs")  # near-dup of fresh1
+    fresh2 = (
+        "a third unrelated document describing satellite imagery bands "
+        "atmospheric correction and radiometric calibration procedures"
+    )
+    corpus = spark.createDataFrame([(1, base)], DOCS_STREAM_SCHEMA)
+    idx = str(tmp_path / "idx")
+    minhash_index_write(corpus, idx, "doc_id", F.col("text"), threshold=0.3)
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    # batch 1: dup-of-corpus (drop) + fresh1 (keep)
+    spark.createDataFrame(
+        [(10, variant), (11, fresh1)], DOCS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    # batch 2: dup-of-batch-1-survivor (drop) + fresh2 (keep)
+    spark.createDataFrame(
+        [(20, fresh1_variant), (21, fresh2)], DOCS_STREAM_SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+
+    out = str(tmp_path / "kept")
+    q = ingest_dedup_stream(
+        spark, str(src) + "/*", idx, out, str(tmp_path / "ckpt"),
+        threshold=0.3,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {11, 21}
+    # index now carries corpus + both survivors
+    idx_docs = {r.doc_id for r in spark.read.parquet(idx)
+                .select("doc_id").distinct().collect()}
+    assert idx_docs == {1, 11, 21}
