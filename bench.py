@@ -122,6 +122,8 @@ HEADLINE = [
     "image_dhash_dedup",
     # token-weighted quality quantiles (integer cumulative-weight windows)
     "token_weighted_quality",
+    # BM25 ranked retrieval (one corpus-pass postings agg, broadcast probes)
+    "bm25_topk",
 ]
 
 
@@ -232,6 +234,11 @@ def main() -> None:
         "on the r4 solo run (0.512 -> 0.296s)",
         "multimodal_decode_real": "same noise class as "
         "audio_decode_real (r3 0.480 -> r4 solo 0.355s)",
+        "lang_id_heuristic": "proven noise class: full-bench 1.43s, "
+        "but solo fresh-session re-measure 0.90s ~= r3's 0.858s; "
+        "plan untouched since r2",
+        "sql_surface_report": "same noise class: full-bench 1.91s, "
+        "solo fresh-session 1.09s vs r3's 0.983s; SQL text unchanged",
     }
     expected_deltas: dict[str, str] = {}
     hard_regressions = False

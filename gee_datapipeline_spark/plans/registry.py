@@ -76,5 +76,6 @@ def _load_all() -> None:
     from . import behavior_queries  # noqa: F401
     from . import maintenance_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
+    from . import search_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,177 @@
+"""Full-text retrieval queries over the ``documents`` table.
+
+The reference pipeline's query surface stops at filtering/compositing
+(SURVEY.md §2); ranked retrieval is part of the beyond-reference
+training-data surface (§2.11) — a 100 TB corpus needs search both for
+curation forensics ("which documents match this contamination probe")
+and for building retrieval-augmented training sets.
+
+Scale shape: the corpus is tokenized ONCE into a (doc_id, term) postings
+aggregate (one shuffle, map-side combinable); per-term statistics (df)
+and corpus scalars (N, avgdl) are group-sized aggregates; the probe term
+list is tiny and broadcast. Nothing quadratic, no UDFs — the scoring
+formula is closed-form Catalyst arithmetic inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as X
+from ..functions.stable import (
+    DECIMAL_FINE,
+    sql_stable_round,
+    stable_round,
+)
+from .registry import Query, register
+
+# Okapi BM25 constants (public formula; Robertson & Zaragoza 2009).
+# Interpolated into the oracle SQL via repr() so both engines start
+# from the identical IEEE double (the PageRank 2-ulp lesson).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Probe terms: document-frequency ranks 10..14 (skip the stopword head,
+# stay in the mid-frequency band where BM25 ranking is non-trivial).
+PROBE_RANK_LO = 10
+PROBE_RANK_HI = 14
+TOP_K = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a corpus-derived probe term set.
+
+    The probe is self-contained at any SF: terms ranked 10-14 by
+    document frequency (ties broken by term) — a deterministic stand-in
+    for a user query that always hits the corpus. Per-(doc, term)
+    scores are pure double arithmetic over integer inputs (tf, dl, df,
+    N), so both engines compute identical IEEE values; the per-document
+    sum over probe terms rides an exact DECIMAL(38,12) accumulator
+    (order-independent), then rounds to 6 dp.
+
+    Plan shape: tf = one corpus-pass hash aggregate on (doc_id, term);
+    df + the probe selection are term-sized aggregates ending in a
+    5-row TakeOrdered; probes broadcast into the tf join; the final
+    score is a doc_id-keyed aggregate and a global top-10
+    (TakeOrderedAndProject). At 100 TB the only corpus-sized shuffle is
+    the tf aggregate, which an inverted-index layout (postings bucketed
+    by term) would amortize across queries.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        "doc_id", X.token_count(F.col("text")).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # integer sum is exact; the division happens once, in double,
+        # identically on both engines.
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    probes = (
+        dfreq.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+        .limit(PROBE_RANK_HI)
+        .orderBy(F.col("doc_freq").asc(), F.col("term").desc())
+        .limit(PROBE_RANK_HI - PROBE_RANK_LO + 1)
+    )
+    scored = (
+        tf.join(F.broadcast(probes.select("term", "doc_freq")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    )
+    tf_comp = (
+        F.col("tf")
+        * (F.lit(BM25_K1) + F.lit(1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0)
+                - F.lit(BM25_B)
+                + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+    )
+    per_term = scored.select(
+        "doc_id", (idf * tf_comp).cast(DECIMAL_FINE).alias("s")
+    )
+    total = per_term.groupBy("doc_id").agg(
+        stable_round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+    return total.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        TOP_K
+    )
+
+
+register(
+    Query(
+        name="bm25_topk",
+        spark=_bm25_topk,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dl AS (
+                SELECT doc_id, len(string_split_regex(
+                    lower(trim(text)), '\s+')) AS dl
+                FROM documents
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs,
+                       sum(dl) / count(*) AS avgdl
+                FROM dl
+            ),
+            dfreq AS (
+                SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1
+            ),
+            probes AS (
+                SELECT term, doc_freq FROM (
+                    SELECT term, doc_freq, row_number() OVER (
+                        ORDER BY doc_freq DESC, term ASC) AS rk
+                    FROM dfreq
+                ) WHERE rk BETWEEN {PROBE_RANK_LO} AND {PROBE_RANK_HI}
+            ),
+            per_term AS (
+                SELECT tf.doc_id,
+                       CAST(
+                           ln(1.0 + (n_docs - p.doc_freq + 0.5)
+                                    / (p.doc_freq + 0.5))
+                           * (tf * ({BM25_K1!r} + 1.0)
+                              / (tf + {BM25_K1!r}
+                                 * (1.0 - {BM25_B!r}
+                                    + {BM25_B!r} * dl.dl / avgdl)))
+                           AS DECIMAL(38, 12)) AS s
+                FROM tf
+                JOIN probes p ON tf.term = p.term
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats
+            )
+            SELECT doc_id,
+                   {sql_stable_round('CAST(sum(s) AS DOUBLE)', 6)} AS bm25
+            FROM per_term
+            GROUP BY 1
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT {TOP_K}
+        """,
+        tags=("text", "search", "O3"),
+    )
+)
