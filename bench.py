@@ -124,6 +124,8 @@ HEADLINE = [
     "token_weighted_quality",
     # BM25 ranked retrieval (one corpus-pass postings agg, broadcast probes)
     "bm25_topk",
+    # PQ ADC search: codes-only corpus pass + broadcast lookup tables
+    "ann_pq",
 ]
 
 

@@ -965,3 +965,149 @@ register(
         tags=("similarity", "quantization"),
     )
 )
+
+
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: asymmetric distance computation (ADC) top-k.
+
+    The serving-side half of product quantization (Jégou et al. 2011):
+    the corpus lives as 8-byte PQ codes (``pq_codes``'s encode), and a
+    probe is answered WITHOUT touching any corpus float — per probe, a
+    PQ_M×PQ_K table of subvector distances to the codebook is computed
+    once (640 tiny rows for 5 probes), broadcast, and each candidate's
+    distance is the sum of 8 table lookups selected by its codes.
+
+    Plan shape at 100 TB: the codebook and per-probe lookup tables are
+    O(M·K) and broadcast; the corpus-side cost is one narrow pass over
+    the code table (N·M rows) into a map-side-combinable (q, candidate)
+    hash aggregate, then a k-bounded per-probe window. No corpus floats
+    move, no quadratic stage. Ranking compares the EXACT decimal ADC
+    sums (order-independent), so top-k membership is bit-reproducible;
+    the rounded double is display-only.
+    """
+    from ..functions.similarity import decimal_sq_dist_slice
+
+    e = _emb(spark, sf_dir)
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k_id"), F.col("embedding").alias("c_emb")
+    )
+    sub = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    )
+    start = F.col("m") * PQ_SUB + 1
+    d = sub.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "k_id",
+        decimal_sq_dist_slice(
+            F.col("embedding"), F.col("c_emb"), start, PQ_SUB
+        ).alias("dist"),
+    )
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("k_id"))).alias("b"))
+        .select("vec_id", "m", F.col("b.k_id").alias("code"))
+    )
+    grid = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    )
+    lut = grid.crossJoin(F.broadcast(cb)).select(
+        "q_id",
+        "m",
+        "k_id",
+        decimal_sq_dist_slice(
+            F.col("q_emb"), F.col("c_emb"), F.col("m") * PQ_SUB + 1, PQ_SUB
+        ).alias("ldist"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            on=[codes["m"] == lut["m"], codes["code"] == lut["k_id"]],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ldist").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+            "rk",
+        )
+    )
+
+
+register(
+    Query(
+        name="ann_pq",
+        spark=_ann_pq,
+        oracle=f"""
+            WITH cb AS (
+                SELECT vec_id AS k_id, embedding AS c_emb
+                FROM embeddings WHERE vec_id < {PQ_K}
+            ),
+            sub AS (
+                SELECT vec_id, embedding,
+                       unnest(generate_series(0, {PQ_M - 1})) AS m
+                FROM embeddings
+            ),
+            d AS (
+                SELECT s.vec_id, s.m, c.k_id,
+                       {sql_decimal_sq_dist_slice('s.embedding', 'c.c_emb',
+                                                  's.m * ' + str(PQ_SUB) + ' + 1',
+                                                  PQ_SUB)} AS dist
+                FROM sub s CROSS JOIN cb c
+            ),
+            codes AS (
+                SELECT vec_id, m, k_id AS code FROM (
+                    SELECT vec_id, m, k_id,
+                           row_number() OVER (
+                               PARTITION BY vec_id, m
+                               ORDER BY dist ASC, k_id ASC
+                           ) AS rk
+                    FROM d
+                ) WHERE rk = 1
+            ),
+            grid AS (
+                SELECT q.vec_id AS q_id, q.embedding AS q_emb, g.m
+                FROM embeddings q
+                CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1}))
+                            AS m) g
+                WHERE q.vec_id < {N_QUERIES}
+            ),
+            lut AS (
+                SELECT g.q_id, g.m, c.k_id,
+                       {sql_decimal_sq_dist_slice('g.q_emb', 'c.c_emb',
+                                                  'g.m * ' + str(PQ_SUB) + ' + 1',
+                                                  PQ_SUB)} AS ldist
+                FROM grid g CROSS JOIN cb c
+            ),
+            adc AS (
+                SELECT l.q_id, c.vec_id AS neighbor_id, sum(l.ldist) AS adc
+                FROM codes c
+                JOIN lut l ON c.m = l.m AND c.code = l.k_id
+                WHERE c.vec_id <> l.q_id
+                GROUP BY 1, 2
+            )
+            SELECT q_id, neighbor_id,
+                   round(CAST(adc AS DOUBLE), 6) AS adc_dist, rk
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id
+                    ORDER BY adc ASC, neighbor_id ASC) AS rk
+                FROM adc
+            ) WHERE rk <= {TOP_K}
+        """,
+        tags=("similarity", "quantization", "ann"),
+    )
+)

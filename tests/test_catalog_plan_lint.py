@@ -70,6 +70,8 @@ BNLJ_WHITELIST = {
     "ann_lsh",
     "ann_lsh_recall",
     "pq_codes",
+    "ann_pq",  # codebook (16 rows) + per-probe LUT broadcasts
+    "bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
     "supplier_stock_value",  # global-scalar threshold broadcast (Q11)
     "triangle_count",  # final 1-row stats composition (tri × edges × nodes)
 }
