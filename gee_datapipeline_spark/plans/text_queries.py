@@ -1402,3 +1402,126 @@ register(
         tags=("text", "quality", "window", "llm-pipeline"),
     )
 )
+
+
+# ----------------------------------------------------- winnowing (MOSS)
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 4  # gram-hashes per winnowing window
+# Position lift for the packed (hash, pos) ordering key: hash*2^21 + pos
+# keeps lexicographic (hash, pos) order in ONE bigint min (exact,
+# order-independent on both engines). Positions are per-document gram
+# indexes; 2^21 covers ~2M tokens/doc (document the bound, don't shuffle
+# structs).
+WIN_LIFT = 1 << 21
+
+
+def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): every stride-1 WIN_K-token gram
+    is hashed (32-bit md5 prefix); within every window of WIN_W
+    consecutive gram hashes the minimum (ties → leftmost position) is
+    selected; the per-document fingerprint set is the distinct selected
+    (hash, pos) pairs. Guarantee: any shared token run of at least
+    WIN_K + WIN_W - 1 tokens yields a shared selected hash, at ~2/(W+1)
+    the storage of the full gram set — the sampling step ``span_dedup``
+    (all grams) doesn't have.
+
+    Scale shape: gram hashing is a narrow map; window-min rides ONE
+    (doc_id, pos) sort — no self-join; the distinct is a hash aggregate
+    on (doc_id, packed_key). Text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = d.filter(F.col("n") >= WIN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n - {WIN_K}),"
+                f" s -> md5(concat_ws(' ', slice(t, s + 1, {WIN_K}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        (
+            F.conv(F.substring("g", 1, 8), 16, 10).cast("long")
+            * F.lit(WIN_LIFT)
+            + F.col("pos")
+        ).alias("key"),
+    )
+    from pyspark.sql import Window as W
+
+    frame = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, WIN_W - 1)
+    )
+    sel = (
+        keyed.select(
+            "doc_id",
+            F.min("key").over(frame).alias("sel_key"),
+            F.count(F.lit(1)).over(frame).alias("w_size"),
+        )
+        .filter(F.col("w_size") == WIN_W)
+        .select("doc_id", "sel_key")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.floor(F.col("sel_key") / WIN_LIFT).cast("long").alias("fp"),
+        (F.col("sel_key") % WIN_LIFT).cast("long").alias("pos"),
+    )
+
+
+def _winnowing_oracle() -> str:
+    base = " + ".join(
+        f"(strpos('0123456789abcdef', substr(g, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i - 1 AS pos,
+                   md5(array_to_string(t[i:i + {WIN_K} - 1], ' ')) AS g
+            FROM toks, unnest(generate_series(1, len(t) - {WIN_K} + 1))
+                       AS u(i)
+            WHERE len(t) >= {WIN_K}
+        ),
+        keyed AS (
+            SELECT doc_id, pos,
+                   CAST({base} AS BIGINT) * {WIN_LIFT} + pos AS key
+            FROM grams
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id, sel_key FROM (
+                SELECT doc_id,
+                       min(key) OVER w AS sel_key,
+                       count(*) OVER w AS w_size
+                FROM keyed
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW
+                             AND {WIN_W - 1} FOLLOWING)
+            ) WHERE w_size = {WIN_W}
+        )
+        SELECT doc_id,
+               CAST(floor(sel_key / {WIN_LIFT}) AS BIGINT) AS fp,
+               CAST(sel_key % {WIN_LIFT} AS BIGINT) AS pos
+        FROM sel
+    """
+
+
+register(
+    Query(
+        name="winnowing_fingerprints",
+        spark=_winnowing_fingerprints,
+        oracle=_winnowing_oracle(),
+        tags=("dedup", "fingerprint", "window"),
+    )
+)
