@@ -126,6 +126,10 @@ HEADLINE = [
     "bm25_topk",
     # PQ ADC search: codes-only corpus pass + broadcast lookup tables
     "ann_pq",
+    # MOSS winnowing: window-min fingerprint sampling, one sort, no join
+    "winnowing_fingerprints",
+    # PCA principal axis: one corpus-pass scatter agg + tiny power steps
+    "embedding_pca_power",
 ]
 
 

@@ -1111,3 +1111,200 @@ register(
         tags=("similarity", "quantization", "ann"),
     )
 )
+
+
+# ------------------------------------------------ PCA via power iteration
+
+PCA_DIM = 64
+PCA_ITERS = 8
+
+
+def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding corpus: centered scatter
+    matrix + ``PCA_ITERS`` unrolled power-iteration steps, as pure
+    DataFrame algebra (no MLlib — every step is mirrored bit-for-bit by
+    the DuckDB oracle, the same discipline as ``ann_ivf_train``'s
+    k-means).
+
+    Scale shape: the ONLY corpus-sized stage is the scatter-matrix
+    aggregate — each row emits its upper-triangle outer products (2080
+    structs) into a map-side-combinable (i, j) decimal sum; the result
+    is a 64×64 artifact that is localCheckpointed and reused by all
+    iterations. Power steps are joins over that tiny table with a
+    broadcast 64-row vector — zero corpus passes. (At 100 TB the
+    outer-product explode becomes per-partition NumPy gram tiles à la
+    ``gram_screen_pairs``; the algebra and the artifact are the same.)
+
+    Determinism: means are decimal-stable averages; scatter entries are
+    decimal sums rounded to 6 dp; each iterate is re-quantized to 12 dp
+    through the floor-form half-up round (identical IEEE ops on both
+    engines), so the eigenvector converges to the same bits everywhere.
+    Sign convention: the component with the largest |loading| (ties →
+    smallest dim) is made positive."""
+    e = _emb(spark, sf_dir)
+    flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    m = flat.groupBy("dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv")
+    )
+    marr = m.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+            lambda s: s["mv"],
+        ).alias("marr")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(marr))
+        .select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(1, {PCA_DIM}), i ->
+                        transform(sequence(i, {PCA_DIM}), j -> struct(
+                            i AS i, j AS j,
+                            cast((cast(element_at(embedding, i) AS double)
+                                  - element_at(marr, i))
+                                 * (cast(element_at(embedding, j) AS double)
+                                    - element_at(marr, j))
+                                 AS decimal(38,12)) AS p))))"""
+                )
+            ).alias("x")
+        )
+        .select("x.i", "x.j", "x.p")
+    )
+    s_up = pairs.groupBy("i", "j").agg(
+        F.round(F.sum("p").cast("double"), 6).alias("s")
+    )
+    s_full = s_up.unionAll(
+        s_up.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("s")
+        )
+    ).localCheckpoint(eager=True)
+
+    def r12(c):
+        return F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+    v = (
+        s_full.select("i")
+        .distinct()
+        .select(F.col("i").alias("dim"), F.lit(0.125).alias("v"))
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            s_full.join(F.broadcast(v), s_full["j"] == v["dim"])
+            .groupBy(s_full["i"].alias("dim"))
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("s") * F.col("v")).cast("decimal(38,12)")
+                    ).cast("double"),
+                    12,
+                ).alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", r12(F.col("w") / F.col("nrm")).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    ref = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("dim").asc())
+        .limit(1)
+        .select(
+            F.when(F.col("v") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias(
+                "sgn"
+            )
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ref))
+        .select(
+            "dim",
+            (
+                F.floor(F.col("v") * F.col("sgn") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("loading"),
+        )
+    )
+
+
+def _pca_oracle() -> str:
+    it = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        it.append(f"""
+            w{t} AS MATERIALIZED (
+                SELECT s.i AS dim,
+                       round(CAST(sum(CAST(s.s * {prev}.v
+                                           AS DECIMAL(38,12))) AS DOUBLE),
+                             12) AS w
+                FROM sfull s JOIN {prev} ON s.j = {prev}.dim
+                GROUP BY 1
+            ),
+            n{t} AS MATERIALIZED (
+                SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12)))
+                                 AS DOUBLE)) AS nrm
+                FROM w{t}
+            ),
+            v{t} AS MATERIALIZED (
+                SELECT dim, floor((w / nrm) * 1e12 + 0.5) / 1e12 AS v
+                FROM w{t} CROSS JOIN n{t}
+            )""")
+        prev = f"v{t}"
+    iters_sql = ",".join(it)
+    return f"""
+        WITH flat AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        m AS MATERIALIZED (
+            SELECT dim, {sql_stable_avg('v', 6, 'decimal(38,12)')} AS mv
+            FROM flat GROUP BY 1
+        ),
+        cent AS MATERIALIZED (
+            SELECT f.vec_id, f.dim AS i, f.v - m.mv AS c
+            FROM flat f JOIN m ON f.dim = m.dim
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(a.c * b.c AS DECIMAL(38,12)) AS p
+            FROM cent a JOIN cent b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+        ),
+        s_up AS MATERIALIZED (
+            SELECT i, j, round(CAST(sum(p) AS DOUBLE), 6) AS s
+            FROM pairs GROUP BY 1, 2
+        ),
+        sfull AS MATERIALIZED (
+            SELECT i, j, s FROM s_up
+            UNION ALL
+            SELECT j AS i, i AS j, s FROM s_up WHERE i <> j
+        ),
+        v0 AS MATERIALIZED (
+            SELECT DISTINCT i AS dim, 0.125 AS v FROM sfull
+        ),{iters_sql},
+        ref AS (
+            SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+            FROM v{PCA_ITERS} ORDER BY abs(v) DESC, dim ASC LIMIT 1
+        )
+        SELECT dim, floor(v * sgn * 1e6 + 0.5) / 1e6 AS loading
+        FROM v{PCA_ITERS} CROSS JOIN ref
+    """
+
+
+register(
+    Query(
+        name="embedding_pca_power",
+        spark=_embedding_pca_power,
+        oracle=_pca_oracle(),
+        tags=("similarity", "decomposition"),
+    )
+)
