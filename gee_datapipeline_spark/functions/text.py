@@ -239,3 +239,70 @@ def chunk_df(
             ).cast("long").alias("n_tokens"),
         )
     )
+
+
+def winnow_fingerprints(
+    docs,
+    id_col: str,
+    text: Column,
+    k: int = 4,
+    w: int = 4,
+    lift: int = 1 << 21,
+):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every stride-1 ``k``-token gram (32-bit md5
+    prefix), slide a window of ``w`` consecutive gram hashes, select the
+    window minimum (ties → leftmost position), emit the distinct
+    selected ``(fp, pos)`` pairs per document.
+
+    Guarantee: two documents sharing a run of at least ``k + w - 1``
+    tokens share at least one selected fingerprint, at ~2/(w+1) the
+    storage of the full gram set. ``lift`` packs (hash, pos) into one
+    bigint so the window min is a single exact integer aggregate;
+    positions must stay below ``lift`` (2^21 ≈ 2M tokens/doc by
+    default).
+
+    Scale shape: gram hashing is a narrow map; the window-min rides ONE
+    (doc, pos) sort; the distinct is a hash aggregate on the packed
+    key. Text never shuffles."""
+    from pyspark.sql import Window as W
+
+    d = docs.select(F.col(id_col), tokens(text).alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    grams = d.filter(F.col("__n") >= k).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, __n - {k}),"
+                f" s -> md5(concat_ws(' ', slice(__t, s + 1, {k}))))"
+            )
+        ).alias("pos", "__g"),
+    )
+    keyed = grams.select(
+        id_col,
+        "pos",
+        (
+            F.conv(F.substring("__g", 1, 8), 16, 10).cast("long")
+            * F.lit(lift)
+            + F.col("pos")
+        ).alias("__key"),
+    )
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    )
+    sel = (
+        keyed.select(
+            id_col,
+            F.min("__key").over(frame).alias("__sel"),
+            F.count(F.lit(1)).over(frame).alias("__w"),
+        )
+        .filter(F.col("__w") == w)
+        .select(id_col, "__sel")
+        .distinct()
+    )
+    return sel.select(
+        id_col,
+        F.floor(F.col("__sel") / lift).cast("long").alias("fp"),
+        (F.col("__sel") % lift).cast("long").alias("pos"),
+    )

@@ -1431,48 +1431,8 @@ def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, pos) sort — no self-join; the distinct is a hash aggregate
     on (doc_id, packed_key). Text never shuffles."""
     docs = _docs(spark, sf_dir)
-    d = docs.select(
-        "doc_id", X.tokens(F.col("text")).alias("t")
-    ).withColumn("n", F.size("t"))
-    grams = d.filter(F.col("n") >= WIN_K).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, n - {WIN_K}),"
-                f" s -> md5(concat_ws(' ', slice(t, s + 1, {WIN_K}))))"
-            )
-        ).alias("pos", "g"),
-    )
-    keyed = grams.select(
-        "doc_id",
-        "pos",
-        (
-            F.conv(F.substring("g", 1, 8), 16, 10).cast("long")
-            * F.lit(WIN_LIFT)
-            + F.col("pos")
-        ).alias("key"),
-    )
-    from pyspark.sql import Window as W
-
-    frame = (
-        W.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(W.currentRow, WIN_W - 1)
-    )
-    sel = (
-        keyed.select(
-            "doc_id",
-            F.min("key").over(frame).alias("sel_key"),
-            F.count(F.lit(1)).over(frame).alias("w_size"),
-        )
-        .filter(F.col("w_size") == WIN_W)
-        .select("doc_id", "sel_key")
-        .distinct()
-    )
-    return sel.select(
-        "doc_id",
-        F.floor(F.col("sel_key") / WIN_LIFT).cast("long").alias("fp"),
-        (F.col("sel_key") % WIN_LIFT).cast("long").alias("pos"),
+    return X.winnow_fingerprints(
+        docs, "doc_id", F.col("text"), k=WIN_K, w=WIN_W, lift=WIN_LIFT
     )
 
 
@@ -1523,5 +1483,212 @@ register(
         spark=_winnowing_fingerprints,
         oracle=_winnowing_oracle(),
         tags=("dedup", "fingerprint", "window"),
+    )
+)
+
+
+# ----------------------------------- prefix-filtered set-similarity join
+
+SSJ_T = 0.9  # token-set Jaccard threshold
+
+
+def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard pairs >= SSJ_T via prefix filtering
+    (PPJoin family — Xiao et al., WWW 2008): order each document's
+    distinct tokens rarest-first (global df asc, token asc); two sets
+    with Jaccard >= t MUST share a token within their first
+    ``s - ceil(t*s) + 1`` tokens, so the candidate join runs on the
+    short prefixes only, then the tiny survivor set is verified with
+    the exact intersection.
+
+    Scale shape vs ``ngram_jaccard_pairs`` (all-shingle equi-join): the
+    candidate-generating join touches ~(1-t)·s tokens per doc instead
+    of s, and rarest-first ordering makes prefix buckets tiny. The
+    verify step joins only candidate pairs back to the per-doc token
+    arrays (array_intersect is per-row Catalyst, no further shuffle
+    fan-out). Exactness: candidates are a superset by the prefix
+    theorem; verification is exact integer set math."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("df").asc(), F.col("term").asc()
+        )
+    )
+    ranked = (
+        toks.join(dfreq, "term")
+        .join(sizes, "doc_id")
+        .withColumn("rk", rk)
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("s") - F.ceil(F.lit(SSJ_T) * F.col("s")) + F.lit(1)
+    ).select("doc_id", "term")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = toks.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("ts"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    inter = F.size(F.array_intersect(F.col("x.ts"), F.col("y.ts")))
+    jac = stable_round(
+        inter
+        / (F.col("x.s") + F.col("y.s") - inter).cast("double"),
+        6,
+    )
+    return (
+        cand.join(sets.alias("x"), cand["doc_a"] == F.col("x.doc_id"))
+        .join(sets.alias("y"), cand["doc_b"] == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= SSJ_T)
+    )
+
+
+register(
+    Query(
+        name="set_similarity_prefix_join",
+        spark=_set_similarity_prefix_join,
+        oracle=rf"""
+            WITH toks AS MATERIALIZED (
+                SELECT DISTINCT doc_id, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS s FROM toks GROUP BY 1
+            ),
+            dfreq AS (
+                SELECT term, count(*) AS df FROM toks GROUP BY 1
+            ),
+            ranked AS (
+                SELECT t.doc_id, t.term,
+                       row_number() OVER (PARTITION BY t.doc_id
+                           ORDER BY d.df ASC, t.term ASC) AS rk,
+                       z.s
+                FROM toks t
+                JOIN dfreq d ON t.term = d.term
+                JOIN sizes z ON t.doc_id = z.doc_id
+            ),
+            pref AS MATERIALIZED (
+                SELECT doc_id, term FROM ranked
+                WHERE rk <= s - ceil({SSJ_T} * s) + 1
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM pref a JOIN pref b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+            ),
+            sets AS MATERIALIZED (
+                SELECT doc_id, list(term ORDER BY term) AS ts,
+                       count(*) AS s
+                FROM toks GROUP BY 1
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT c.doc_a, c.doc_b,
+                       floor((len(list_intersect(x.ts, y.ts))
+                              / CAST(x.s + y.s
+                                     - len(list_intersect(x.ts, y.ts))
+                                     AS DOUBLE)) * 1000000.0 + 0.5)
+                           / 1000000.0 AS jaccard
+                FROM cand c
+                JOIN sets x ON c.doc_a = x.doc_id
+                JOIN sets y ON c.doc_b = y.doc_id
+            )
+            WHERE jaccard >= {SSJ_T}
+        """,
+        tags=("dedup", "join", "scale-path"),
+    )
+)
+
+
+# ---------------------------------------------- distribution drift (KL)
+
+
+def _source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-distribution drift per source: KL(P_source || P_corpus)
+    over token frequencies — the mixture-health metric a training
+    pipeline watches when a new crawl slice shifts the corpus (high KL
+    = the slice's language is unlike the blend it feeds).
+
+    Every probability is a ratio of exact integer counts, so each
+    term's contribution p_s·ln(p_s/p_c) is the identical IEEE double on
+    both engines; the per-source sum rides a DECIMAL(38,12) accumulator.
+    Plan shape: ONE corpus tokenize pass into a (source, term) hash
+    aggregate; corpus-level term counts derive from it (re-aggregate,
+    no second scan); the join is term-keyed, vocabulary-sized."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select(
+            "source", F.explode(X.tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    src_tot = tf.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    corp = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_tot = tf.agg(F.sum("c_st").alias("n"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n")
+    contrib = (p_s * F.log(p_s / p_c)).cast("decimal(38,12)")
+    return (
+        tf.join(corp, "term")
+        .join(src_tot, "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            stable_round(F.sum(contrib).cast("double"), 6).alias("kl"),
+        )
+    )
+
+
+register(
+    Query(
+        name="source_kl_divergence",
+        spark=_source_kl_divergence,
+        oracle=r"""
+            WITH tf AS MATERIALIZED (
+                SELECT source, term, count(*) AS c_st FROM (
+                    SELECT source, unnest(string_split_regex(
+                        lower(trim(text)), '\s+')) AS term
+                    FROM documents
+                ) GROUP BY 1, 2
+            ),
+            src_tot AS (
+                SELECT source, sum(c_st) AS n_s FROM tf GROUP BY 1
+            ),
+            corp AS (
+                SELECT term, sum(c_st) AS c_t FROM tf GROUP BY 1
+            ),
+            n_tot AS (SELECT sum(c_st) AS n FROM tf)
+            SELECT tf.source,
+                   CAST(max(n_s) AS BIGINT) AS n_tokens,
+                   floor(CAST(sum(CAST(
+                       (c_st / CAST(n_s AS DOUBLE))
+                       * ln((c_st / CAST(n_s AS DOUBLE))
+                            / (c_t / CAST(n AS DOUBLE)))
+                       AS DECIMAL(38,12))) AS DOUBLE) * 1000000.0 + 0.5)
+                       / 1000000.0 AS kl
+            FROM tf
+            JOIN corp ON tf.term = corp.term
+            JOIN src_tot ON tf.source = src_tot.source
+            CROSS JOIN n_tot
+            GROUP BY 1
+        """,
+        tags=("text", "aggregation", "drift"),
     )
 )

@@ -280,3 +280,58 @@ def test_near_dup_screen_margin_at_threshold(spark, tmp_path):
     assert (0, 4) in got          # clearly-in pair found
     assert (0, 5) not in got      # clearly-out pair absent
     assert all(0 != b or a != 7 for a, b in got)  # zero vector never pairs
+
+
+# ------------------------------------------------ PCA power iteration
+
+
+def test_pca_power_captures_top_variance(spark):
+    """The 8-step power iterate must capture >=85% of the top
+    eigenvalue's variance (Rayleigh quotient vs numpy eigh) — the
+    honest convergence metric on near-isotropic data, where eigenvector
+    angle is ill-conditioned but variance capture is what PCA is for."""
+    import numpy as np
+
+    from gee_datapipeline_spark.plans import QUERIES
+    from gee_datapipeline_spark.plans.registry import _load_all
+
+    _load_all()
+    sf = SF_SMOKE
+    rows = (
+        QUERIES["embedding_pca_power"].spark(spark, sf)
+        .orderBy("dim")
+        .collect()
+    )
+    v = np.array([r["loading"] for r in rows])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+    import duckdb
+
+    emb = duckdb.sql(
+        f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchnumpy()["embedding"]
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb])
+    Xc = X - X.mean(0)
+    S = Xc.T @ Xc
+    lmax = np.linalg.eigh(S)[0][-1]
+    capture = float(v @ S @ v) / lmax
+    assert capture >= 0.85, capture
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """ADC over 8x16 codebooks is lossy; still, PQ top-10 must overlap
+    the exact cosine top-10 meaningfully (recall floor 0.2 at smoke
+    scale — the gate is the full-oracle bit-match, this is a sanity
+    floor that catches inverted distances or scrambled codes)."""
+    from gee_datapipeline_spark.plans import QUERIES
+    from gee_datapipeline_spark.plans.registry import _load_all
+
+    _load_all()
+    sf = SF_SMOKE
+    pq = QUERIES["ann_pq"].spark(spark, sf).collect()
+    bf = QUERIES["ann_bruteforce"].spark(spark, sf).collect()
+    pq_set = {(r["q_id"], r["neighbor_id"]) for r in pq}
+    bf_set = {(r["q_id"], r["neighbor_id"]) for r in bf}
+    assert pq_set and bf_set
+    recall = len(pq_set & bf_set) / len(bf_set)
+    assert recall >= 0.2, recall

@@ -331,3 +331,67 @@ def test_minhash_index_append_extends_probe_scope(spark, near_dup_docs, tmp_path
     got = sorted(map(tuple, probed.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------ winnowing
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The winnowing theorem: documents sharing a token run of at least
+    k + w - 1 tokens share at least one selected fingerprint, at the
+    SAME gram position within the shared run (hash equality suffices
+    for detection)."""
+    from gee_datapipeline_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha bravo charlie delta echo foxtrot golf"  # 7 = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", F.col("text"), k=4, w=4)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared >=k+w-1 run must share a fp"
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints are a strict sample of the gram set: every
+    window of w grams contributes exactly one selection, so the distinct
+    count is bounded by n_grams and (for non-degenerate hashes) well
+    below it."""
+    from gee_datapipeline_spark.functions.text import winnow_fingerprints
+
+    words = " ".join(f"w{i % 17}x{i % 5}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, words)], "doc_id long, text string"
+    )
+    k, w = 4, 4
+    n_grams = 200 - k + 1
+    got = winnow_fingerprints(docs, "doc_id", F.col("text"), k=k, w=w).count()
+    assert 0 < got <= n_grams
+    # Expected density ~ 2/(w+1); allow generous slack for small samples.
+    assert got < 0.8 * n_grams
+
+
+def test_winnowing_disjoint_docs_share_nothing(spark):
+    from gee_datapipeline_spark.functions.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(30))),
+            (2, " ".join(f"b{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", F.col("text"), k=4, w=4)
+    rows = fps.collect()
+    f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+    f2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+    assert f1 and f2 and not (f1 & f2)
