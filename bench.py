@@ -130,6 +130,12 @@ HEADLINE = [
     "winnowing_fingerprints",
     # PCA principal axis: one corpus-pass scatter agg + tiny power steps
     "embedding_pca_power",
+    # PPJoin prefix filter: candidates from rarest-token prefixes only
+    "set_similarity_prefix_join",
+    # unigram KL drift per source: one tokenize pass, term-keyed join
+    "source_kl_divergence",
+    # sweep-line peak concurrency: day-bounded running-sum windows
+    "concurrency_profile",
 ]
 
 

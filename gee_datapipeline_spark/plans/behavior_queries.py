@@ -471,3 +471,127 @@ register(
         tags=("events", "window-tvf", "streaming-parity"),
     )
 )
+
+
+# -------------------------------------------- concurrency sweep line
+
+
+def _concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line pattern:
+    sessionize (30-min gap), emit +1 at session start / -1 at session
+    end, running-sum within the start day ordered by (ts, delta DESC)
+    — starts before ends at the same instant, so touching sessions
+    count as concurrent — and take the day's max.
+
+    A session belongs to the day it starts (the operator's contract;
+    midnight-spanning sessions are not split). Scale shape: the
+    sessionization windows are per-user; the sweep window partitions by
+    DAY — bounded partitions (one day's session endpoints), never a
+    global sort. The day-level max is invariant to orderings within
+    equal (ts, delta) blocks (prefix max of a monotone run sits at the
+    block edge), so the result is engine-deterministic."""
+    ev = _events(spark, sf_dir)
+    # session_window's end is start-of-last-event + gap; use the last
+    # event ts as the session end so both engines derive identical
+    # endpoints from the data alone.
+    s = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sess")
+    ).agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    deltas = s.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("start_ts").alias("ts"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        s.select(
+            F.to_date("start_ts").alias("day"),
+            F.col("end_ts").alias("ts"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    run = F.sum("delta").over(
+        W.partitionBy("day")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = deltas.select("day", run.alias("running"))
+    return (
+        swept.groupBy("day")
+        .agg(F.max("running").alias("max_concurrent"))
+        .join(
+            s.groupBy(F.to_date("start_ts").alias("day")).agg(
+                F.count(F.lit(1)).alias("n_sessions")
+            ),
+            "day",
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "max_concurrent",
+            "n_sessions",
+        )
+    )
+
+
+register(
+    Query(
+        name="concurrency_profile",
+        spark=_concurrency_profile,
+        oracle="""
+            WITH o AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ),
+            sessions AS MATERIALIZED (
+                SELECT user_id, sid,
+                       min(ts) AS start_ts, max(ts) AS end_ts
+                FROM numbered GROUP BY 1, 2
+            ),
+            deltas AS (
+                SELECT CAST(start_ts AS DATE) AS day, start_ts AS ts,
+                       1 AS delta
+                FROM sessions
+                UNION ALL
+                SELECT CAST(start_ts AS DATE) AS day, end_ts AS ts,
+                       -1 AS delta
+                FROM sessions
+            ),
+            swept AS (
+                SELECT day,
+                       sum(delta) OVER (PARTITION BY day
+                           ORDER BY ts ASC, delta DESC
+                           ROWS UNBOUNDED PRECEDING) AS running
+                FROM deltas
+            ),
+            daymax AS (
+                SELECT day, CAST(max(running) AS BIGINT) AS max_concurrent
+                FROM swept GROUP BY 1
+            ),
+            dayn AS (
+                SELECT CAST(start_ts AS DATE) AS day,
+                       count(*) AS n_sessions
+                FROM sessions GROUP BY 1
+            )
+            SELECT CAST(d.day AS VARCHAR) AS day, d.max_concurrent,
+                   n.n_sessions
+            FROM daymax d JOIN dayn n ON d.day = n.day
+        """,
+        tags=("events", "window", "sweep-line"),
+    )
+)

@@ -73,6 +73,7 @@ BNLJ_WHITELIST = {
     "pq_codes",
     "ann_pq",  # codebook (16 rows) + per-probe LUT broadcasts
     "bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
+    "source_kl_divergence",  # 1-row corpus token total broadcast
     "supplier_stock_value",  # global-scalar threshold broadcast (Q11)
     "triangle_count",  # final 1-row stats composition (tri × edges × nodes)
 }
