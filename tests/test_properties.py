@@ -11,6 +11,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from conftest import SF_SMOKE
+
 from gee_datapipeline_spark.operators.classify import BUCKETS, classify_expr
 from gee_datapipeline_spark.operators.joins import salted_join
 from gee_datapipeline_spark.operators.windows import minmax_normalize
@@ -339,3 +341,125 @@ def test_scd2_intervals_contiguous(spark, rows, tmp_path_factory):
         for a, b in zip(recs, recs[1:]):
             assert a.valid_to == b.valid_from  # contiguous, no overlap
             assert a.state != b.state  # collapsed consecutive repeats
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENT_ROWS)
+def test_concurrency_profile_matches_python_reference(
+    spark, rows, tmp_path_factory
+):
+    """Sweep-line peak concurrency: per start-day max equals an
+    independent interval-overlap scan, and 1 <= max_concurrent <=
+    n_sessions."""
+    QUERIES = _queries()
+
+    d = _write_events(str(tmp_path_factory.mktemp("ev")), rows)
+    out = {
+        r.day: r
+        for r in QUERIES["concurrency_profile"].spark(spark, d).collect()
+    }
+
+    # Reference: 30-min-gap sessionization, then per-day brute overlap.
+    by_user = {}
+    for i, (u, _t, off) in enumerate(rows):
+        by_user.setdefault(u, []).append(
+            _EVT_BASE + datetime.timedelta(seconds=off)
+        )
+    sessions = []
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        for ts in tss[1:]:
+            if (ts - prev).total_seconds() > 1800:
+                sessions.append((start, prev))
+                start = ts
+            prev = ts
+        sessions.append((start, prev))
+    by_day = {}
+    for s0, s1 in sessions:
+        by_day.setdefault(str(s0.date()), []).append((s0, s1))
+    for day, ivs in by_day.items():
+        # sweep with starts-before-ends at equal instants
+        events = [(s, 1) for s, _ in ivs] + [(e, -1) for _, e in ivs]
+        events.sort(key=lambda p: (p[0], -p[1]))
+        run = mx = 0
+        for _, d_ in events:
+            run += d_
+            mx = max(mx, run)
+        r = out[day]
+        assert r.n_sessions == len(ivs)
+        assert r.max_concurrent == mx
+        assert 1 <= r.max_concurrent <= r.n_sessions
+    assert set(out) == set(by_day)
+
+
+def test_source_kl_nonnegative_and_zero_on_self(spark):
+    """KL(P||Q) >= 0 always (Gibbs); and a corpus with a single source
+    has KL exactly 0 (P == Q)."""
+    QUERIES = _queries()
+
+    rows = QUERIES["source_kl_divergence"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.kl >= 0.0, r
+
+    import pandas as pd
+
+    d = str(
+        __import__("tempfile").mkdtemp()
+    )
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma", "beta gamma delta"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [16, 16],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+    one = QUERIES["source_kl_divergence"].spark(spark, d).collect()
+    assert len(one) == 1 and one[0].kl == 0.0
+
+
+def test_bm25_scores_positive_and_bounded_topk(spark):
+    """BM25: exactly TOP_K rows, strictly positive scores, descending
+    with the deterministic (score, doc_id) tie-break."""
+    QUERIES = _queries()
+    rows = QUERIES["bm25_topk"].spark(spark, SF_SMOKE).collect()
+    from gee_datapipeline_spark.plans.search_queries import TOP_K
+
+    assert len(rows) == TOP_K
+    for r in rows:
+        assert r.bm25 > 0
+    ordered = sorted(rows, key=lambda r: (-r.bm25, r.doc_id))
+    assert [r.doc_id for r in rows] == [r.doc_id for r in ordered]
+
+
+def test_set_similarity_prefix_equals_bruteforce(spark):
+    """Prefix filtering is exact: pairs == the quadratic token-set
+    Jaccard baseline at smoke scale."""
+    QUERIES = _queries()
+    from gee_datapipeline_spark.plans.text_queries import SSJ_T
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["set_similarity_prefix_join"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    sets = {
+        r.doc_id: set(r.text.lower().strip().split()) for r in docs
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            j = __import__("math").floor(j * 1e6 + 0.5) / 1e6
+            if j >= SSJ_T:
+                want[(a, b)] = j
+    assert got == want and len(got) > 0
