@@ -136,6 +136,12 @@ HEADLINE = [
     "source_kl_divergence",
     # sweep-line peak concurrency: day-bounded running-sum windows
     "concurrency_profile",
+    # data-selection family: bigram-LM perplexity buckets (broadcast LM),
+    # DSIR hashed importance weights (broadcast ratio table), and
+    # RRF hybrid retrieval fusion (k-bounded rank windows)
+    "lm_perplexity_buckets",
+    "dsir_importance_weights",
+    "hybrid_rrf_topk",
 ]
 
 

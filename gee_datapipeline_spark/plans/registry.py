@@ -77,5 +77,6 @@ def _load_all() -> None:
     from . import maintenance_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
     from . import search_queries  # noqa: F401
+    from . import selection_queries  # noqa: F401
 
     _LOADED = True

@@ -43,8 +43,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _bm25_topk_scored(
+    spark: SparkSession, sf_dir: str, limit: int = TOP_K
+) -> DataFrame:
+    """(doc_id, bm25) for the top-``limit`` documents — the reusable
+    scored core of :func:`_bm25_topk`, also consumed by the hybrid RRF
+    fusion in ``selection_queries``."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(limit)
+
+
 def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 top-10 documents for a corpus-derived probe term set.
+    return _bm25_topk_scored(spark, sf_dir, limit=TOP_K)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scores for every document matching the probe set.
 
     The probe is self-contained at any SF: terms ranked 10-14 by
     document frequency (ties broken by term) — a deterministic stand-in
@@ -109,19 +124,17 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_term = scored.select(
         "doc_id", (idf * tf_comp).cast(DECIMAL_FINE).alias("s")
     )
-    total = per_term.groupBy("doc_id").agg(
+    return per_term.groupBy("doc_id").agg(
         stable_round(F.sum("s").cast("double"), 6).alias("bm25")
     )
-    return total.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
-        TOP_K
-    )
 
 
-register(
-    Query(
-        name="bm25_topk",
-        spark=_bm25_topk,
-        oracle=rf"""
+def sql_bm25_scored(limit: int = TOP_K) -> str:
+    """DuckDB mirror of :func:`_bm25_topk_scored` — the full BM25
+    pipeline ending in the deterministic top-``limit``. Reused verbatim
+    by the hybrid-RRF oracle so both gates score with the identical
+    SQL text."""
+    return rf"""
             WITH toks AS (
                 SELECT doc_id, unnest(string_split_regex(
                     lower(trim(text)), '\s+')) AS term
@@ -170,8 +183,15 @@ register(
             FROM per_term
             GROUP BY 1
             ORDER BY bm25 DESC, doc_id ASC
-            LIMIT {TOP_K}
-        """,
+            LIMIT {limit}
+        """
+
+
+register(
+    Query(
+        name="bm25_topk",
+        spark=_bm25_topk,
+        oracle=sql_bm25_scored(TOP_K),
         tags=("text", "search", "O3"),
     )
 )

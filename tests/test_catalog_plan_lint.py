@@ -76,6 +76,9 @@ BNLJ_WHITELIST = {
     "source_kl_divergence",  # 1-row corpus token total broadcast
     "supplier_stock_value",  # global-scalar threshold broadcast (Q11)
     "triangle_count",  # final 1-row stats composition (tri × edges × nodes)
+    "lm_perplexity_buckets",  # 1-row vocabulary-size broadcast
+    "dsir_importance_weights",  # 1-row corpus token totals broadcast
+    "hybrid_rrf_topk",  # 1-row probe vector + 1-row BM25 stats broadcasts
 }
 
 LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)

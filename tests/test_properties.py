@@ -463,3 +463,94 @@ def test_set_similarity_prefix_equals_bruteforce(spark):
             if j >= SSJ_T:
                 want[(a, b)] = j
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# Data-selection family (plans/selection_queries.py): invariants the
+# differential gate can't see if both engines shared a mistaken shape.
+
+
+def test_lm_perplexity_covers_every_doc_once(spark):
+    """Perplexity buckets: one row per document, positive cross-entropy,
+    bucket label consistent with the fixed thresholds."""
+    QUERIES = _queries()
+    from gee_datapipeline_spark.plans.selection_queries import (
+        NLL_HEAD,
+        NLL_TAIL,
+    )
+
+    rows = QUERIES["lm_perplexity_buckets"].spark(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert r.nll > 0
+        want = (
+            "head"
+            if r.nll < NLL_HEAD
+            else ("middle" if r.nll < NLL_TAIL else "tail")
+        )
+        assert r.bucket == want
+
+
+def test_lm_perplexity_self_trained_corpus_beats_shuffled_tail(spark):
+    """A bigram LM trained on the corpus must assign lower average
+    cross-entropy to the corpus overall than the uniform-smoothing
+    floor ln((c1+aV)/a) would: sanity that the LM actually learned."""
+    import math
+
+    QUERIES = _queries()
+    rows = QUERIES["lm_perplexity_buckets"].spark(spark, SF_SMOKE).collect()
+    toks = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+    )
+    v = toks.agg(F.count_distinct("w")).first()[0]
+    # Unseen-bigram cost with the corpus's largest left-context count is
+    # the worst-case per-bigram nll; the average must sit well below it.
+    avg_nll = sum(r.nll for r in rows) / len(rows)
+    assert avg_nll < math.log(v)  # far below the uniform ln(V) ceiling
+
+
+def test_dsir_weights_favor_target_language_docs(spark):
+    """DSIR: the mean log importance weight of target-slice (en) docs
+    must exceed the mean over non-target docs — the defining property
+    of importance resampling toward the target distribution."""
+    QUERIES = _queries()
+    rows = QUERIES["dsir_importance_weights"].spark(spark, SF_SMOKE).collect()
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    en = [r.log_weight for r in rows if langs[r.doc_id] == "en"]
+    other = [r.log_weight for r in rows if langs[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_hybrid_rrf_score_consistent_with_ranks(spark):
+    """RRF: every fused score must equal the closed form from its two
+    ranks, and the result must be descending with the deterministic
+    tie-break."""
+    QUERIES = _queries()
+    from gee_datapipeline_spark.plans.selection_queries import (
+        RRF_K,
+        RRF_TOP,
+    )
+
+    rows = QUERIES["hybrid_rrf_topk"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == RRF_TOP
+    for r in rows:
+        want = 0.0
+        if r.lex_rank > 0:
+            want += 1.0 / (RRF_K + r.lex_rank)
+        if r.vec_rank > 0:
+            want += 1.0 / (RRF_K + r.vec_rank)
+        import math
+
+        assert math.isclose(r.rrf_score, math.floor(want * 1e6 + 0.5) / 1e6)
+        assert r.lex_rank > 0 or r.vec_rank > 0
+    ordered = sorted(rows, key=lambda r: (-r.rrf_score, r.doc_id))
+    assert [r.doc_id for r in rows] == [r.doc_id for r in ordered]
