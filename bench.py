@@ -142,6 +142,9 @@ HEADLINE = [
     "lm_perplexity_buckets",
     "dsir_importance_weights",
     "hybrid_rrf_topk",
+    # shuffle-free co-located join through matching bucketBy layouts
+    # (first run pays the layout; later runs amortize it — both visible)
+    "bucketed_join_revenue",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Bucketed-table layout: the shuffle-free co-located join.
+
+At 100 TB the dominant cost of a fact⋈fact join is shuffling both sides
+on the join key. Spark's answer is *bucketing*: write each table
+hash-partitioned into N buckets on the join key (``bucketBy`` +
+``sortBy``), and a later equi-join on that key reads bucket i against
+bucket i directly — the physical plan has a SortMergeJoin with **no
+Exchange on either input**. The shuffle is paid ONCE at layout time and
+amortized over every subsequent join; this is the standard warehouse
+pattern for repeatedly-joined fact tables (orders ⋈ lineitem,
+events ⋈ users).
+
+This module provides the layout as a cached artifact, mirroring the IVF
+quantizer pattern (``functions.similarity.ivf_centroids_cached``): the
+bucketed table is keyed by a corpus fingerprint, built on first use,
+reused (zero write cost) within a session, and rebuilt automatically
+when the underlying data changes. Bucketing metadata lives in the
+session catalog, so a fresh session re-lays-out once — on a real
+cluster the table is a persistent metastore entry and the cost is paid
+exactly once per corpus version.
+
+Reference parity note: the reference has no multi-table joins at all
+(its GEE collections are joined implicitly by geometry); this is part
+of the beyond-reference relational surface (SURVEY.md §2.3 J3 scale
+path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 8
+
+
+def _artifact_root() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
+    )
+
+
+def corpus_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Order-independent fingerprint of a table: row count + modular sum
+    of per-row hashes over ``cols`` — one cheap aggregate scan, no sort,
+    partitioning-independent."""
+    row = df.select(
+        F.xxhash64(*[F.col(c) for c in cols]).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+    ).first()
+    return hashlib.md5(f"{row['n']}:{row['s']}".encode()).hexdigest()[:12]
+
+
+def bucketed_table(
+    df: DataFrame,
+    base_name: str,
+    bucket_col: str,
+    fingerprint_cols: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Return ``df`` as a bucketed catalog table, laying it out on first
+    use.
+
+    The table name embeds the corpus fingerprint, so a data change never
+    serves a stale layout — it simply creates a new table. Within a
+    session the layout cost is paid once (``spark.catalog.tableExists``
+    short-circuits); across sessions the in-memory catalog forgets, and
+    the layout is rebuilt — on a cluster with a persistent metastore it
+    would not be.
+    """
+    spark: SparkSession = df.sparkSession
+    fp = corpus_fingerprint(df, *fingerprint_cols)
+    name = f"{base_name}_b{n_buckets}_{fp}"
+    if not spark.catalog.tableExists(name):
+        (
+            df.write.bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .mode("overwrite")
+            .format("parquet")
+            # External location: keeps the layout with the other cached
+            # artifacts instead of a cwd-relative spark-warehouse.
+            .option("path", os.path.join(_artifact_root(), name))
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def colocated_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    left_key: str,
+    right_key: str,
+    left_fp_cols: tuple[str, ...],
+    right_fp_cols: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Equi-join two tables through matching bucketed layouts: both
+    sides land in ``n_buckets`` buckets on their join key, so the
+    SortMergeJoin consumes co-located buckets with no Exchange on
+    either input (asserted in ``tests/test_bucketed_join.py``)."""
+    lb = bucketed_table(left, left_name, left_key, left_fp_cols, n_buckets)
+    rb = bucketed_table(
+        right, right_name, right_key, right_fp_cols, n_buckets
+    )
+    # merge hint: this operator exists for fact⋈fact joins where
+    # neither side broadcasts. Without it, small test inputs make
+    # Catalyst pick a BroadcastHashJoin and mark the scans
+    # "Bucketed: false (disabled by query planner)" — the layout only
+    # pays off through the SortMergeJoin path it was built for.
+    return lb.hint("merge").join(rb, lb[left_key] == rb[right_key])

@@ -1069,3 +1069,65 @@ register(
         tags=("join", "aggregation", "subquery", "tpch-q11"),
     )
 )
+
+
+# ------------------------------------------ bucketed co-located join
+
+
+def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through BUCKETED orders ⋈ customer.
+
+    The 100 TB point of this query is its physical plan, not its
+    algebra: both tables are laid out in matching hash buckets on the
+    customer key (``operators.bucketing``), so the SortMergeJoin reads
+    bucket i against bucket i with NO Exchange on either input — the
+    join-key shuffle is paid once at layout time and amortized over
+    every later join (asserted in ``tests/test_bucketed_join.py``).
+    Semantically identical to the plain join, which is exactly what the
+    oracle checks.
+    """
+    from ..operators.bucketing import colocated_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = colocated_join(
+        orders,
+        customer,
+        left_name="orders_by_cust",
+        right_name="customer_by_cust",
+        left_key="o_custkey",
+        right_key="c_custkey",
+        left_fp_cols=("o_orderkey", "o_totalprice"),
+        right_fp_cols=("c_custkey", "c_acctbal"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_sum("o_totalprice").alias("segment_revenue"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.col("segment_revenue").cast("double").alias("segment_revenue"),
+        )
+    )
+
+
+register(
+    Query(
+        name="bucketed_join_revenue",
+        spark=_bucketed_join_revenue,
+        oracle="""
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                        AS DOUBLE) AS segment_revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        tags=("join", "bucketing", "J3-scale"),
+        doc="shuffle-free co-located join via matching bucketBy layouts; "
+        "layout cost amortized across joins (operators/bucketing.py)",
+    )
+)
