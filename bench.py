@@ -145,6 +145,8 @@ HEADLINE = [
     # shuffle-free co-located join through matching bucketBy layouts
     # (first run pays the layout; later runs amortize it — both visible)
     "bucketed_join_revenue",
+    # synchronous weighted LPA: 3 unrolled rounds, int64-keyed shuffles
+    "label_propagation",
 ]
 
 

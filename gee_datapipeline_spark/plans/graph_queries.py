@@ -302,3 +302,123 @@ register(
         tags=("graph", "triangle"),
     )
 )
+
+
+# --------------------------------------------- label propagation (LPA)
+
+
+LPA_ROUNDS = 3
+
+
+def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous weighted label propagation
+    (Raghavan et al. 2007) over the undirected trade graph.
+
+    Every node starts labeled with its own id; each round, a node
+    adopts the label carrying the greatest total edge weight among its
+    neighbors (ties → smallest label). The synchronous schedule with a
+    deterministic tie-break makes the fixed ``LPA_ROUNDS``-round unroll
+    exactly reproducible — which is what lets an iterative community
+    algorithm carry a full value-hash oracle (unrolled CTEs, like
+    PageRank).
+
+    Scale shape: one round = one label join (labels table is |V| rows,
+    ≪ |E|) + one (node, label) weighted hash-aggregate + one per-node
+    arg-max — all shuffles keyed on int64 node ids, edge table
+    checkpointed once and reused. Per-label weight sums ride
+    DECIMAL(30,6) so the arg-max compares exact values in both engines
+    (double summation order would flake ties). The struct-max arg-max
+    is map-side combinable — no row_number window over the corpus.
+    """
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select("src", "dst", "weight")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "weight",
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        scores = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(
+                F.sum(F.col("weight").cast("decimal(30,6)")).alias("w")
+            )
+        )
+        labels = scores.groupBy("node").agg(
+            (-F.max(F.struct(F.col("w"), (-F.col("lbl")).alias("neg")))[
+                "neg"
+            ]).alias("lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "labels0"
+    for r in range(1, LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+            scores{r} AS (
+                SELECT und.src AS node, l.lbl,
+                       sum(CAST(und.weight AS DECIMAL(30,6))) AS w
+                FROM und JOIN {prev} l ON und.dst = l.node
+                GROUP BY 1, 2
+            ),
+            labels{r} AS (
+                SELECT node, lbl FROM (
+                    SELECT node, lbl, row_number() OVER (
+                        PARTITION BY node
+                        ORDER BY w DESC, lbl ASC) AS rk
+                    FROM scores{r}
+                ) WHERE rk = 1
+            )"""
+        )
+        prev = f"labels{r}"
+    rounds_sql = ",".join(rounds)
+    return f"""
+            WITH edges AS (
+                SELECT l_suppkey * 2 AS src,
+                       o_custkey * 2 + 1 AS dst,
+                       round(CAST(sum(CAST(l_extendedprice
+                             * (1 - l_discount) AS DECIMAL(30,6)))
+                             AS DOUBLE), 2) AS weight
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            und AS (
+                SELECT src, dst, weight FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM edges
+            ),
+            labels0 AS (
+                SELECT DISTINCT src AS node, src AS lbl FROM und
+            ),{rounds_sql}
+            SELECT node, lbl AS community FROM {prev}
+        """
+
+
+register(
+    Query(
+        name="label_propagation",
+        spark=_label_propagation,
+        oracle=_lpa_oracle(),
+        tags=("graph", "community"),
+        doc="synchronous weighted LPA, deterministic tie-break, "
+        "unrolled-CTE full oracle; per-round cost = one |E| join + "
+        "one hash-agg on int64 keys",
+    )
+)

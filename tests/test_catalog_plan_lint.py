@@ -39,6 +39,7 @@ EXECUTING_BUILDERS = {
     "ann_ivf",                 # eager-checkpoints its quantizer
     "supplier_stock_value",    # eager-checkpoints the per-part aggregate
     "triangle_count",          # eager-checkpoints the deduped edge list
+    "label_propagation",       # eager-checkpoints the undirected edges
     "embedding_pca_power",     # eager-checkpoints scatter matrix + iterates
     "raster_ingest_tif",       # reads fixture rasters at build time
     "geotiff_roundtrip",       # writes + re-ingests GeoTIFFs at build time

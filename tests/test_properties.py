@@ -554,3 +554,16 @@ def test_hybrid_rrf_score_consistent_with_ranks(spark):
         assert r.lex_rank > 0 or r.vec_rank > 0
     ordered = sorted(rows, key=lambda r: (-r.rrf_score, r.doc_id))
     assert [r.doc_id for r in rows] == [r.doc_id for r in ordered]
+
+
+def test_label_propagation_covers_nodes_and_merges(spark):
+    """LPA: one row per graph node, every community id is itself a node
+    id, and propagation merged at least some labels (fewer communities
+    than nodes)."""
+    QUERIES = _queries()
+    rows = QUERIES["label_propagation"].spark(spark, SF_SMOKE).collect()
+    nodes = {r.node for r in rows}
+    comms = {r.community for r in rows}
+    assert len(rows) == len(nodes)
+    assert comms <= nodes
+    assert len(comms) < len(nodes)
