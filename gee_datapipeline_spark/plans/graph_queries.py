@@ -422,3 +422,113 @@ register(
         "one hash-agg on int64 keys",
     )
 )
+
+
+# ----------------------------------------------- multi-source BFS
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MAX = 4  # supplier node ids 0/2/4 = suppkeys 0..2
+
+
+def _bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first shortest hops over the undirected
+    trade graph: min link distance from the seed suppliers to every
+    node reachable within ``_BFS_ROUNDS`` hops — the classic frontier
+    expansion (Pregel-style), unrolled so the oracle can mirror it.
+
+    Per round the work is ONE equi-join of the current frontier (the
+    nodes first reached last round — a shrinking set) against the edge
+    list, plus a min-hash-agg over (known ∪ neighbors). Distances only
+    ever decrease, so keeping min(dist) per node is exactly Dijkstra
+    on unit weights. The edge list is localCheckpointed once; no round
+    re-derives it.
+
+    At 100 TB: identical envelope to the PageRank/LPA family — k
+    fact-sized shuffles on int64 keys, frontier-sized build sides, and
+    the undirected doubling is a union, not a shuffle."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    known = (
+        pairs.select("src")
+        .filter(F.col("src") <= _BFS_SEED_MAX)
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(0).alias("dist"))
+    )
+    for k in range(1, _BFS_ROUNDS + 1):
+        frontier = known.filter(F.col("dist") == k - 1).select("node")
+        nbrs = und.join(
+            frontier, und.src == frontier.node
+        ).select(F.col("dst").alias("node"), F.lit(k).alias("dist"))
+        known = (
+            known.unionAll(nbrs)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return known
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    prev = "d0"
+    for k in range(1, _BFS_ROUNDS + 1):
+        steps.append(
+            f"""d{k} AS (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM {prev}
+                    UNION ALL
+                    SELECT e.dst AS node, {k} AS dist
+                    FROM und e JOIN (
+                        SELECT node FROM {prev} WHERE dist = {k - 1}
+                    ) f ON e.src = f.node
+                )
+                GROUP BY node
+            )"""
+        )
+        prev = f"d{k}"
+    steps_sql = ",\n            ".join(steps)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        und AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs
+        ),
+        d0 AS (
+            SELECT DISTINCT src AS node, 0 AS dist FROM pairs
+            WHERE src <= {_BFS_SEED_MAX}
+        ),
+        {steps_sql}
+        SELECT node, dist FROM {prev}
+    """
+
+
+register(
+    Query(
+        name="bfs_reachability",
+        spark=_bfs_reachability,
+        oracle=_bfs_oracle(),
+        tags=("graph", "bfs"),
+        doc="multi-source unit-weight shortest hops, frontier-join "
+        "rounds unrolled to mirror the CTE oracle; one |E| shuffle "
+        "per round",
+    )
+)

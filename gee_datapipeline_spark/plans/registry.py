@@ -78,5 +78,6 @@ def _load_all() -> None:
     from . import graph_queries  # noqa: F401
     from . import search_queries  # noqa: F401
     from . import selection_queries  # noqa: F401
+    from . import stats_queries  # noqa: F401
 
     _LOADED = True

@@ -195,3 +195,115 @@ register(
         tags=("text", "search", "O3"),
     )
 )
+
+
+# ------------------------------------------- positional phrase search
+
+PHRASE_PROBES = 5
+
+
+def _bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional bigram stream (doc_id, pos, w1, w2), 1-based ``pos``
+    to match SQL array indexing. Derived NARROWLY from the token array
+    (transform over sequence — no posexplode self-join), so building
+    the positional index costs zero shuffles; only downstream
+    aggregates shuffle. ``sequence(1, 0)`` is descending in Spark, so
+    single-token docs are guarded to an empty bigram list."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", X.tokens(F.col("text")).alias("t")
+        )
+        .withColumn("n", F.size("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n") >= 2,
+                    F.expr(
+                        "transform(sequence(1, n - 1), i -> "
+                        "named_struct('pos', i, 'w1', t[i-1], 'w2', t[i]))"
+                    ),
+                ).otherwise(
+                    F.expr(
+                        "cast(array() as "
+                        "array<struct<pos:int,w1:string,w2:string>>)"
+                    )
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.pos", "bg.w1", "bg.w2")
+    )
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching over a positional index: the corpus's
+    ``PHRASE_PROBES`` most frequent word bigrams (deterministic
+    tie-break) are the probe phrases; every document containing a probe
+    adjacently is returned with its occurrence count.
+
+    This is the positional-postings half of an inverted index — BM25
+    (above) ranks bags of words; phrase search needs adjacency, which
+    the (pos, w1, w2) stream encodes without any position self-join.
+    Probe selection is a global top-k (TakeOrderedAndProject, never a
+    full sort); the probe table is k rows and broadcasts, so the match
+    pass is one corpus-sized scan + a group-sized aggregate.
+
+    At 100 TB the bigram stream is ~|tokens| rows but entirely
+    map-side until the per-(phrase, doc) count — the same single
+    shuffle a word-count pays."""
+    pairs = _bigram_pairs(spark, sf_dir)
+    probes = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PHRASE_PROBES)
+        .select("w1", "w2")
+    )
+    return (
+        pairs.join(F.broadcast(probes), ["w1", "w2"])
+        .groupBy(
+            F.concat_ws(" ", F.col("w1"), F.col("w2")).alias("phrase"),
+            F.col("doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+register(
+    Query(
+        name="phrase_search",
+        spark=_phrase_search,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS a
+                FROM documents
+            ),
+            idx AS (
+                SELECT doc_id, a,
+                       unnest(generate_series(1, len(a) - 1)) AS pos
+                FROM toks WHERE len(a) >= 2
+            ),
+            pairs AS (
+                SELECT doc_id, pos, a[pos] AS w1, a[pos + 1] AS w2
+                FROM idx
+            ),
+            probes AS (
+                SELECT w1, w2 FROM (
+                    SELECT w1, w2, count(*) AS cnt FROM pairs
+                    GROUP BY 1, 2
+                    ORDER BY cnt DESC, w1 ASC, w2 ASC
+                    LIMIT {PHRASE_PROBES}
+                )
+            )
+            SELECT w1 || ' ' || w2 AS phrase, doc_id,
+                   count(*) AS n_occurrences
+            FROM pairs JOIN probes USING (w1, w2)
+            GROUP BY 1, 2
+        """,
+        tags=("search", "phrase", "inverted-index"),
+        doc="corpus-derived probe phrases matched through a positional "
+        "bigram index; narrow index build, one count shuffle",
+    )
+)

@@ -1,0 +1,360 @@
+"""Statistical-analysis and entity-resolution queries: per-group OLS
+trend fitting, rolling z-score anomaly detection, k-anonymity risk
+audit, and blocked fuzzy name matching.
+
+These are the "analyze the corpus you just built" shapes a training-data
+pipeline runs after ingestion: is a source drifting over time (trend)?
+are there outlier measurements (anomaly)? does a quasi-identifier
+combination re-identify users (k-anonymity)? are two catalog entries the
+same real-world entity (fuzzy linkage)?
+
+Engine determinism: every sufficient statistic (n, Σx, Σy, Σxy, Σx², and
+the rolling window's Σv, Σv²) accumulates in DECIMAL — exact and
+associative, so partitioning cannot change the result — and the final
+closed-form arithmetic (slope, z-score) runs in IEEE double on both
+engines from identical inputs. Per-row products like x·y are computed in
+double BEFORE the decimal cast: both factors are 2-dp quantities small
+enough that the product is exactly representable, so the cast sees the
+same exact value in Spark and DuckDB.
+
+Reference parity: the reference pipeline fits per-region temporal trends
+over its pollutant composites (mean NO2 by month; DataDownloader_V1.py's
+month-keyed export loop feeds exactly this analysis downstream) — the
+OLS-per-group shape here is that analysis expressed as one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.stable import stable_round
+from .registry import Query, register
+
+_DEC = "decimal(30,6)"
+_EPOCH = "1995-01-01"
+
+# ------------------------------------------------ per-group OLS trend
+
+
+def _revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS fit of order revenue vs order day: is a market
+    growing or shrinking, as one aggregate over the fact table.
+
+    Sufficient statistics (n, Σx, Σy, Σxy, Σx²) are accumulated per
+    nation in a single hash-agg — x (day index) and x² are exact
+    BIGINTs, y and x·y are 2-dp quantities cast to DECIMAL after an
+    exactly-representable double product — then the closed-form
+    slope/intercept is evaluated in double on the 5-row-per-nation
+    result. One fact-sized shuffle (on c_nationkey after the orders ⋈
+    customer equi-join); the nation dimension broadcasts.
+
+    At 100 TB: the customer join is a plain equi-join Catalyst/AQE can
+    choose a strategy for; everything after it is group-sized. No
+    window, no sort, no second pass over the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")
+    ).cast("long")
+    y = F.col("o_totalprice")
+    stats = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            x.alias("x"),
+            y.cast(_DEC).alias("yd"),
+            # x·y: ≤4e3 · <1e6 with 2 fractional digits — exact in
+            # double, so the decimal cast is identical cross-engine.
+            (x.cast("double") * y).cast(_DEC).alias("xyd"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("yd").alias("sy"),
+            F.sum("xyd").alias("sxy"),
+        )
+    )
+    nd = F.col("n_orders").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    denom = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / denom
+    intercept = (syd - slope * sxd) / nd
+    return (
+        stats.filter((F.col("n_orders") >= 2) & (denom > 0))
+        .withColumn("slope", stable_round(slope, 6))
+        .withColumn("intercept", stable_round(intercept, 2))
+        .join(F.broadcast(nation), stats.c_nationkey == nation.n_nationkey)
+        .select("n_name", "n_orders", "slope", "intercept")
+    )
+
+
+register(
+    Query(
+        name="revenue_trend_slope",
+        spark=_revenue_trend_slope,
+        oracle=f"""
+            WITH stats AS (
+                SELECT c_nationkey,
+                       count(*) AS n_orders,
+                       sum(x) AS sx,
+                       sum(x * x) AS sxx,
+                       sum(CAST(y AS DECIMAL(30,6))) AS sy,
+                       sum(CAST(CAST(x AS DOUBLE) * y
+                                AS DECIMAL(30,6))) AS sxy
+                FROM (
+                    SELECT c_nationkey,
+                           datediff('day', DATE '{_EPOCH}',
+                                    CAST(o_orderdate AS DATE)) AS x,
+                           o_totalprice AS y
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                )
+                GROUP BY 1
+            )
+            SELECT n_name, n_orders,
+                   round((CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                         6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n_orders AS DOUBLE)
+                               * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n_orders AS DOUBLE),
+                         2) AS intercept
+            FROM stats JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_orders >= 2
+              AND CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        """,
+        tags=("stats", "regression"),
+        doc="Per-nation OLS revenue trend from decimal sufficient stats.",
+    )
+)
+
+
+# ------------------------------------- rolling z-score anomaly flags
+
+_ZWIN = 20  # trailing observations per (event_type) stream
+_ZTHRESH = 3.0
+
+
+def _rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly flags: each event's value scored against
+    the mean/std of the previous ``_ZWIN`` events of the same type; rows
+    beyond ``_ZTHRESH`` sigma are emitted.
+
+    The rolling Σv and Σv² accumulate in DECIMAL over a ROWS frame whose
+    contents are totally ordered by (ts, event_id) — so the frame, the
+    sums, and hence the flags are engine- and partitioning-independent.
+    Variance must be strictly positive before the sqrt: a ≤0 guard (not
+    a NaN check) because DuckDB orders NaN greater than everything while
+    Java orders it via Double.compare — the guard keeps NaN out of both.
+
+    One sort per event_type partition; no joins. At 100 TB the state is
+    one window frame per stream — the same shape Structured Streaming's
+    sliding aggregate would maintain incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    v = F.col("value")
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum(v.cast(_DEC)).over(w).alias("s1"),
+        # v² has 4 fractional digits and v < 1e4 — exact in double,
+        # identical decimal cast cross-engine.
+        F.sum((v * v).cast(_DEC)).over(w).alias("s2"),
+    )
+    cntd = F.col("cnt").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / cntd
+    var = (s2d - s1d * s1d / cntd) / cntd
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        scored.filter(F.col("cnt") == _ZWIN)
+        .withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > _ZTHRESH)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            stable_round(F.col("z"), 6).alias("zscore"),
+        )
+    )
+
+
+register(
+    Query(
+        name="rolling_zscore_anomaly",
+        spark=_rolling_zscore_anomaly,
+        oracle=f"""
+            WITH scored AS (
+                SELECT event_id, event_type, value,
+                       count(*) OVER w AS cnt,
+                       sum(CAST(value AS DECIMAL(30,6))) OVER w AS s1,
+                       sum(CAST(value * value AS DECIMAL(30,6)))
+                           OVER w AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN {_ZWIN} PRECEDING
+                                      AND 1 PRECEDING)
+            ),
+            vars AS (
+                SELECT event_id, event_type, value,
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                          / CAST(cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE) AS var,
+                       CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean
+                FROM scored WHERE cnt = {_ZWIN}
+            )
+            SELECT event_id, event_type, value,
+                   round((value - mean) / sqrt(var), 6) AS zscore
+            FROM vars
+            WHERE var > 0 AND abs((value - mean) / sqrt(var)) > {_ZTHRESH!r}
+        """,
+        tags=("stats", "anomaly", "window"),
+        doc="Trailing-window z-score outliers per event stream.",
+    )
+)
+
+
+# ------------------------------------------------- k-anonymity audit
+
+_K_MIN = 5
+
+
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy risk audit: quasi-identifier combinations (nation ×
+    market segment × account-balance band) whose group size is below
+    ``_K_MIN`` — each such group re-identifies its members to within k
+    candidates, the standard k-anonymity criterion (Sweeney 2002,
+    public literature).
+
+    One hash-aggregate on the QI tuple, then a group-sized filter. The
+    1000-unit balance band is the generalization step: auditing raw
+    balances would make every row its own group."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            band.alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") < _K_MIN)
+    )
+
+
+register(
+    Query(
+        name="k_anonymity_audit",
+        spark=_k_anonymity_audit,
+        oracle=f"""
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+                   count(*) AS k
+            FROM customer
+            GROUP BY 1, 2, 3
+            HAVING count(*) < {_K_MIN}
+        """,
+        tags=("stats", "privacy"),
+        doc="Quasi-identifier groups smaller than k (re-identification risk).",
+    )
+)
+
+
+# ------------------------------------- blocked fuzzy name resolution
+
+_FUZZY_MAX_DIST = 3
+
+
+def _fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct part names within an
+    edit distance of ``_FUZZY_MAX_DIST``, blocked on the first name
+    token so the comparison space is per-block quadratic in DISTINCT
+    names, never in rows.
+
+    The two-stage shape is the standard record-linkage design: (1) a
+    hash-agg collapses the fact table to its distinct-name profile
+    (name → row count, exemplar key); (2) a blocked self-join compares
+    only names sharing a blocking key. Levenshtein runs JVM-side
+    (built-in, codegen) on the tiny distinct table — at 100 TB the
+    distinct-name table is catalog-sized (≪ fact), so stage 2 never
+    sees fact-scale data and the block bound caps the worst block at
+    |block|² comparisons."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_partkey").alias("exemplar"),
+        )
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            "edit_dist",
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+register(
+    Query(
+        name="fuzzy_name_pairs",
+        spark=_fuzzy_name_pairs,
+        oracle=f"""
+            WITH names AS (
+                SELECT p_name, count(*) AS n_parts,
+                       min(p_partkey) AS exemplar,
+                       string_split(p_name, ' ')[1] AS blk
+                FROM part GROUP BY 1
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   levenshtein(a.p_name, b.p_name) AS edit_dist,
+                   a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+            FROM names a JOIN names b
+              ON a.blk = b.blk AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+        """,
+        tags=("stats", "entity-resolution", "fuzzy"),
+        doc="Blocked Levenshtein candidate pairs over distinct part names.",
+    )
+)
