@@ -595,3 +595,124 @@ register(
         tags=("events", "window", "sweep-line"),
     )
 )
+
+
+# ------------------------------------- hierarchical OHLC rollup cascade
+
+
+def _ohlc_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly OHLC (open / high /
+    low / close + volume) bars per event stream, then DAILY bars derived
+    FROM the hourly table — never re-reading the raw facts. This is the
+    continuous-aggregate cascade every time-series store maintains: the
+    daily open is the open of the day's first hourly bar, the close is
+    the close of its last, extrema and volumes fold associatively.
+
+    Open/close are selected with row_number over the total order
+    (ts, event_id) — engine-independent, unlike bare first()/last().
+    Cost: one sort per (stream, hour) partition for the rank, one
+    hash-agg per level; the daily level runs over the hour-sized
+    rollup, which at 100 TB is ~5 orders of magnitude smaller than the
+    fact — the whole point of cascading."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    w_asc = Window.partitionBy("event_type", "hour").orderBy(
+        "ts", "event_id"
+    )
+    w_desc = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        e.withColumn("rna", F.row_number().over(w_asc))
+        .withColumn("rnd", F.row_number().over(w_desc))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rnd") == 1, F.col("value"))).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+    wd_asc = Window.partitionBy("event_type", "day").orderBy("hour")
+    wd_desc = Window.partitionBy("event_type", "day").orderBy(
+        F.col("hour").desc()
+    )
+    return (
+        hourly.withColumn("day", F.to_date("hour"))
+        .withColumn("rna", F.row_number().over(wd_asc))
+        .withColumn("rnd", F.row_number().over(wd_desc))
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rna") == 1, F.col("open"))).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max(F.when(F.col("rnd") == 1, F.col("close"))).alias(
+                "close"
+            ),
+            F.sum("volume").alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+register(
+    Query(
+        name="ohlc_rollup_cascade",
+        spark=_ohlc_rollup_cascade,
+        oracle="""
+            WITH ranked AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rna,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rnd
+                FROM events
+            ),
+            hourly AS (
+                SELECT event_type, hour,
+                       max(CASE WHEN rna = 1 THEN value END) AS open,
+                       max(value) AS high,
+                       min(value) AS low,
+                       max(CASE WHEN rnd = 1 THEN value END) AS close,
+                       count(*) AS volume
+                FROM ranked GROUP BY 1, 2
+            ),
+            dranked AS (
+                SELECT *, CAST(hour AS DATE) AS day,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(hour AS DATE)
+                           ORDER BY hour) AS rna,
+                       row_number() OVER (
+                           PARTITION BY event_type, CAST(hour AS DATE)
+                           ORDER BY hour DESC) AS rnd
+                FROM hourly
+            )
+            SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+                   max(CASE WHEN rna = 1 THEN open END) AS open,
+                   max(high) AS high,
+                   min(low) AS low,
+                   max(CASE WHEN rnd = 1 THEN close END) AS close,
+                   CAST(sum(volume) AS BIGINT) AS volume
+            FROM dranked GROUP BY event_type, day
+        """,
+        tags=("events", "timeseries", "rollup"),
+        doc="two-level OHLC continuous aggregate; daily bars fold the "
+        "hourly rollup, never the raw facts",
+    )
+)

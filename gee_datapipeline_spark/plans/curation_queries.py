@@ -584,6 +584,11 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_split_oracle() -> str:
+    # Direct dependency import: ``dedup_clusters`` registers in
+    # text_queries, which the registry's _load_all happens to import
+    # first — but importing THIS module standalone (tests do) must not
+    # depend on that ordering.
+    from . import text_queries  # noqa: F401
     from .registry import QUERIES
 
     inner = QUERIES["dedup_clusters"].oracle
@@ -770,5 +775,75 @@ register(
         spark=_curation_pipeline_e2e,
         oracle=_pipeline_oracle(),
         tags=("curation", "dedup", "quality", "llm-pipeline"),
+    )
+)
+
+
+# --------------------------------------- compression-ratio quality
+
+
+def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style compressibility signal: a document that
+    DEFLATE shrinks too well is repetitive boilerplate; one that barely
+    compresses is noise (random tokens, minified blobs). The ratio
+    ``len(zlib(text)) / len(text)`` is a cheap, language-agnostic
+    quality feature the public web-corpus pipelines all carry.
+
+    zlib runs in an Arrow-batched pandas UDF (the linter-approved
+    Python path — never row-at-a-time), fully narrow: each executor
+    compresses its own partitions, nothing shuffles until the final
+    projection. Output is deterministic for a fixed zlib level, and the
+    pinned pure-Python reference in ``tests/test_curation.py`` checks
+    the exact (ratio, bucket) per doc — the rows-only analogue of an
+    oracle, since SQL engines don't expose DEFLATE.
+
+    At 100 TB: embarrassingly parallel scan work, ~GB/s per core in
+    C zlib; the signal then joins the quality ensemble exactly like
+    ``gopher_quality``'s columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(t):
+        import zlib
+
+        if t is None:
+            return None
+        raw = t.encode("utf-8")
+        if not raw:
+            return None
+        return len(zlib.compress(raw, 6)) / len(raw)
+
+    # lambda form: immune to `from __future__ import annotations`
+    # breaking pandas_udf's type-hint inference.
+    zratio = pandas_udf(lambda texts: texts.map(_one), "double")
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = F.col("ratio")
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            zratio(F.col("text")).alias("ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            stable_round(r, 6).alias("compression_ratio"),
+            F.when(r.isNull(), F.lit("empty"))
+            .when(r < 0.35, F.lit("repetitive"))
+            .when(r > 0.85, F.lit("incompressible"))
+            .otherwise(F.lit("normal"))
+            .alias("bucket"),
+        )
+    )
+
+
+register(
+    Query(
+        name="compression_ratio_quality",
+        spark=_compression_ratio_quality,
+        oracle=None,  # DEFLATE not SQL-expressible; reference-pinned test
+        tags=("curation", "quality", "llm-pipeline"),
+        doc="zlib compressibility quality signal via Arrow-batched UDF; "
+        "narrow scan work, pinned pure-Python reference gate",
     )
 )

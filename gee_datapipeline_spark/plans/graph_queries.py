@@ -532,3 +532,107 @@ register(
         "per round",
     )
 )
+
+
+# --------------------------------------------------- k-core peeling
+
+_KCORE_K = 30
+_KCORE_ROUNDS = 3
+
+
+def _kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-core: ``_KCORE_ROUNDS`` rounds of the standard
+    peel — drop every node whose current degree is below ``_KCORE_K``,
+    restrict the edge list to survivors, repeat. Exact k-core is the
+    fixpoint; the unrolled prefix is deterministic, mirrors into CTEs
+    for the full oracle, and each extra round is the same one-join
+    envelope (run to convergence on a cluster by looping until the
+    peeled count is zero — the driver-side loop test is metadata-sized).
+
+    Per round: one degree hash-agg + two semi-joins of the edge list
+    against the survivor set (both int64-keyed; the survivor set only
+    shrinks). Output is each surviving node with its residual degree.
+
+    At 100 TB this is how dense-community extraction actually runs on
+    web graphs (public k-core literature: Batagelj-Zaveršnik peel);
+    the edge table is the fact and each round costs ~2 fact shuffles."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges.src == keep.node, "left_semi")
+            .join(
+                keep.select(F.col("node").alias("dnode")),
+                F.col("dst") == F.col("dnode"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    steps = []
+    prev = "e0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""k{r} AS (
+                SELECT src AS node FROM {prev}
+                GROUP BY src HAVING count(*) >= {_KCORE_K}
+            ),
+            e{r} AS (
+                SELECT e.src, e.dst FROM {prev} e
+                JOIN k{r} a ON e.src = a.node
+                JOIN k{r} b ON e.dst = b.node
+            )"""
+        )
+        prev = f"e{r}"
+    steps_sql = ",\n            ".join(steps)
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        e0 AS (
+            SELECT src, dst FROM pairs
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM pairs
+        ),
+        {steps_sql}
+        SELECT src AS node, count(*) AS degree FROM {prev} GROUP BY 1
+    """
+
+
+register(
+    Query(
+        name="kcore_decomposition",
+        spark=_kcore_decomposition,
+        oracle=_kcore_oracle(),
+        tags=("graph", "kcore"),
+        doc="unrolled degree-peel rounds toward the k-core fixpoint; "
+        "per round one degree agg + two shrinking semi-joins",
+    )
+)

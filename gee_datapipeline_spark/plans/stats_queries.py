@@ -358,3 +358,130 @@ register(
         doc="Blocked Levenshtein candidate pairs over distinct part names.",
     )
 )
+
+
+# ---------------------------------------- market-basket pair mining
+
+_MIN_SUPPORT = 3
+
+
+def _basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-purchase pairs with support / confidence / lift —
+    the A-priori first level (pairs), which in practice is where basket
+    mining earns its keep (higher orders are pruned by pair support).
+
+    Pair candidates come from ONE groupBy per order (sorted distinct
+    part array → i<j combinations via a narrow transform/slice explode)
+    — the fact table is never self-joined, and per-order dedup rides
+    the same shuffle (the triangle_count layout, graph_queries.py).
+    Item supports are a second group-sized aggregate; the scalar order
+    count broadcasts. Lift arithmetic is all exact BIGINT counts cast
+    to double at the end, so cross-engine determinism is free.
+
+    At 100 TB: per-order combination fan-out is basket-size-bounded
+    (k² per basket, k ~ tens), and everything after the explode is
+    key-grouped counting — the word-count envelope again."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_support = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ps, (x, i) ->
+                        transform(slice(ps, i + 2, size(ps) - i - 1),
+                                  y -> struct(x AS a, y AS b))))
+                    """
+                )
+            ).alias("e")
+        )
+        .groupBy("e.a", "e.b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= _MIN_SUPPORT)
+    )
+    item_support = li.select("l_orderkey", "l_partkey").distinct().groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("support"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    sa = F.col("support_a").cast("double")
+    sb = F.col("support_b").cast("double")
+    sab = F.col("support_ab").cast("double")
+    nd = F.col("n_orders").cast("double")
+    return (
+        pair_support.join(
+            F.broadcast(
+                item_support.select(
+                    F.col("l_partkey").alias("a"),
+                    F.col("support").alias("support_a"),
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                item_support.select(
+                    F.col("l_partkey").alias("b"),
+                    F.col("support").alias("support_b"),
+                )
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            "support_ab",
+            "support_a",
+            "support_b",
+            stable_round(sab / sa, 6).alias("confidence"),
+            stable_round(sab * nd / (sa * sb), 6).alias("lift"),
+        )
+    )
+
+
+register(
+    Query(
+        name="basket_lift_pairs",
+        spark=_basket_lift_pairs,
+        oracle=f"""
+            WITH basket AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pair_support AS (
+                SELECT x.l_partkey AS a, y.l_partkey AS b,
+                       count(*) AS support_ab
+                FROM basket x JOIN basket y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= {_MIN_SUPPORT}
+            ),
+            item_support AS (
+                SELECT l_partkey, count(*) AS support FROM basket
+                GROUP BY 1
+            ),
+            n AS (
+                SELECT count(DISTINCT l_orderkey) AS n_orders FROM basket
+            )
+            SELECT p.a, p.b, p.support_ab,
+                   ia.support AS support_a, ib.support AS support_b,
+                   round(CAST(p.support_ab AS DOUBLE)
+                         / CAST(ia.support AS DOUBLE), 6) AS confidence,
+                   round(CAST(p.support_ab AS DOUBLE)
+                         * CAST(n.n_orders AS DOUBLE)
+                         / (CAST(ia.support AS DOUBLE)
+                            * CAST(ib.support AS DOUBLE)), 6) AS lift
+            FROM pair_support p
+            JOIN item_support ia ON p.a = ia.l_partkey
+            JOIN item_support ib ON p.b = ib.l_partkey
+            CROSS JOIN n
+        """,
+        tags=("stats", "association", "basket"),
+        doc="frequent part pairs with support/confidence/lift; combos "
+        "from per-basket narrow explode, never a fact self-join",
+    )
+)

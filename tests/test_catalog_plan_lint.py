@@ -80,6 +80,7 @@ BNLJ_WHITELIST = {
     "lm_perplexity_buckets",  # 1-row vocabulary-size broadcast
     "dsir_importance_weights",  # 1-row corpus token totals broadcast
     "hybrid_rrf_topk",  # 1-row probe vector + 1-row BM25 stats broadcasts
+    "basket_lift_pairs",  # 1-row order-count scalar broadcast
 }
 
 LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)

@@ -112,3 +112,47 @@ def test_pq_codes_shape_and_determinism(spark):
     for vid in range(PQ_K):
         assert out1[vid]["quant_err"] == 0.0
         assert out1[vid]["pq_code"] == "-".join([str(vid)] * PQ_M)
+
+
+# ------------------------------ compression-ratio pinned reference
+
+
+def test_compression_ratio_matches_pure_python(spark):
+    """The rows-only analogue of an oracle: every (doc_id, ratio,
+    bucket) at sf0.001 must equal the direct zlib computation — same
+    library, but proves the Arrow batching, NULL/empty guards, and
+    bucket thresholds introduce no drift."""
+    import zlib
+
+    import duckdb
+
+    from gee_datapipeline_spark.plans.curation_queries import (
+        _compression_ratio_quality,
+    )
+
+    got = {
+        r.doc_id: (r.n_chars, r.compression_ratio, r.bucket)
+        for r in _compression_ratio_quality(spark, SF_SMOKE).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    assert len(got) == len(docs)
+    import math
+
+    for doc_id, text in docs:
+        n_chars, ratio, bucket = got[doc_id]
+        assert n_chars == len(text)
+        raw = text.encode("utf-8")
+        if not raw:
+            assert ratio is None and bucket == "empty"
+            continue
+        exp = len(zlib.compress(raw, 6)) / len(raw)
+        exp_r = math.floor(exp * 10**6 + 0.5) / 10**6
+        assert ratio == pytest.approx(exp_r, abs=0)
+        exp_bucket = (
+            "repetitive"
+            if exp < 0.35
+            else ("incompressible" if exp > 0.85 else "normal")
+        )
+        assert bucket == exp_bucket
