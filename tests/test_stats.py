@@ -1,0 +1,269 @@
+"""Invariant and pure-Python-reference tests for the stats/linkage and
+graph-completion families (revenue trend, rolling z-score, k-anonymity,
+fuzzy pairs, OHLC cascade, basket lift, BFS, k-core, phrase search).
+
+The oracle gate proves Spark == DuckDB; these prove both engines aren't
+sharing a mistaken shape, by checking against independently-coded
+references and closed-form invariants on the real sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from conftest import SF_SMOKE
+
+from gee_datapipeline_spark.plans.registry import _load_all, QUERIES
+
+_load_all()
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    return QUERIES[name].spark(spark, sf).collect()
+
+
+# ------------------------------------------------------------- trend
+
+
+def test_trend_slope_matches_numpy_polyfit(spark):
+    """Per-nation OLS slope/intercept agrees with numpy's least-squares
+    on the same (day, price) points, to within the 6-dp quantization."""
+    import numpy as np
+
+    got = {r.n_name: (r.slope, r.intercept) for r in _run(spark, "revenue_trend_slope")}
+    pts = duckdb.sql(
+        f"""
+        SELECT n_name,
+               datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+               o_totalprice AS y
+        FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+        JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+          ON o_custkey = c_custkey
+        JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+          ON c_nationkey = n_nationkey
+        """
+    ).fetchall()
+    by_nation = defaultdict(list)
+    for n, x, y in pts:
+        by_nation[n].append((x, y))
+    assert set(got) == set(by_nation)
+    for n, xy in by_nation.items():
+        xs = np.array([p[0] for p in xy], dtype=float)
+        ys = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[n][0] == pytest.approx(slope, abs=1e-4)
+        assert got[n][1] == pytest.approx(intercept, abs=0.02)
+
+
+# ----------------------------------------------------------- z-score
+
+
+def test_zscore_flags_match_python_reference(spark):
+    """Every flagged event agrees with a sequential pure-Python rolling
+    window over the same (ts, event_id) order — and the flagged set is
+    exactly the |z|>3 set, not a sample of it."""
+    evs = duckdb.sql(
+        f"SELECT event_id, event_type, ts, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts, event_id"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for eid, et, ts, v in evs:
+        by_type[et].append((eid, v))
+    expected = {}
+    for et, seq in by_type.items():
+        for i, (eid, v) in enumerate(seq):
+            if i < 20:
+                continue
+            win = [x[1] for x in seq[i - 20 : i]]
+            mean = sum(win) / 20.0
+            var = (sum(x * x for x in win) - sum(win) ** 2 / 20.0) / 20.0
+            if var <= 0:
+                continue
+            z = (v - mean) / math.sqrt(var)
+            if abs(z) > 3.0:
+                expected[eid] = z
+    got = {r.event_id: r.zscore for r in _run(spark, "rolling_zscore_anomaly")}
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert got[eid] == pytest.approx(z, abs=1e-5)
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_groups_are_exactly_the_small_ones(spark):
+    rows = duckdb.sql(
+        f"SELECT c_nationkey, c_mktsegment, "
+        f"CAST(floor(c_acctbal / 1000.0) AS BIGINT) FROM "
+        f"read_parquet('{SF_SMOKE}/customer.parquet')"
+    ).fetchall()
+    counts = Counter(rows)
+    expected = {g: k for g, k in counts.items() if k < 5}
+    got = {
+        (r.c_nationkey, r.c_mktsegment, r.bal_band): r.k
+        for r in _run(spark, "k_anonymity_audit")
+    }
+    assert got == expected
+
+
+# -------------------------------------------------------- OHLC bars
+
+
+def test_ohlc_daily_bars_invariants_and_reference(spark):
+    """low ≤ open/close ≤ high per bar; volumes partition the events;
+    open/close equal the sequentially-first/last values of the day."""
+    bars = _run(spark, "ohlc_rollup_cascade")
+    evs = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts, event_id"
+    ).fetchall()
+    by_day = defaultdict(list)
+    for et, day, v in evs:
+        by_day[(et, day.isoformat())].append(v)
+    assert {(b.event_type, b.day) for b in bars} == set(by_day)
+    for b in bars:
+        seq = by_day[(b.event_type, b.day)]
+        assert b.low <= b.open <= b.high
+        assert b.low <= b.close <= b.high
+        assert b.volume == len(seq)
+        assert b.open == seq[0]
+        assert b.close == seq[-1]
+        assert b.high == max(seq)
+        assert b.low == min(seq)
+
+
+# ------------------------------------------------------ basket lift
+
+
+def test_basket_lift_matches_brute_force(spark):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for o, p in rows:
+        baskets[o].add(p)
+    item = Counter()
+    pair = Counter()
+    for ps in baskets.values():
+        sps = sorted(ps)
+        for p in sps:
+            item[p] += 1
+        for i, a in enumerate(sps):
+            for b in sps[i + 1 :]:
+                pair[(a, b)] += 1
+    n = len(baskets)
+    expected = {k: v for k, v in pair.items() if v >= 3}
+    got = {(r.a, r.b): r for r in _run(spark, "basket_lift_pairs")}
+    assert set(got) == set(expected)
+    for (a, b), s in expected.items():
+        r = got[(a, b)]
+        assert r.support_ab == s
+        assert r.support_a == item[a] and r.support_b == item[b]
+        assert r.support_ab <= min(item[a], item[b])
+        assert 0 < r.confidence <= 1
+        assert r.lift == pytest.approx(s * n / (item[a] * item[b]), abs=1e-5)
+
+
+# ------------------------------------------------------------- BFS
+
+
+def _und_edges(sf=SF_SMOKE):
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_suppkey * 2, o_custkey * 2 + 1 FROM "
+        f"read_parquet('{sf}/lineitem.parquet') li JOIN "
+        f"read_parquet('{sf}/orders.parquet') o ON l_orderkey = o_orderkey"
+    ).fetchall()
+    adj = defaultdict(set)
+    for s, d in rows:
+        adj[s].add(d)
+        adj[d].add(s)
+    return adj
+
+
+def test_bfs_matches_python_bfs(spark):
+    adj = _und_edges()
+    seeds = [n for n in adj if n <= 4 and n % 2 == 0]
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for k in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    got = {r.node: r.dist for r in _run(spark, "bfs_reachability")}
+    assert got == dist
+
+
+# ----------------------------------------------------------- k-core
+
+
+def test_kcore_rounds_contain_true_core(spark):
+    """The converged k-core (pure-Python peel to fixpoint) must survive
+    all 3 unrolled rounds; and every peeled round only removes nodes."""
+    adj = _und_edges()
+    K = 30
+    # converged core
+    deg = {u: len(vs) for u, vs in adj.items()}
+    alive = set(adj)
+    changed = True
+    while changed:
+        drop = {u for u in alive if deg[u] < K}
+        changed = bool(drop)
+        alive -= drop
+        for u in drop:
+            for v in adj[u]:
+                if v in alive:
+                    deg[v] -= 1
+    got = {r.node: r.degree for r in _run(spark, "kcore_decomposition")}
+    assert alive <= set(got)
+    for u in alive:
+        # residual degree after 3 rounds can only overcount the
+        # converged core degree (later rounds remove more neighbors)
+        assert got[u] >= sum(1 for v in adj[u] if v in alive)
+
+
+# ---------------------------------------------------- phrase search
+
+
+def test_phrase_search_matches_python_scan(spark):
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    import re
+
+    toks = {d: re.split(r"\s+", t.strip().lower()) for d, t in docs}
+    bigram = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - 1):
+            bigram[(ts[i], ts[i + 1])] += 1
+    probes = sorted(bigram.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    expected = Counter()
+    for d, ts in toks.items():
+        for i in range(len(ts) - 1):
+            if (ts[i], ts[i + 1]) in dict(probes):
+                expected[(f"{ts[i]} {ts[i+1]}", d)] += 1
+    got = {
+        (r.phrase, r.doc_id): r.n_occurrences
+        for r in _run(spark, "phrase_search")
+    }
+    assert got == dict(expected)
+
+
+# ---------------------------------------------------- fuzzy linkage
+
+
+def test_fuzzy_pairs_symmetric_blocked_and_bounded(spark):
+    rows = _run(spark, "fuzzy_name_pairs")
+    assert rows, "expected at least one fuzzy candidate pair"
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
+        assert 1 <= r.edit_dist <= 3
