@@ -716,3 +716,171 @@ register(
         "hourly rollup, never the raw facts",
     )
 )
+
+
+# ------------------------------------- last-touch conversion attribution
+
+
+def _attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: every purchase is credited to the user's
+    most recent click campaign within a 7-day lookback, else counted
+    unattributed — the classic last-touch model, built by REUSING the
+    engine's as-of join operator (operators/joins.py: union + running
+    last, one shuffle, no pair explosion) rather than a bespoke window.
+
+    Campaigns are derived from the event's JSON props (k mod 5 — the
+    synthetic stand-in for a campaign id). Touches are pre-deduplicated
+    per (user, ts) with min() so the as-of tie-break is deterministic
+    in both engines. The DuckDB oracle uses native ASOF LEFT JOIN.
+
+    At 100 TB this is the asof_clicks_to_errors envelope plus one
+    group-sized aggregate: linear in touches+conversions."""
+    from ..operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    camp = F.concat(
+        F.lit("camp_"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+    )
+    touches = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", camp.alias("campaign"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("campaign").alias("campaign"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, touches, on=["user_id"], ts="ts",
+        payload=["campaign"], suffix="_ref",
+    )
+    in_window = F.col("ts_ref") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    attributed = F.when(
+        F.col("ts_ref").isNotNull() & in_window, F.col("campaign_ref")
+    ).otherwise(F.lit("unattributed"))
+    from ..functions.stable import stable_sum
+
+    return (
+        j.select(attributed.alias("campaign"), "value")
+        .groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            stable_sum("value", 2).alias("attributed_value"),
+        )
+    )
+
+
+register(
+    Query(
+        name="attribution_last_touch",
+        spark=_attribution_last_touch,
+        oracle="""
+            WITH touches AS (
+                SELECT user_id, ts,
+                       min('camp_' || CAST(
+                           CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           % 5 AS VARCHAR)) AS campaign
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2
+            ),
+            purchases AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            j AS (
+                SELECT p.value,
+                       CASE WHEN t.ts IS NOT NULL
+                                 AND t.ts >= p.ts - INTERVAL 7 DAY
+                            THEN t.campaign ELSE 'unattributed'
+                       END AS campaign
+                FROM purchases p ASOF LEFT JOIN touches t
+                  ON p.user_id = t.user_id AND p.ts >= t.ts
+            )
+            SELECT campaign, count(*) AS n_conversions,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE), 2) AS attributed_value
+            FROM j GROUP BY 1
+        """,
+        tags=("events", "attribution", "asof"),
+        doc="last-touch 7-day attribution through the reusable as-of "
+        "operator; oracle is DuckDB native ASOF JOIN",
+    )
+)
+
+
+# --------------------------------------------- weekday seasonality
+
+
+def _weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile per event stream: mean value per
+    weekday and its deviation from the stream's overall mean — the
+    first-order seasonal decomposition a monitoring pipeline runs
+    before alerting on 'low weekend traffic'.
+
+    Two group-sized aggregates from ONE fact scan shape (the per-dow
+    agg; the overall mean folds from it exactly — decimal sums and
+    counts are associative, so no second scan and no drift between the
+    two levels). dow is 0=Sunday..6 on both engines (Spark's dayofweek
+    is 1-based; the oracle's is 0-based)."""
+    from ..functions.stable import DECIMAL, stable_round
+
+    e = load_table(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - 1).cast("int")
+    per_dow = (
+        e.select("event_type", dow.alias("dow"), "value")
+        .groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DECIMAL)).alias("s"),
+        )
+    )
+    overall = per_dow.groupBy("event_type").agg(
+        (F.sum("s").cast("double") / F.sum("n").cast("double")).alias(
+            "mean_all"
+        )
+    )
+    mean_dow = F.col("s").cast("double") / F.col("n").cast("double")
+    return (
+        per_dow.join(F.broadcast(overall), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            stable_round(mean_dow, 6).alias("mean_value"),
+            stable_round(mean_dow - F.col("mean_all"), 6).alias(
+                "seasonal_dev"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="weekday_seasonality",
+        spark=_weekday_seasonality,
+        oracle="""
+            WITH per_dow AS (
+                SELECT event_type, dayofweek(ts) AS dow,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(30,6))) AS s
+                FROM events GROUP BY 1, 2
+            ),
+            overall AS (
+                SELECT event_type,
+                       CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                           AS mean_all
+                FROM per_dow GROUP BY 1
+            )
+            SELECT p.event_type, p.dow, p.n,
+                   floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+                   floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - mean_all)
+                         * 1000000.0 + 0.5) / 1000000.0 AS seasonal_dev
+            FROM per_dow p JOIN overall o ON p.event_type = o.event_type
+        """,
+        tags=("events", "seasonality"),
+        doc="per-stream weekday means + deviation, overall mean folded "
+        "from the per-dow partials (one fact scan)",
+    )
+)

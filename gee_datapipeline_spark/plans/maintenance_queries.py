@@ -462,3 +462,96 @@ register(
         tags=("diagnostics", "data-quality"),
     )
 )
+
+
+# -------------------------------------------- small-file compaction
+
+
+_COMPACT_TARGET = 2048  # target bytes per output file (scaled to testdata)
+
+
+def _compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (the bin-pack maintenance job an
+    Iceberg/Delta table runs): within each partition (``source``),
+    files are walked in a deterministic order (doc_id stands in for
+    file path) and grouped greedily by cumulative size — a new output
+    bin starts whenever the running total crosses the target. The plan
+    reports, per (partition, bin): file count, total bytes, and fill
+    ratio vs target.
+
+    The assignment is one window running-sum per partition (sort on
+    the partition's file listing — metadata-sized, NOT data-sized: a
+    100 TB table's file inventory is maybe 10^6 rows) followed by a
+    hash-agg. The planner never touches data bytes; executing the plan
+    is then an ordinary partitioned rewrite keyed by bin.
+
+    bin = floor(cum_before / target) is the streaming form of greedy
+    first-fit on a sorted listing — the same policy Iceberg's
+    binpack rewrite uses per file-group."""
+    from pyspark.sql import Window
+
+    from ..functions.stable import sql_stable_round, stable_round  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("bytes")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = docs.select(
+        "source",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0))
+            / F.lit(float(_COMPACT_TARGET))
+        ).alias("bin_id"),
+    )
+    fill = F.col("bin_bytes").cast("double") / F.lit(
+        float(_COMPACT_TARGET)
+    )
+    return (
+        planned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_files",
+            "bin_bytes",
+            stable_round(fill, 6).alias("fill_ratio"),
+        )
+    )
+
+
+register(
+    Query(
+        name="compaction_plan",
+        spark=_compaction_plan,
+        oracle=f"""
+            WITH planned AS (
+                SELECT source, n_chars AS bytes,
+                       CAST(floor(
+                           coalesce(sum(n_chars) OVER (
+                               PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0)
+                           / {float(_COMPACT_TARGET)!r}) AS BIGINT)
+                           AS bin_id
+                FROM documents
+            )
+            SELECT source, bin_id, count(*) AS n_files,
+                   CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+                   floor((CAST(sum(bytes) AS DOUBLE)
+                          / {float(_COMPACT_TARGET)!r})
+                         * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+            FROM planned GROUP BY 1, 2
+        """,
+        tags=("maintenance", "compaction"),
+        doc="greedy cumulative bin-pack over the per-partition file "
+        "listing; metadata-sized window + hash-agg, no data movement",
+    )
+)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.stable import stable_round
+from ..functions.stable import sql_stable_round, stable_round
 from .registry import Query, register
 
 _DEC = "decimal(30,6)"
@@ -121,20 +121,18 @@ register(
                 GROUP BY 1
             )
             SELECT n_name, n_orders,
-                   round((CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   {sql_stable_round('''(CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                          / (CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
-                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                         6) AS slope,
-                   round((CAST(sy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))''', 6)} AS slope,
+                   {sql_stable_round('''(CAST(sy AS DOUBLE)
                           - (CAST(n_orders AS DOUBLE) * CAST(sxy AS DOUBLE)
                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                             / (CAST(n_orders AS DOUBLE)
                                * CAST(sxx AS DOUBLE)
                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                             * CAST(sx AS DOUBLE))
-                         / CAST(n_orders AS DOUBLE),
-                         2) AS intercept
+                         / CAST(n_orders AS DOUBLE)''', 2)} AS intercept
             FROM stats JOIN nation ON c_nationkey = n_nationkey
             WHERE n_orders >= 2
               AND CAST(n_orders AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -231,7 +229,8 @@ register(
                 FROM scored WHERE cnt = {_ZWIN}
             )
             SELECT event_id, event_type, value,
-                   round((value - mean) / sqrt(var), 6) AS zscore
+                   {sql_stable_round('(value - mean) / sqrt(var)', 6)}
+                       AS zscore
             FROM vars
             WHERE var > 0 AND abs((value - mean) / sqrt(var)) > {_ZTHRESH!r}
         """,
@@ -469,12 +468,13 @@ register(
             )
             SELECT p.a, p.b, p.support_ab,
                    ia.support AS support_a, ib.support AS support_b,
-                   round(CAST(p.support_ab AS DOUBLE)
-                         / CAST(ia.support AS DOUBLE), 6) AS confidence,
-                   round(CAST(p.support_ab AS DOUBLE)
+                   {sql_stable_round('CAST(p.support_ab AS DOUBLE)'
+                                     ' / CAST(ia.support AS DOUBLE)', 6)}
+                       AS confidence,
+                   {sql_stable_round('''CAST(p.support_ab AS DOUBLE)
                          * CAST(n.n_orders AS DOUBLE)
                          / (CAST(ia.support AS DOUBLE)
-                            * CAST(ib.support AS DOUBLE)), 6) AS lift
+                            * CAST(ib.support AS DOUBLE))''', 6)} AS lift
             FROM pair_support p
             JOIN item_support ia ON p.a = ia.l_partkey
             JOIN item_support ib ON p.b = ib.l_partkey

@@ -267,3 +267,84 @@ def test_fuzzy_pairs_symmetric_blocked_and_bounded(spark):
         assert r.name_a < r.name_b
         assert r.name_a.split(" ")[0] == r.name_b.split(" ")[0]
         assert 1 <= r.edit_dist <= 3
+
+
+# ------------------------------------------------------ attribution
+
+
+def test_attribution_matches_python_last_touch(spark):
+    """Per-conversion credit agrees with a sequential pure-Python
+    last-touch walk, and total conversions partition the purchases."""
+    evs = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, ts, value, "
+        f"CAST(json_extract_string(props, '$.k') AS BIGINT) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts, event_id"
+    ).fetchall()
+    import datetime
+
+    last_click = {}
+    credit = Counter()
+    value = defaultdict(float)
+    for eid, uid, et, ts, v, k in evs:
+        if et == "click":
+            # min(campaign) per (user, ts): only relevant on exact-ts
+            # ties, which the synthetic data doesn't produce
+            last_click[uid] = (ts, f"camp_{k % 5}")
+        elif et == "purchase":
+            camp = "unattributed"
+            if uid in last_click:
+                cts, c = last_click[uid]
+                if cts >= ts - datetime.timedelta(days=7):
+                    camp = c
+            credit[camp] += 1
+            value[camp] += v
+    got = {r.campaign: (r.n_conversions, r.attributed_value) for r in _run(spark, "attribution_last_touch")}
+    assert {k: v[0] for k, v in got.items()} == dict(credit)
+    for c, (n, av) in got.items():
+        assert av == pytest.approx(value[c], abs=0.02)
+    n_purchases = sum(1 for e in evs if e[2] == "purchase")
+    assert sum(credit.values()) == n_purchases
+
+
+# ------------------------------------------------------ compaction
+
+
+def test_compaction_plan_bins_partition_the_listing(spark):
+    rows = _run(spark, "compaction_plan")
+    listing = duckdb.sql(
+        f"SELECT source, count(*), sum(n_chars) FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') GROUP BY 1"
+    ).fetchall()
+    per_source = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_source[r.source][0] += r.n_files
+        per_source[r.source][1] += r.bin_bytes
+        # every bin except possibly the last is filled past target
+        assert r.bin_bytes > 0 and r.n_files > 0
+    for source, n, total in listing:
+        assert per_source[source][0] == n
+        assert per_source[source][1] == total
+    # bins are contiguous 0..max per source
+    bins = defaultdict(set)
+    for r in rows:
+        bins[r.source].add(r.bin_id)
+    for s, bs in bins.items():
+        assert bs == set(range(len(bs)))
+
+
+# ----------------------------------------------------- seasonality
+
+
+def test_weekday_seasonality_devs_weighted_zero(spark):
+    """Count-weighted seasonal deviations sum to ~0 per stream (the
+    defining property of deviation-from-own-mean), and dow covers
+    exactly the weekdays present."""
+    rows = _run(spark, "weekday_seasonality")
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        by_type[r.event_type].append(r)
+    for et, rs in by_type.items():
+        n = sum(r.n for r in rs)
+        wsum = sum(r.seasonal_dev * r.n for r in rs)
+        assert abs(wsum / n) < 1e-5
