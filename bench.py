@@ -147,6 +147,10 @@ HEADLINE = [
     "bucketed_join_revenue",
     # synchronous weighted LPA: 3 unrolled rounds, int64-keyed shuffles
     "label_propagation",
+    # broadcast Bloom bitmap prefilters the fact before the exact join
+    "bloom_prefilter_revenue",
+    # two-snapshot diff folded from one conditional-agg fact scan
+    "snapshot_diff",
 ]
 
 

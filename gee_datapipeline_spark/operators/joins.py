@@ -207,3 +207,103 @@ def semi_join(left: DataFrame, right: DataFrame, cond, how: str = "left_semi"):
 def anti_join(left: DataFrame, right: DataFrame, cond):
     """J5 — NOT EXISTS (gap detection)."""
     return left.join(right, cond, "left_anti")
+
+
+# --------------------------------------------------- Bloom prefilter
+#
+# The runtime-filter pattern for 100 TB joins: when the probe (fact)
+# side must shuffle for a join whose build side is selective, first
+# aggregate the build keys into a Bloom bitmap, broadcast the bitmap
+# (KBs regardless of key count), and drop non-matching fact rows
+# BEFORE the shuffle. No false negatives by construction; false
+# positives are removed by the exact join that follows, so the final
+# result is bit-identical to the plain join (which is exactly what the
+# DuckDB oracle checks). Spark's own runtime filters (AQE/DPP) apply
+# this idea to partition pruning; this operator makes it available as
+# an explicit, testable plan step with deterministic md5 hashing.
+
+BLOOM_M_BITS = 1 << 16  # 1024 64-bit words = 8 KiB broadcast
+BLOOM_K = 3
+
+
+def _bloom_pos(key: Column, i: Column, m_bits: int) -> Column:
+    """Deterministic i-th Bloom position: 60-bit md5 prefix mod m."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", key.cast("string"), i.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    keys: DataFrame, key: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Fold the (distinct) build-side key set into a Bloom bitmap,
+    represented as a ``(word_idx BIGINT, word BIGINT)`` table of at
+    most ``m_bits/64`` rows. The build is one explode (k positions per
+    key) + one hash-agg with map-side ``bit_or`` partials — a single
+    fact-free shuffle of at most 1024 rows per partition."""
+    probes = keys.select(F.col(key).alias("_k")).distinct().select(
+        "_k",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i"),
+    )
+    withpos = probes.select(
+        _bloom_pos(F.col("_k"), F.col("_i"), m_bits).alias("_pos")
+    )
+    return (
+        withpos.select(
+            F.shiftright("_pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, cast(_pos % 64 AS INT))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Keep only fact rows whose ``key`` passes every Bloom probe.
+
+    Each probe is one BroadcastHashJoin on the word index — map-side,
+    the fact never shuffles (asserted in tests/test_plan_quality.py).
+    A word index absent from the bitmap table means an all-zero word,
+    so the left join's NULL word correctly rejects the row. With the
+    defaults (m=2^16, k=3) and n build keys the false-positive rate is
+    ~(nk/m)^k — e.g. 2.6e-6 at n=300; size m ≈ 10·n·k at 100 TB."""
+    out = fact
+    for i in range(k):
+        b = bloom.select(
+            F.col("word_idx").alias(f"_w{i}"),
+            F.col("word").alias(f"_word{i}"),
+        )
+        out = (
+            out.withColumn(
+                f"_pos{i}", _bloom_pos(F.col(key), F.lit(i), m_bits)
+            )
+            .join(
+                F.broadcast(b),
+                F.shiftright(F.col(f"_pos{i}"), 6) == F.col(f"_w{i}"),
+                "left",
+            )
+            .filter(
+                F.col(f"_word{i}").isNotNull()
+                & (
+                    F.col(f"_word{i}").bitwiseAND(
+                        F.expr(f"shiftleft(1L, cast(_pos{i} % 64 AS INT))")
+                    )
+                    != 0
+                )
+            )
+            .drop(f"_pos{i}", f"_w{i}", f"_word{i}")
+        )
+    return out

@@ -555,3 +555,104 @@ register(
         "listing; metadata-sized window + hash-agg, no data movement",
     )
 )
+
+
+# ---------------------------------------------------- snapshot diff
+
+
+# Cutoffs chosen so all three diff classes are populated at the gate
+# scale (added/changed/unchanged at sf0.01).
+_SNAP_OLD = "1996-01-01"
+_SNAP_NEW = "1998-01-01"
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-state diff between two snapshots (the nightly "what
+    changed since yesterday's run" audit): per-part shipped state as of
+    cutoff D1 vs cutoff D2, classified added / changed / unchanged,
+    with the net quantity delta per class.
+
+    The scale-critical choice: because snapshot OLD is a prefix of
+    snapshot NEW (append-only facts), BOTH states fold out of ONE fact
+    scan with conditional aggregates — no self-join, no second scan,
+    one shuffle on the part key, then a group-sized rollup to the
+    3-row report. A diff between two independent stores would instead
+    full-outer-join the two per-key state tables (same key shuffle);
+    the conditional-agg form is what an engine should plan when one
+    side is a filtered superset of the other."""
+    li = load_table(spark, sf_dir, "lineitem")
+    in_old = F.col("l_shipdate") < F.lit(_SNAP_OLD).cast("timestamp")
+    in_new = F.col("l_shipdate") < F.lit(_SNAP_NEW).cast("timestamp")
+    dec = "decimal(30,6)"
+    per_part = (
+        li.filter(in_new)
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.when(in_old, F.lit(1))).alias("n_old"),
+            F.count(F.lit(1)).alias("n_new"),
+            F.coalesce(
+                F.sum(F.when(in_old, F.col("l_quantity").cast(dec))),
+                F.lit(0).cast(dec),
+            ).alias("qty_old"),
+            F.sum(F.col("l_quantity").cast(dec)).alias("qty_new"),
+        )
+    )
+    status = (
+        F.when(F.col("n_old") == 0, F.lit("added"))
+        .when(
+            (F.col("n_new") == F.col("n_old"))
+            & (F.col("qty_new") == F.col("qty_old")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        per_part.select(
+            status.alias("status"),
+            (F.col("qty_new") - F.col("qty_old")).alias("qty_delta"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("qty_delta").cast("double"), 2).alias(
+                "qty_delta"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="snapshot_diff",
+        spark=_snapshot_diff,
+        oracle=f"""
+            WITH per_part AS (
+                SELECT l_partkey,
+                       count(CASE WHEN l_shipdate
+                                       < TIMESTAMP '{_SNAP_OLD}'
+                                  THEN 1 END) AS n_old,
+                       count(*) AS n_new,
+                       coalesce(sum(CASE WHEN l_shipdate
+                                              < TIMESTAMP '{_SNAP_OLD}'
+                                         THEN CAST(l_quantity
+                                                   AS DECIMAL(30,6))
+                                    END), 0) AS qty_old,
+                       sum(CAST(l_quantity AS DECIMAL(30,6))) AS qty_new
+                FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '{_SNAP_NEW}'
+                GROUP BY 1
+            )
+            SELECT CASE WHEN n_old = 0 THEN 'added'
+                        WHEN n_new = n_old AND qty_new = qty_old
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   count(*) AS n_parts,
+                   round(CAST(sum(qty_new - qty_old) AS DOUBLE), 2)
+                       AS qty_delta
+            FROM per_part GROUP BY 1
+        """,
+        tags=("maintenance", "snapshot-diff", "conditional-agg"),
+        doc="two-snapshot state diff folded from one fact scan via "
+        "conditional aggregates (append-only prefix optimization)",
+    )
+)

@@ -1131,3 +1131,70 @@ register(
         "layout cost amortized across joins (operators/bucketing.py)",
     )
 )
+
+
+# -------------------------------------------- Bloom-prefiltered join
+
+
+def _bloom_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue from BUILDING-segment customers, with the fact
+    side pre-filtered through a broadcast Bloom bitmap of the segment's
+    customer keys BEFORE the join (operators/joins.py: bloom_build /
+    bloom_prefilter).
+
+    The 100 TB point: when the dimension is too large to broadcast but
+    still selective, the join must shuffle the whole fact — unless a
+    KB-sized Bloom bitmap of the build keys drops non-matching fact
+    rows map-side first. No false negatives, so the exact join that
+    follows (which removes Bloom false positives) returns a result
+    bit-identical to the plain join — exactly what the oracle checks.
+    Mirrors Spark's own runtime-filter/DPP idea as an explicit plan
+    step with deterministic md5 hashing."""
+    from ..operators.joins import bloom_build, bloom_prefilter
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    bloom = bloom_build(seg, "c_custkey")
+    pre = bloom_prefilter(orders, bloom, "o_custkey")
+    exact = pre.join(
+        F.broadcast(seg),
+        pre["o_custkey"] == seg["c_custkey"],
+        "left_semi",
+    )
+    return (
+        exact.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_totalprice",
+        )
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_sum("o_totalprice").cast("double").alias("revenue"),
+        )
+    )
+
+
+register(
+    Query(
+        name="bloom_prefilter_revenue",
+        spark=_bloom_prefilter_revenue,
+        oracle="""
+            SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                   count(*) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6)))
+                              AS DOUBLE), 2) AS revenue
+            FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            )
+            GROUP BY 1
+        """,
+        tags=("join", "bloom-filter", "runtime-filter", "J3-scale"),
+        doc="broadcast Bloom bitmap prefilters the fact map-side before "
+        "the exact join; result identical to the plain semi-join",
+    )
+)

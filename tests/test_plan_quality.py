@@ -398,3 +398,16 @@ def test_interval_join_bucketized_is_hash_join(spark):
     plan = _plan(QUERIES["interval_join_bucketized"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_broadcasts_all_probes_no_fact_shuffle(spark):
+    """Every Bloom probe join must be a BroadcastHashJoin (map-side),
+    and the fact must not shuffle before the probes: the only Exchange
+    in the plan belongs to the final aggregation, plus the bloom
+    build's own tiny-word-table agg."""
+    plan = _plan(QUERIES["bloom_prefilter_revenue"].spark(spark, SF_SMOKE))
+    from gee_datapipeline_spark.operators.joins import BLOOM_K
+
+    # k probe joins + final exact semi-join, all broadcast
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
+    assert "SortMergeJoin" not in plan

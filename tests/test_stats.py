@@ -348,3 +348,37 @@ def test_weekday_seasonality_devs_weighted_zero(spark):
         n = sum(r.n for r in rs)
         wsum = sum(r.seasonal_dev * r.n for r in rs)
         assert abs(wsum / n) < 1e-5
+
+
+# --------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_partitions_parts_and_delta_consistent(spark):
+    """Classes partition the part set of the NEW snapshot; 'added'
+    parts contribute their entire new-snapshot quantity to the delta;
+    'unchanged' contributes zero."""
+    from gee_datapipeline_spark.plans.maintenance_queries import (
+        _SNAP_NEW,
+        _SNAP_OLD,
+    )
+
+    rows = {r.status: r for r in _run(spark, "snapshot_diff")}
+    n_parts_new, = duckdb.sql(
+        f"SELECT count(DISTINCT l_partkey) FROM "
+        f"read_parquet('{SF_SMOKE}/lineitem.parquet') "
+        f"WHERE l_shipdate < TIMESTAMP '{_SNAP_NEW}'"
+    ).fetchone()
+    assert sum(r.n_parts for r in rows.values()) == n_parts_new
+    if "unchanged" in rows:
+        assert rows["unchanged"].qty_delta == 0.0
+    if "added" in rows:
+        added_qty, = duckdb.sql(
+            f"SELECT round(sum(l_quantity), 2) FROM "
+            f"read_parquet('{SF_SMOKE}/lineitem.parquet') l "
+            f"WHERE l_shipdate < TIMESTAMP '{_SNAP_NEW}' "
+            f"AND NOT EXISTS (SELECT 1 FROM "
+            f"read_parquet('{SF_SMOKE}/lineitem.parquet') o "
+            f"WHERE o.l_partkey = l.l_partkey "
+            f"AND o.l_shipdate < TIMESTAMP '{_SNAP_OLD}')"
+        ).fetchone()
+        assert rows["added"].qty_delta == pytest.approx(added_qty)
