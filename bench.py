@@ -151,6 +151,12 @@ HEADLINE = [
     "bloom_prefilter_revenue",
     # two-snapshot diff folded from one conditional-agg fact scan
     "snapshot_diff",
+    # A-ES weighted draw: one scan, k-bounded TakeOrderedAndProject
+    "weighted_sample_wor",
+    # Hampel MAD screen: broadcast percentile tables, fact never shuffles
+    "mad_outliers",
+    # per-nation Gini: decimal-exact rank identity, one window pass
+    "gini_concentration",
 ]
 
 

@@ -504,3 +504,72 @@ register(
         "(Cormack et al. 2009); rank windows are k-bounded",
     )
 )
+
+
+# -------------------------- weighted sampling without replacement
+
+
+_WSAMPLE_K = 200
+_WSAMPLE_DENOM = (1 << 60) + 1  # u = (h+1)/DENOM ∈ (0,1], never 0
+
+
+def _weighted_sample_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis A-ES exponential race (Inf. Proc. Letters 2006): each doc
+    draws a deterministic uniform u from its md5, and the k docs with
+    the largest pow(u, 1/w) — equivalently largest ln(u)/w — are the
+    sample. Inclusion probability is proportional to weight (here
+    ``n_chars``: length-biased selection, the curriculum/mixture
+    building block), and the whole draw is ONE corpus scan ending in a
+    k-bounded TakeOrderedAndProject — no shuffle of the corpus, no
+    per-group state, and trivially mergeable across partitions (the
+    property that makes A-ES the distributed-sampling standard).
+
+    Cross-engine: u is a 60-bit md5 integer (exact in both engines);
+    ln is libm-identical (the BM25/PageRank precedent); boundary
+    collisions would need two keys within ~1 ulp, vanishing at corpus
+    order-statistic gaps."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_WSAMPLE_DENOM))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc())
+        .limit(_WSAMPLE_K)
+        .drop("_key")
+    )
+
+
+_SQL_DOC_H = " + ".join(
+    f"(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+register(
+    Query(
+        name="weighted_sample_wor",
+        spark=_weighted_sample_wor,
+        oracle=f"""
+            SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
+            FROM documents
+            ORDER BY ln((CAST({_SQL_DOC_H} AS DOUBLE) + 1)
+                        / {float(_WSAMPLE_DENOM)!r})
+                     / CAST(n_chars AS DOUBLE) DESC
+            LIMIT {_WSAMPLE_K}
+        """,
+        tags=("sampling", "weighted", "llm-pipeline"),
+        doc="Efraimidis–Spirakis A-ES weighted reservoir draw: one "
+        "corpus scan, k-bounded TakeOrderedAndProject, md5 uniforms",
+    )
+)

@@ -485,3 +485,175 @@ register(
         "from per-basket narrow explode, never a fact self-join",
     )
 )
+
+
+# ------------------------------------------------ MAD robust outliers
+
+
+_MAD_K = 3.5
+_MAD_C = 1.4826  # consistency constant: MAD ≈ σ for normal data
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event stream via Median Absolute
+    Deviation (Hampel identifier): flag rows where
+    |value − median| > K · 1.4826 · MAD. Unlike the z-score variant
+    (``rolling_zscore_anomaly``), median/MAD are unaffected by the
+    outliers themselves — the standard robust screen for heavy-tailed
+    telemetry.
+
+    Shape: two group-sized exact-percentile aggregates (5 groups), the
+    resulting 5-row (median, mad) table BROADCAST back onto the fact —
+    the fact itself is scanned, never shuffled on a join key. Exact
+    percentile sorts within each group; at 100 TB the same query runs
+    with the GK-sketch percentiles (``approx_percentiles``) as the
+    scale path, this exact form being the gate."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+            .alias("mad"),
+            F.min("med").alias("med"),
+        )
+    )
+    robust_z = (F.col("value") - F.col("med")) / (
+        F.lit(_MAD_C) * F.col("mad")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(_MAD_K * _MAD_C) * F.col("mad")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            stable_round(robust_z, 6).alias("robust_z"),
+        )
+    )
+
+
+register(
+    Query(
+        name="mad_outliers",
+        spark=_mad_outliers,
+        oracle=f"""
+            WITH med AS (
+                SELECT event_type, quantile_cont(value, 0.5) AS med
+                FROM events GROUP BY 1
+            ),
+            mad AS (
+                SELECT e.event_type,
+                       quantile_cont(abs(value - med), 0.5) AS mad,
+                       min(med) AS med
+                FROM events e JOIN med USING (event_type)
+                GROUP BY 1
+            )
+            SELECT event_id, e.event_type, value,
+                   {sql_stable_round(
+                       f'(value - med) / ({_MAD_C!r} * mad)', 6)}
+                       AS robust_z
+            FROM events e JOIN mad USING (event_type)
+            WHERE abs(value - med) > {_MAD_K * _MAD_C!r} * mad
+        """,
+        tags=("stats", "outliers", "robust"),
+        doc="Hampel MAD outlier screen: two broadcast-sized percentile "
+        "aggs, fact scanned once and never key-shuffled",
+    )
+)
+
+
+# ------------------------------------------- Gini revenue concentration
+
+
+def _gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (inequality) report: the Gini coefficient
+    of per-customer order revenue within each nation, from the sorted-
+    rank identity G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ) with xᵢ
+    ascending. The curation analog: how skewed is a corpus across
+    contributors/sources — the number a mixture-balancing pass keys on.
+
+    Shape: fact → per-customer hash-agg (one shuffle), one window
+    rank per nation partition (second, customer-sized shuffle), then a
+    group-sized fold. All accumulation rides DECIMAL (i·xᵢ is an
+    integer-scaled product, exact in both engines); only the final
+    ratio is a double. Tie order inside equal revenues cannot change
+    Σ i·xᵢ, so the custkey tie-break is for determinism of the window,
+    not the result."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+    )
+    j = per_cust.join(
+        customer.select("c_custkey", "c_nationkey"),
+        per_cust["o_custkey"] == F.col("c_custkey"),
+    ).join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    w = Window.partitionBy("n_name").orderBy("rev", "o_custkey")
+    ranked = j.select(
+        "n_name", "rev", F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev") * F.col("i")).alias("si"),
+    )
+    gini = (
+        2.0 * F.col("si").cast("double")
+        - (F.col("n_customers") + 1).cast("double")
+        * F.col("s").cast("double")
+    ) / (F.col("n_customers").cast("double") * F.col("s").cast("double"))
+    return agg.select(
+        "n_name",
+        "n_customers",
+        stable_round(gini, 6).alias("gini"),
+    )
+
+
+register(
+    Query(
+        name="gini_concentration",
+        spark=_gini_concentration,
+        oracle=f"""
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev
+                FROM orders GROUP BY 1
+            ),
+            ranked AS (
+                SELECT n_name, rev,
+                       row_number() OVER (
+                           PARTITION BY n_name
+                           ORDER BY rev, o_custkey) AS i
+                FROM per_cust
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+            ),
+            agg AS (
+                SELECT n_name, count(*) AS n_customers,
+                       sum(rev) AS s, sum(rev * i) AS si
+                FROM ranked GROUP BY 1
+            )
+            SELECT n_name, n_customers,
+                   {sql_stable_round('''(2.0 * CAST(si AS DOUBLE)
+                          - CAST(n_customers + 1 AS DOUBLE)
+                            * CAST(s AS DOUBLE))
+                         / (CAST(n_customers AS DOUBLE)
+                            * CAST(s AS DOUBLE))''', 6)} AS gini
+            FROM agg
+        """,
+        tags=("stats", "inequality", "window"),
+        doc="per-nation Gini of customer revenue via the sorted-rank "
+        "identity; decimal-exact accumulation, one window pass",
+    )
+)

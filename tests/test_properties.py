@@ -567,3 +567,44 @@ def test_label_propagation_covers_nodes_and_merges(spark):
     assert len(rows) == len(nodes)
     assert comms <= nodes
     assert len(comms) < len(nodes)
+
+
+def test_weighted_sample_wor_matches_python_aes(spark):
+    """The A-ES draw agrees ID-for-ID with an independent pure-Python
+    implementation (hashlib md5 + math.log), and shows the defining
+    length bias: mean selected weight above the corpus mean."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from gee_datapipeline_spark.plans.selection_queries import (
+        _WSAMPLE_DENOM,
+        _WSAMPLE_K,
+    )
+
+    QUERIES = _queries()
+    rows = QUERIES["weighted_sample_wor"].spark(spark, SF_SMOKE).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    keyed = []
+    for doc_id, n_chars in docs:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (h + 1) / _WSAMPLE_DENOM
+        keyed.append((math.log(u) / n_chars, doc_id, n_chars))
+    keyed.sort(reverse=True)
+    expect = {d for _, d, _ in keyed[:_WSAMPLE_K]}
+    assert {r.doc_id for r in rows} == expect
+    corpus_mean = sum(n for _, n in docs) / len(docs)
+    sel_mean = sum(r.weight for r in rows) / len(rows)
+    assert sel_mean > corpus_mean
+
+
+def test_weighted_sample_wor_plans_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject, never a total sort."""
+    QUERIES = _queries()
+    df = QUERIES["weighted_sample_wor"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -382,3 +382,66 @@ def test_snapshot_diff_partitions_parts_and_delta_consistent(spark):
             f"AND o.l_shipdate < TIMESTAMP '{_SNAP_OLD}')"
         ).fetchone()
         assert rows["added"].qty_delta == pytest.approx(added_qty)
+
+
+# ------------------------------------------------------ MAD outliers
+
+
+def test_mad_outliers_matches_numpy_reference(spark):
+    """Flagged set agrees with a NumPy median/MAD reference; every
+    flagged row clears the K threshold in |robust_z|."""
+    import numpy as np
+
+    from gee_datapipeline_spark.plans.stats_queries import _MAD_C, _MAD_K
+
+    rows = _run(spark, "mad_outliers")
+    evs = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    by_type = defaultdict(list)
+    for eid, et, v in evs:
+        by_type[et].append((eid, v))
+    expect = set()
+    for et, pairs in by_type.items():
+        vals = np.array([v for _, v in pairs])
+        med = np.quantile(vals, 0.5)
+        mad = np.quantile(np.abs(vals - med), 0.5)
+        for eid, v in pairs:
+            if abs(v - med) > _MAD_K * _MAD_C * mad:
+                expect.add(eid)
+    got = {r.event_id for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r.robust_z) > _MAD_K - 1e-9
+
+
+# ------------------------------------------------------------- Gini
+
+
+def test_gini_matches_python_reference_and_bounds(spark):
+    """Per-nation Gini equals the pure-Python sorted-rank computation
+    and sits in [0, 1)."""
+    rows = _run(spark, "gini_concentration")
+    per = duckdb.sql(
+        f"""
+        SELECT n_name, sum(o_totalprice) AS rev
+        FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+        JOIN read_parquet('{SF_SMOKE}/customer.parquet') c
+             ON o_custkey = c_custkey
+        JOIN read_parquet('{SF_SMOKE}/nation.parquet') n
+             ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_custkey
+        """
+    ).fetchall()
+    by_nation = defaultdict(list)
+    for n_name, rev in per:
+        by_nation[n_name].append(rev)
+    for r in rows:
+        xs = sorted(by_nation[r.n_name])
+        n, s = len(xs), sum(xs)
+        si = sum((i + 1) * x for i, x in enumerate(xs))
+        expect = (2.0 * si - (n + 1) * s) / (n * s)
+        assert r.gini == pytest.approx(expect, abs=2e-6)
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_customers == n
