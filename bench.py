@@ -157,6 +157,12 @@ HEADLINE = [
     "mad_outliers",
     # per-nation Gini: decimal-exact rank identity, one window pass
     "gini_concentration",
+    # U-shaped multi-touch credit over journey-sized window partitions
+    "attribution_position",
+    # top session paths: session agg + k-bounded TakeOrderedAndProject
+    "top_paths",
+    # MI(lang; source): one cell-table agg, decimal term accumulation
+    "lang_source_mi",
 ]
 
 

@@ -884,3 +884,215 @@ register(
         "from the per-dow partials (one fact scan)",
     )
 )
+
+
+# --------------------------------- position-based multi-touch attribution
+
+
+def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every click
+    within the 7-day lookback of a purchase shares the credit — 40%
+    first touch, 40% last touch, 20% split across the middle (100%
+    single-touch, 50/50 two-touch). The industry-standard refinement
+    of ``attribution_last_touch`` when journeys have many touches.
+
+    Shape: ONE equi-join on user_id (the natural behavioral key), the
+    7-day predicate applied inside the per-user match, then two
+    purchase-partitioned window ranks over journey-sized partitions —
+    never the raw fact. Fractional weights are exact IEEE doubles on
+    both engines (0.4, 0.2/(k−2)); per-campaign sums ride
+    DECIMAL(38,12) accumulators (the KL precedent)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    camp = F.concat(
+        F.lit("camp_"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+    )
+    touches = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("touch_ts"), camp.alias("campaign"))
+        .groupBy("user_id", "touch_ts")
+        .agg(F.min("campaign").alias("campaign"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    j = purchases.join(touches, "user_id").filter(
+        (F.col("touch_ts") <= F.col("p_ts"))
+        & (F.col("touch_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    w = Window.partitionBy("purchase_id")
+    wo = w.orderBy("touch_ts")
+    ranked = j.select(
+        "purchase_id",
+        "campaign",
+        "value",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("i") == 1, F.lit(0.4))
+        .when(F.col("i") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
+    )
+    dec = "decimal(38,12)"
+    return (
+        ranked.select(
+            "campaign",
+            weight.cast(dec).alias("w"),
+            (weight * F.col("value")).cast(dec).alias("wv"),
+        )
+        .groupBy("campaign")
+        .agg(
+            F.round(F.sum("w").cast("double"), 6).alias("credited_conversions"),
+            F.round(F.sum("wv").cast("double"), 2).alias("credited_value"),
+        )
+    )
+
+
+register(
+    Query(
+        name="attribution_position",
+        spark=_attribution_position,
+        oracle="""
+            WITH touches AS (
+                SELECT user_id, ts AS touch_ts,
+                       min('camp_' || CAST(
+                           CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           % 5 AS VARCHAR)) AS campaign
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2
+            ),
+            purchases AS (
+                SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ranked AS (
+                SELECT purchase_id, campaign, value,
+                       row_number() OVER (PARTITION BY purchase_id
+                                          ORDER BY touch_ts) AS i,
+                       count(*) OVER (PARTITION BY purchase_id) AS k
+                FROM purchases p JOIN touches t USING (user_id)
+                WHERE touch_ts <= p_ts
+                  AND touch_ts >= p_ts - INTERVAL 7 DAY
+            ),
+            weighted AS (
+                SELECT campaign, value,
+                       CASE WHEN k = 1 THEN 1.0
+                            WHEN k = 2 THEN 0.5
+                            WHEN i = 1 THEN 0.4
+                            WHEN i = k THEN 0.4
+                            ELSE 0.2 / CAST(k - 2 AS DOUBLE)
+                       END AS w
+                FROM ranked
+            )
+            SELECT campaign,
+                   round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6)
+                       AS credited_conversions,
+                   round(CAST(sum(CAST(w * value AS DECIMAL(38,12)))
+                              AS DOUBLE), 2) AS credited_value
+            FROM weighted GROUP BY 1
+        """,
+        tags=("events", "attribution", "window"),
+        doc="U-shaped multi-touch credit (40/20/40) over journey-sized "
+        "window partitions; decimal-accumulated fractional weights",
+    )
+)
+
+
+# ------------------------------------------------- top session paths
+
+
+_PATH_CAP = 8
+_PATH_TOPK = 20
+
+
+def _top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common navigation paths: per 30-minute user session (same
+    gap convention as ``session_windows``), the ordered sequence of
+    event types — capped at the first 8 events — joined into a path
+    string, then the global top-20 paths by session count with a
+    deterministic path tie-break.
+
+    Shape: one user-keyed session agg (``session_window`` groups the
+    shuffle Spark already does for sessionization), per-session arrays
+    are journey-sized, and the final top-k is a count hash-agg into a
+    k-bounded TakeOrderedAndProject — the corpus is never sorted."""
+    e = _events(spark, sf_dir)
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sess")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    _PATH_CAP,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(_PATH_TOPK)
+    )
+
+
+register(
+    Query(
+        name="top_paths",
+        spark=_top_paths,
+        oracle=f"""
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS prev
+                FROM events
+            ),
+            marked AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                    OR ts - prev > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            numbered AS (
+                SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ),
+            positioned AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY ts, event_id) AS rn
+                FROM numbered
+            ),
+            paths AS (
+                SELECT user_id, sid,
+                       string_agg(event_type, '>'
+                                  ORDER BY ts, event_id) AS path
+                FROM positioned WHERE rn <= {_PATH_CAP}
+                GROUP BY 1, 2
+            )
+            SELECT path, count(*) AS n_sessions
+            FROM paths GROUP BY 1
+            ORDER BY n_sessions DESC, path
+            LIMIT {_PATH_TOPK}
+        """,
+        tags=("events", "session", "path-analysis"),
+        doc="top-20 session event-type paths (first 8 events, 30-min "
+        "sessions); session agg + k-bounded TakeOrderedAndProject",
+    )
+)

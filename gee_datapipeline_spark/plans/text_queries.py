@@ -1692,3 +1692,116 @@ register(
         tags=("text", "aggregation", "drift"),
     )
 )
+
+
+# --------------------------------- lang × source mutual information
+
+
+def _lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source, plus
+    both marginal entropies (nats): MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))).
+    The corpus-composition diagnostic — MI near 0 means sources are
+    linguistically interchangeable; MI near min(H) means language is
+    determined by source, and a mixture rebalance on one axis will
+    skew the other.
+
+    Shape: ONE (lang, source) hash-agg over the corpus (cells =
+    |langs|×|sources|, tiny); marginals re-aggregate from the cells
+    (no second scan); every probability is a ratio of exact integer
+    counts so each ln-term is the identical IEEE double on both
+    engines, and the sums ride DECIMAL(38,12) (the KL precedent)."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c_ls")
+    )
+    lm = cells.groupBy("lang").agg(F.sum("c_ls").alias("c_l"))
+    sm = cells.groupBy("source").agg(F.sum("c_ls").alias("c_s"))
+    n = cells.agg(F.sum("c_ls").alias("n"))
+    dec = "decimal(38,12)"
+    nd = F.col("n").cast("double")
+    p_ls = F.col("c_ls") / nd
+    p_l = F.col("c_l") / nd
+    p_s = F.col("c_s") / nd
+    joined = (
+        cells.join(lm, "lang")
+        .join(sm, "source")
+        .crossJoin(F.broadcast(n))
+    )
+    mi_terms = joined.select(
+        "n",
+        (p_ls * F.log(p_ls / (p_l * p_s))).cast(dec).alias("mi_t"),
+    )
+    h_l = lm.crossJoin(F.broadcast(n)).select(
+        (-(F.col("c_l") / nd) * F.log(F.col("c_l") / nd))
+        .cast(dec)
+        .alias("h")
+    )
+    h_s = sm.crossJoin(F.broadcast(n)).select(
+        (-(F.col("c_s") / nd) * F.log(F.col("c_s") / nd))
+        .cast(dec)
+        .alias("h")
+    )
+    return (
+        mi_terms.groupBy("n")
+        .agg(F.sum("mi_t").alias("mi"))
+        .crossJoin(
+            F.broadcast(h_l.agg(F.sum("h").alias("h_lang")))
+        )
+        .crossJoin(
+            F.broadcast(h_s.agg(F.sum("h").alias("h_source")))
+        )
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            stable_round(F.col("mi").cast("double"), 6).alias("mi"),
+            stable_round(F.col("h_lang").cast("double"), 6).alias("h_lang"),
+            stable_round(F.col("h_source").cast("double"), 6).alias(
+                "h_source"
+            ),
+        )
+    )
+
+
+register(
+    Query(
+        name="lang_source_mi",
+        spark=_lang_source_mi,
+        oracle="""
+            WITH cells AS (
+                SELECT lang, source, count(*) AS c_ls
+                FROM documents GROUP BY 1, 2
+            ),
+            lm AS (SELECT lang, sum(c_ls) AS c_l FROM cells GROUP BY 1),
+            sm AS (SELECT source, sum(c_ls) AS c_s FROM cells GROUP BY 1),
+            nn AS (SELECT CAST(sum(c_ls) AS DOUBLE) AS n FROM cells),
+            mi AS (
+                SELECT sum(CAST(
+                           (c_ls / n)
+                           * ln((c_ls / n) / ((c_l / n) * (c_s / n)))
+                           AS DECIMAL(38,12))) AS mi
+                FROM cells JOIN lm USING (lang) JOIN sm USING (source),
+                     nn
+            ),
+            hl AS (
+                SELECT sum(CAST(-(c_l / n) * ln(c_l / n)
+                                AS DECIMAL(38,12))) AS h_lang
+                FROM lm, nn
+            ),
+            hs AS (
+                SELECT sum(CAST(-(c_s / n) * ln(c_s / n)
+                                AS DECIMAL(38,12))) AS h_source
+                FROM sm, nn
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   floor(CAST(mi AS DOUBLE) * 1000000.0 + 0.5)
+                       / 1000000.0 AS mi,
+                   floor(CAST(h_lang AS DOUBLE) * 1000000.0 + 0.5)
+                       / 1000000.0 AS h_lang,
+                   floor(CAST(h_source AS DOUBLE) * 1000000.0 + 0.5)
+                       / 1000000.0 AS h_source
+            FROM mi, hl, hs, nn
+        """,
+        tags=("text", "information-theory", "mixture"),
+        doc="MI(lang; source) + marginal entropies from one cell-table "
+        "agg; integer-count probabilities, decimal term accumulation",
+    )
+)

@@ -445,3 +445,105 @@ def test_gini_matches_python_reference_and_bounds(spark):
         assert r.gini == pytest.approx(expect, abs=2e-6)
         assert 0.0 <= r.gini < 1.0
         assert r.n_customers == n
+
+
+# -------------------------------------- position-based attribution
+
+
+def test_attribution_position_matches_python_reference(spark):
+    """Fractional credits agree with a sequential pure-Python U-shaped
+    walk; per-purchase weights always sum to exactly 1 for attributed
+    purchases."""
+    import datetime
+
+    evs = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, ts, value, "
+        f"CAST(json_extract_string(props, '$.k') AS BIGINT) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet') ORDER BY ts, event_id"
+    ).fetchall()
+    clicks = defaultdict(list)
+    for eid, uid, et, ts, v, k in evs:
+        if et == "click":
+            clicks[uid].append((ts, f"camp_{k % 5}"))
+    credit = defaultdict(float)
+    value = defaultdict(float)
+    for eid, uid, et, ts, v, k in evs:
+        if et != "purchase":
+            continue
+        window = [
+            (cts, c)
+            for cts, c in clicks[uid]
+            if cts <= ts and cts >= ts - datetime.timedelta(days=7)
+        ]
+        window.sort()
+        n = len(window)
+        if n == 0:
+            continue
+        for i, (_, c) in enumerate(window):
+            if n == 1:
+                w = 1.0
+            elif n == 2:
+                w = 0.5
+            elif i == 0 or i == n - 1:
+                w = 0.4
+            else:
+                w = 0.2 / (n - 2)
+            credit[c] += w
+            value[c] += w * v
+    got = {r.campaign: r for r in _run(spark, "attribution_position")}
+    assert set(got) == set(credit)
+    for c, r in got.items():
+        assert r.credited_conversions == pytest.approx(credit[c], abs=1e-5)
+        assert r.credited_value == pytest.approx(value[c], abs=0.02)
+
+
+# ------------------------------------------------- top session paths
+
+
+def test_top_paths_counts_and_caps(spark):
+    """Paths have at most the cap's segments, counts are positive and
+    non-increasing in rank order, and no path count exceeds the total
+    session count."""
+    from gee_datapipeline_spark.plans.behavior_queries import _PATH_CAP
+
+    rows = _run(spark, "top_paths")
+    assert rows
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    total_sessions = sum(
+        r.n_sessions for r in _run(spark, "session_windows")
+    )
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= _PATH_CAP
+        assert 0 < r.n_sessions <= total_sessions
+
+
+# ------------------------------------------- mutual information
+
+
+def test_lang_source_mi_matches_numpy_and_bounds(spark):
+    """MI equals the NumPy contingency computation; information
+    inequalities hold: 0 <= MI <= min(H_lang, H_source)."""
+    import numpy as np
+
+    row = _run(spark, "lang_source_mi")[0]
+    pairs = duckdb.sql(
+        f"SELECT lang, source, count(*) FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    langs = sorted({l for l, _, _ in pairs})
+    srcs = sorted({s for _, s, _ in pairs})
+    m = np.zeros((len(langs), len(srcs)))
+    for l, s, c in pairs:
+        m[langs.index(l), srcs.index(s)] = c
+    p = m / m.sum()
+    pl, ps = p.sum(axis=1), p.sum(axis=0)
+    nz = p > 0
+    mi = (p[nz] * np.log(p[nz] / np.outer(pl, ps)[nz])).sum()
+    h_l = -(pl[pl > 0] * np.log(pl[pl > 0])).sum()
+    h_s = -(ps[ps > 0] * np.log(ps[ps > 0])).sum()
+    assert row.mi == pytest.approx(mi, abs=2e-6)
+    assert row.h_lang == pytest.approx(h_l, abs=2e-6)
+    assert row.h_source == pytest.approx(h_s, abs=2e-6)
+    assert -1e-9 <= row.mi <= min(row.h_lang, row.h_source) + 1e-9
+    assert row.n_docs == int(m.sum())
