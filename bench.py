@@ -163,6 +163,8 @@ HEADLINE = [
     "top_paths",
     # MI(lang; source): one cell-table agg, decimal term accumulation
     "lang_source_mi",
+    # all-pairs audience Jaccard from one per-user bitmask agg
+    "audience_overlap",
 ]
 
 

@@ -1096,3 +1096,109 @@ register(
         "sessions); session agg + k-bounded TakeOrderedAndProject",
     )
 )
+
+
+# ------------------------------------------------ audience overlap
+
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: for every type
+    pair, how many users did both, each, and the Jaccard overlap — the
+    segment-intersection report behind "do purchasers also view?".
+
+    The scale trick: instead of 10 pairwise distinct-intersection
+    joins over the fact (the oracle's naive formulation), fold each
+    user into a 5-bit engagement bitmask with ONE user-keyed bit_or
+    aggregate, histogram the ≤32 masks, and answer every pair from the
+    32-row histogram crossed with a 10-row literal pair table. The
+    fact is scanned once and shuffled once on user_id, regardless of
+    how many pairs are asked."""
+    e = _events(spark, sf_dir)
+    bit = F.when(F.col("event_type") == _ETYPES[0], F.lit(1))
+    for i, t in enumerate(_ETYPES[1:], start=1):
+        bit = bit.when(F.col("event_type") == t, F.lit(1 << i))
+    masks = (
+        e.select("user_id", bit.alias("b"))
+        .groupBy("user_id")
+        .agg(F.bit_or("b").alias("mask"))
+    )
+    hist = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    pairs = spark.createDataFrame(
+        [
+            (_ETYPES[i], _ETYPES[j], 1 << i, 1 << j)
+            for i in range(len(_ETYPES))
+            for j in range(i + 1, len(_ETYPES))
+        ],
+        "type_a string, type_b string, bit_a long, bit_b long",
+    )
+    crossed = hist.crossJoin(F.broadcast(pairs))
+    agg = crossed.groupBy("type_a", "type_b").agg(
+        F.sum(
+            F.when(
+                (F.col("mask").bitwiseAND(F.col("bit_a")) != 0)
+                & (F.col("mask").bitwiseAND(F.col("bit_b")) != 0),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("mask").bitwiseAND(F.col("bit_a")) != 0, F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("n_a"),
+        F.sum(
+            F.when(
+                F.col("mask").bitwiseAND(F.col("bit_b")) != 0, F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("n_b"),
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    ).cast("double")
+    # the oracle's pair join only materializes pairs that intersect;
+    # mirror that (also guards the 0/0 Jaccard of an absent type)
+    return agg.filter(F.col("n_both") > 0).select(
+        "type_a",
+        "type_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+register(
+    Query(
+        name="audience_overlap",
+        spark=_audience_overlap,
+        oracle="""
+            WITH d AS (
+                SELECT DISTINCT user_id, event_type FROM events
+            ),
+            marg AS (
+                SELECT event_type, count(*) AS n FROM d GROUP BY 1
+            ),
+            pairs AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       count(*) AS n_both
+                FROM d a JOIN d b ON a.user_id = b.user_id
+                                  AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_both,
+                   ma.n AS n_a, mb.n AS n_b,
+                   round(CAST(n_both AS DOUBLE)
+                         / CAST(ma.n + mb.n - n_both AS DOUBLE), 6)
+                       AS jaccard
+            FROM pairs
+            JOIN marg ma ON type_a = ma.event_type
+            JOIN marg mb ON type_b = mb.event_type
+        """,
+        tags=("events", "set-intersection", "bitmask"),
+        doc="pairwise audience Jaccard from a per-user 5-bit engagement "
+        "bitmask: one user-keyed agg answers all pairs; oracle is the "
+        "naive distinct self-join",
+    )
+)

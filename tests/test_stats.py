@@ -547,3 +547,57 @@ def test_lang_source_mi_matches_numpy_and_bounds(spark):
     assert row.h_source == pytest.approx(h_s, abs=2e-6)
     assert -1e-9 <= row.mi <= min(row.h_lang, row.h_source) + 1e-9
     assert row.n_docs == int(m.sum())
+
+
+# -------------------------------------------------- audience overlap
+
+
+def test_audience_overlap_sparse_synthetic(spark, tmp_path_factory):
+    """On a hand-built sparse dataset the bitmask fold must reproduce
+    the brute-force pairwise intersections exactly (the real testdata
+    is degenerate — every user does every type — so this exercises
+    partial overlaps, absent pairs, and the n_both>0 filter)."""
+    import itertools
+
+    from gee_datapipeline_spark.plans.registry import QUERIES
+
+    users = {
+        1: {"click", "view"},
+        2: {"click"},
+        3: {"view", "purchase"},
+        4: {"click", "view", "purchase"},
+        5: {"signup"},
+        6: {"signup", "click"},
+    }
+    rows = []
+    i = 0
+    for u, types in users.items():
+        for t in sorted(types):
+            rows.append((i, u, t, "2024-01-01 00:%02d:00" % i, 1.0, "{}"))
+            i += 1
+    d = str(tmp_path_factory.mktemp("ov"))
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+        "ts string, value double, props string"
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(ts AS TIMESTAMP) AS ts", "value", "props"
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {
+        (r.type_a, r.type_b): r
+        for r in QUERIES["audience_overlap"].spark(spark, d).collect()
+    }
+    marg = Counter()
+    both = Counter()
+    for types in users.values():
+        for t in types:
+            marg[t] += 1
+        for a, b in itertools.combinations(sorted(types), 2):
+            both[(a, b)] += 1
+    assert set(got) == {k for k, v in both.items() if v > 0}
+    for (a, b), n in both.items():
+        r = got[(a, b)]
+        assert r.n_both == n and r.n_a == marg[a] and r.n_b == marg[b]
+        assert r.jaccard == pytest.approx(
+            n / (marg[a] + marg[b] - n), abs=1e-6
+        )
