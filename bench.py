@@ -165,6 +165,8 @@ HEADLINE = [
     "lang_source_mi",
     # all-pairs audience Jaccard from one per-user bitmask agg
     "audience_overlap",
+    # pairwise two-proportion z-tests on a tiny broadcast rate grid
+    "ab_test_zscores",
 ]
 
 

@@ -1202,3 +1202,140 @@ register(
         "naive distinct self-join",
     )
 )
+
+
+# ------------------------------------------------ A/B significance
+
+
+def _ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: pairwise two-proportion z-tests between
+    campaign conversion rates. A user is exposed to a campaign at their
+    first click carrying it and converts if they purchase any time
+    after that exposure; per campaign pair the pooled-variance z
+    statistic decides significance at the 5% two-sided level.
+
+    Shape: two user-sized aggregates (first exposure per campaign-user,
+    last purchase per user) joined on user_id — one co-partitioned
+    shuffle — folded to a C-row rate table; the C·(C−1)/2 pair grid is
+    a broadcast self-cross of that tiny table. Rates are integer-count
+    ratios (identical doubles in both engines); z is closed-form."""
+    e = _events(spark, sf_dir)
+    camp = F.concat(
+        F.lit("camp_"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+    )
+    exposure = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", camp.alias("campaign"), "ts")
+        .groupBy("campaign", "user_id")
+        .agg(F.min("ts").alias("exp_ts"))
+    )
+    last_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("lp_ts"))
+    )
+    per_user = exposure.join(last_purchase, "user_id", "left").select(
+        "campaign",
+        (F.col("lp_ts") > F.col("exp_ts")).cast("int").alias("conv"),
+    )
+    rates = per_user.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce("conv", F.lit(0))).alias("x"),
+    )
+    a = rates.select(
+        F.col("campaign").alias("camp_a"),
+        F.col("n").alias("n_a"),
+        F.col("x").alias("x_a"),
+    )
+    b = rates.select(
+        F.col("campaign").alias("camp_b"),
+        F.col("n").alias("n_b"),
+        F.col("x").alias("x_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("camp_a") < F.col("camp_b"))
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    # pool ∈ {0,1} ⇒ both rates equal pool ⇒ no difference to test;
+    # define z = 0 instead of 0/0 (DIVIDE_BY_ZERO under ANSI mode)
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    from ..functions.stable import stable_round
+
+    return pairs.select(
+        "camp_a",
+        "camp_b",
+        "n_a",
+        "n_b",
+        stable_round(p_a, 6).alias("rate_a"),
+        stable_round(p_b, 6).alias("rate_b"),
+        stable_round(z, 6).alias("zscore"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("significant"),
+    )
+
+
+register(
+    Query(
+        name="ab_test_zscores",
+        spark=_ab_test_zscores,
+        oracle="""
+            WITH exposure AS (
+                SELECT 'camp_' || CAST(
+                           CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           % 5 AS VARCHAR) AS campaign,
+                       user_id, min(ts) AS exp_ts
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2
+            ),
+            lp AS (
+                SELECT user_id, max(ts) AS lp_ts FROM events
+                WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            rates AS (
+                SELECT campaign, count(*) AS n,
+                       sum(CASE WHEN lp_ts > exp_ts THEN 1 ELSE 0 END)
+                           AS x
+                FROM exposure LEFT JOIN lp USING (user_id)
+                GROUP BY 1
+            )
+            SELECT a.campaign AS camp_a, b.campaign AS camp_b,
+                   a.n AS n_a, b.n AS n_b,
+                   floor((CAST(a.x AS DOUBLE) / a.n) * 1000000.0 + 0.5)
+                       / 1000000.0 AS rate_a,
+                   floor((CAST(b.x AS DOUBLE) / b.n) * 1000000.0 + 0.5)
+                       / 1000000.0 AS rate_b,
+                   floor((CASE WHEN a.x + b.x = 0
+                                    OR a.x + b.x = a.n + b.n THEN 0.0
+                               ELSE (CAST(a.x AS DOUBLE) / a.n
+                                     - CAST(b.x AS DOUBLE) / b.n)
+                          / sqrt((CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                                 * (1.0 - CAST(a.x + b.x AS DOUBLE)
+                                          / (a.n + b.n))
+                                 * (1.0 / a.n + 1.0 / b.n)) END)
+                         * 1000000.0 + 0.5) / 1000000.0 AS zscore,
+                   abs(CASE WHEN a.x + b.x = 0
+                                 OR a.x + b.x = a.n + b.n THEN 0.0
+                            ELSE (CAST(a.x AS DOUBLE) / a.n
+                                  - CAST(b.x AS DOUBLE) / b.n)
+                       / sqrt((CAST(a.x + b.x AS DOUBLE) / (a.n + b.n))
+                              * (1.0 - CAST(a.x + b.x AS DOUBLE)
+                                       / (a.n + b.n))
+                              * (1.0 / a.n + 1.0 / b.n)) END)
+                       > 1.959963984540054 AS significant
+            FROM rates a JOIN rates b ON a.campaign < b.campaign
+        """,
+        tags=("events", "experimentation", "stats"),
+        doc="pairwise two-proportion z-tests between campaign conversion "
+        "rates; user-sized aggregates, tiny broadcast pair grid",
+    )
+)

@@ -1489,31 +1489,39 @@ register(
 
 # ----------------------------------- prefix-filtered set-similarity join
 
-SSJ_T = 0.9  # token-set Jaccard threshold
+SSJ_T = 0.9  # shingle-set Jaccard threshold
 
 
 def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard pairs >= SSJ_T via prefix filtering
-    (PPJoin family — Xiao et al., WWW 2008): order each document's
-    distinct tokens rarest-first (global df asc, token asc); two sets
-    with Jaccard >= t MUST share a token within their first
-    ``s - ceil(t*s) + 1`` tokens, so the candidate join runs on the
-    short prefixes only, then the tiny survivor set is verified with
-    the exact intersection.
+    """Exact 3-gram-shingle-set Jaccard pairs >= SSJ_T via prefix
+    filtering (PPJoin family — Xiao et al., WWW 2008): order each
+    document's distinct shingles rarest-first (global df asc, shingle
+    asc); two sets with Jaccard >= t MUST share a shingle within their
+    first ``s - ceil(t*s) + 1`` shingles, so the candidate join runs on
+    the short prefixes only — plus the PPJoin length filter
+    (t*s_a <= s_b <= s_a/t) applied inside the join — and the tiny
+    survivor set is verified with the exact intersection.
 
-    Scale shape vs ``ngram_jaccard_pairs`` (all-shingle equi-join): the
-    candidate-generating join touches ~(1-t)·s tokens per doc instead
-    of s, and rarest-first ordering makes prefix buckets tiny. The
-    verify step joins only candidate pairs back to the per-doc token
-    arrays (array_intersect is per-row Catalyst, no further shuffle
-    fan-out). Exactness: candidates are a superset by the prefix
-    theorem; verification is exact integer set math."""
+    The set unit is the word-3-gram shingle, NOT the unigram token,
+    and that choice is load-bearing: prefix filtering needs a large
+    sparse universe. Measured on this corpus at sf0.1, the unigram
+    variant collapses — a tiny Zipfian vocabulary makes even each
+    doc's rarest tokens common, and 14k prefix rows exploded into
+    11.3M candidate pairs (~90% of all pairs, 119 s). Over shingles
+    the same prefixes are near-unique and candidates stay pair-scale.
+
+    Scale shape vs ``ngram_jaccard_pairs`` (all-shingle equi-join):
+    the candidate join touches ~(1-t)*s shingles per doc instead of s,
+    rarest-first ordering keeps prefix buckets tiny, and the length
+    filter kills cross-size matches before the pair ever materializes.
+    Exactness: candidates are a superset by the prefix theorem;
+    verification is exact integer set math."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
-    ).distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    sh = X.shingles_df(docs, "doc_id", F.col("text")).withColumnRenamed(
+        "shingle", "term"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
@@ -1522,25 +1530,37 @@ def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranked = (
-        toks.join(dfreq, "term")
+        sh.join(dfreq, "term")
         .join(sizes, "doc_id")
         .withColumn("rk", rk)
     )
     prefix = ranked.filter(
         F.col("rk")
         <= F.col("s") - F.ceil(F.lit(SSJ_T) * F.col("s")) + F.lit(1)
-    ).select("doc_id", "term")
+    ).select("doc_id", "term", "s")
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), on="term")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter: |B| must sit in [t|A|, |A|/t]
+            & (
+                F.col("b.s").cast("double")
+                >= F.lit(SSJ_T) * F.col("a.s").cast("double")
+            )
+            & (
+                F.col("b.s").cast("double") * F.lit(SSJ_T)
+                <= F.col("a.s").cast("double")
+            ),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
-    sets = toks.groupBy("doc_id").agg(
+    sets = sh.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("term")).alias("ts"),
         F.count(F.lit(1)).alias("s"),
     )
@@ -1563,39 +1583,49 @@ register(
         name="set_similarity_prefix_join",
         spark=_set_similarity_prefix_join,
         oracle=rf"""
-            WITH toks AS MATERIALIZED (
-                SELECT DISTINCT doc_id, unnest(string_split_regex(
-                    lower(trim(text)), '\s+')) AS term
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(
+                    lower(trim(text)), '\s+') AS t
                 FROM documents
             ),
+            sh AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, len(t) - 2),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       ))) AS term
+                FROM toks WHERE len(t) >= 3
+            ),
             sizes AS (
-                SELECT doc_id, count(*) AS s FROM toks GROUP BY 1
+                SELECT doc_id, count(*) AS s FROM sh GROUP BY 1
             ),
             dfreq AS (
-                SELECT term, count(*) AS df FROM toks GROUP BY 1
+                SELECT term, count(*) AS df FROM sh GROUP BY 1
             ),
             ranked AS (
                 SELECT t.doc_id, t.term,
                        row_number() OVER (PARTITION BY t.doc_id
                            ORDER BY d.df ASC, t.term ASC) AS rk,
                        z.s
-                FROM toks t
+                FROM sh t
                 JOIN dfreq d ON t.term = d.term
                 JOIN sizes z ON t.doc_id = z.doc_id
             ),
             pref AS MATERIALIZED (
-                SELECT doc_id, term FROM ranked
+                SELECT doc_id, term, s FROM ranked
                 WHERE rk <= s - ceil({SSJ_T} * s) + 1
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM pref a JOIN pref b
                   ON a.term = b.term AND a.doc_id < b.doc_id
+                 AND CAST(b.s AS DOUBLE) >= {SSJ_T} * CAST(a.s AS DOUBLE)
+                 AND CAST(b.s AS DOUBLE) * {SSJ_T} <= CAST(a.s AS DOUBLE)
             ),
             sets AS MATERIALIZED (
                 SELECT doc_id, list(term ORDER BY term) AS ts,
                        count(*) AS s
-                FROM toks GROUP BY 1
+                FROM sh GROUP BY 1
             )
             SELECT doc_a, doc_b, jaccard FROM (
                 SELECT c.doc_a, c.doc_b,

@@ -436,8 +436,8 @@ def test_bm25_scores_positive_and_bounded_topk(spark):
 
 
 def test_set_similarity_prefix_equals_bruteforce(spark):
-    """Prefix filtering is exact: pairs == the quadratic token-set
-    Jaccard baseline at smoke scale."""
+    """Prefix filtering (+ the PPJoin length filter) is exact: pairs ==
+    the quadratic shingle-set Jaccard baseline at smoke scale."""
     QUERIES = _queries()
     from gee_datapipeline_spark.plans.text_queries import SSJ_T
 
@@ -448,9 +448,13 @@ def test_set_similarity_prefix_equals_bruteforce(spark):
         .collect()
     }
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
-    sets = {
-        r.doc_id: set(r.text.lower().strip().split()) for r in docs
-    }
+    sets = {}
+    for r in docs:
+        t = r.text.lower().strip().split()
+        if len(t) >= 3:
+            sets[r.doc_id] = {
+                " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+            }
     ids = sorted(sets)
     want = {}
     for i, a in enumerate(ids):

@@ -601,3 +601,51 @@ def test_audience_overlap_sparse_synthetic(spark, tmp_path_factory):
         assert r.jaccard == pytest.approx(
             n / (marg[a] + marg[b] - n), abs=1e-6
         )
+
+
+# ------------------------------------------------ A/B significance
+
+
+def test_ab_test_zscores_matches_python_reference(spark):
+    """z statistics agree with an independent pure-Python two-proportion
+    computation; the pair grid is complete and antisymmetric-consistent
+    (z(a,b) computed from the same rates the row reports)."""
+    evs = duckdb.sql(
+        f"SELECT user_id, event_type, ts, "
+        f"CAST(json_extract_string(props, '$.k') AS BIGINT) FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    exposure = {}
+    last_purchase = {}
+    for uid, et, ts, k in evs:
+        if et == "click":
+            c = f"camp_{k % 5}"
+            key = (c, uid)
+            if key not in exposure or ts < exposure[key]:
+                exposure[key] = ts
+        elif et == "purchase":
+            if uid not in last_purchase or ts > last_purchase[uid]:
+                last_purchase[uid] = ts
+    n = Counter()
+    x = Counter()
+    for (c, uid), ets in exposure.items():
+        n[c] += 1
+        if uid in last_purchase and last_purchase[uid] > ets:
+            x[c] += 1
+    rows = _run(spark, "ab_test_zscores")
+    camps = sorted(n)
+    assert {(r.camp_a, r.camp_b) for r in rows} == {
+        (a, b) for i, a in enumerate(camps) for b in camps[i + 1 :]
+    }
+    for r in rows:
+        pa, pb = x[r.camp_a] / n[r.camp_a], x[r.camp_b] / n[r.camp_b]
+        pool = (x[r.camp_a] + x[r.camp_b]) / (n[r.camp_a] + n[r.camp_b])
+        se = math.sqrt(
+            pool * (1 - pool) * (1 / n[r.camp_a] + 1 / n[r.camp_b])
+        )
+        z = (pa - pb) / se if se > 0 else 0.0
+        assert r.n_a == n[r.camp_a] and r.n_b == n[r.camp_b]
+        assert r.rate_a == pytest.approx(pa, abs=1e-6)
+        assert r.rate_b == pytest.approx(pb, abs=1e-6)
+        assert r.zscore == pytest.approx(z, abs=1e-5)
+        assert r.significant == (abs(z) > 1.959963984540054)
