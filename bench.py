@@ -167,6 +167,8 @@ HEADLINE = [
     "audience_overlap",
     # pairwise two-proportion z-tests on a tiny broadcast rate grid
     "ab_test_zscores",
+    # Benford first-digit screen: one scan to a 9-row histogram
+    "benford_screen",
 ]
 
 

@@ -656,3 +656,135 @@ register(
         "conditional aggregates (append-only prefix optimization)",
     )
 )
+
+
+# ------------------------------------------------- Benford screen
+
+
+def _benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the classic
+    fabricated-data / ingestion-corruption smell test: natural
+    multi-scale positive amounts follow P(d) = log10(1 + 1/d); a
+    uniform or hand-keyed column does not. Reports, per leading digit,
+    the observed share, the Benford expectation, and the χ² term;
+    plus each row carries the total χ² statistic (8 dof) so the
+    report is self-contained.
+
+    One fact scan into a 9-row histogram (map-side combinable), then
+    literal math — the cheapest useful audit in the catalog. The
+    synthetic o_totalprice is NOT Benford-distributed (bounded uniform
+    pricing), which the χ² makes loudly visible: the screen flags, as
+    it should; the gate checks the numbers, not the verdict."""
+    import math as _math
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.abs(F.col("o_totalprice")).cast("decimal(30,6)").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    hist = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = hist.agg(F.sum("n").alias("n_tot"))
+    # exact literal expectations, identical text in the oracle
+    exp_arr = [
+        (i, _math.log10(1.0 + 1.0 / i)) for i in range(1, 10)
+    ]
+    exp_df = spark.createDataFrame(exp_arr, "digit int, p_exp double")
+    j = (
+        exp_df.join(hist, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "p_exp",
+            "n_tot",
+        )
+    )
+    p_obs = F.col("n").cast("double") / F.col("n_tot").cast("double")
+    chi_term = (
+        (F.col("n").cast("double") - F.col("p_exp") * F.col("n_tot"))
+        * (F.col("n").cast("double") - F.col("p_exp") * F.col("n_tot"))
+        / (F.col("p_exp") * F.col("n_tot").cast("double"))
+    )
+    dec = "decimal(38,12)"
+    terms = j.select(
+        "digit",
+        "n",
+        p_obs.alias("p_obs_raw"),
+        "p_exp",
+        chi_term.cast(dec).alias("chi_raw"),
+    )
+    total_chi = terms.agg(
+        F.sum("chi_raw").cast("double").alias("chi2_total_raw")
+    )
+    from ..functions.stable import stable_round
+
+    return (
+        terms.crossJoin(F.broadcast(total_chi))
+        .select(
+            "digit",
+            "n",
+            stable_round(F.col("p_obs_raw"), 6).alias("p_obs"),
+            stable_round(F.col("p_exp"), 6).alias("p_exp"),
+            stable_round(F.col("chi_raw").cast("double"), 4).alias(
+                "chi2_term"
+            ),
+            stable_round(F.col("chi2_total_raw"), 4).alias("chi2_total"),
+        )
+    )
+
+
+_BENFORD_EXPECT_SQL = " UNION ALL ".join(
+    f"SELECT {i} AS digit, log10(1.0 + 1.0 / {i}) AS p_exp"
+    for i in range(1, 10)
+)
+
+
+register(
+    Query(
+        name="benford_screen",
+        spark=_benford_screen,
+        oracle=f"""
+            WITH hist AS (
+                SELECT CAST(substr(CAST(CAST(abs(o_totalprice)
+                                AS DECIMAL(30,6)) AS VARCHAR), 1, 1)
+                            AS INT) AS digit,
+                       count(*) AS n
+                FROM orders WHERE o_totalprice > 0
+                GROUP BY 1
+            ),
+            tot AS (SELECT sum(n) AS n_tot FROM hist),
+            expd AS ({_BENFORD_EXPECT_SQL}),
+            terms AS (
+                SELECT e.digit, coalesce(h.n, 0) AS n, e.p_exp,
+                       CAST(n_tot AS DOUBLE) AS n_tot,
+                       CAST((coalesce(h.n, 0) - e.p_exp * n_tot)
+                            * (coalesce(h.n, 0) - e.p_exp * n_tot)
+                            / (e.p_exp * CAST(n_tot AS DOUBLE))
+                            AS DECIMAL(38,12)) AS chi_raw
+                FROM expd e LEFT JOIN hist h ON e.digit = h.digit, tot
+            ),
+            total AS (
+                SELECT CAST(sum(chi_raw) AS DOUBLE) AS chi2_total_raw
+                FROM terms
+            )
+            SELECT digit, n,
+                   floor((CAST(n AS DOUBLE) / n_tot) * 1000000.0 + 0.5)
+                       / 1000000.0 AS p_obs,
+                   floor(p_exp * 1000000.0 + 0.5) / 1000000.0 AS p_exp,
+                   floor(CAST(chi_raw AS DOUBLE) * 10000.0 + 0.5)
+                       / 10000.0 AS chi2_term,
+                   floor(chi2_total_raw * 10000.0 + 0.5) / 10000.0
+                       AS chi2_total
+            FROM terms, total
+        """,
+        tags=("diagnostics", "data-quality", "benford"),
+        doc="first-digit Benford screen with per-digit chi-square terms; "
+        "one scan to a 9-row histogram",
+    )
+)

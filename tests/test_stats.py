@@ -649,3 +649,27 @@ def test_ab_test_zscores_matches_python_reference(spark):
         assert r.rate_b == pytest.approx(pb, abs=1e-6)
         assert r.zscore == pytest.approx(z, abs=1e-5)
         assert r.significant == (abs(z) > 1.959963984540054)
+
+
+# --------------------------------------------------- Benford screen
+
+
+def test_benford_screen_consistency(spark):
+    """Digits cover 1..9; observed shares and Benford expectations both
+    sum to 1; chi2_total equals the sum of per-digit terms; the
+    histogram partitions the positive order totals."""
+    rows = sorted(_run(spark, "benford_screen"), key=lambda r: r.digit)
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert sum(r.p_obs for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r.p_exp for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert rows[0].chi2_total == pytest.approx(
+        sum(r.chi2_term for r in rows), abs=len(rows) * 1e-4
+    )
+    n_pos, = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+        f"WHERE o_totalprice > 0"
+    ).fetchone()
+    assert sum(r.n for r in rows) == n_pos
+    for r in rows:
+        expect = math.log10(1.0 + 1.0 / r.digit)
+        assert r.p_exp == pytest.approx(expect, abs=1e-6)
