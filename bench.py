@@ -169,6 +169,8 @@ HEADLINE = [
     "ab_test_zscores",
     # Benford first-digit screen: one scan to a 9-row histogram
     "benford_screen",
+    # audience growth: first-day keying + day-sized running sum
+    "cumulative_unique_users",
 ]
 
 

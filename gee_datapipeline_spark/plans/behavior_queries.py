@@ -1339,3 +1339,65 @@ register(
         "rates; user-sized aggregates, tiny broadcast pair grid",
     )
 )
+
+
+# -------------------------------------------- cumulative unique users
+
+
+def _cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per active day — the audience-growth
+    curve. The naive form (COUNT(DISTINCT) over an expanding window)
+    re-deduplicates the whole history at every step; the scale form
+    keys each user to their FIRST day (one user-sized agg), counts
+    first-appearances per day, and running-sums that day-sized series —
+    the fact is shuffled once on user_id and the window runs over
+    |days| rows, not |events|."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    firsts = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    joined = days.join(
+        per_day, days["day"] == per_day["first_day"], "left"
+    ).select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+register(
+    Query(
+        name="cumulative_unique_users",
+        spark=_cumulative_unique_users,
+        oracle="""
+            WITH firsts AS (
+                SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+                FROM events GROUP BY 1
+            ),
+            per_day AS (
+                SELECT first_day, count(*) AS new_users
+                FROM firsts GROUP BY 1
+            ),
+            days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   coalesce(new_users, 0) AS new_users,
+                   CAST(sum(coalesce(new_users, 0)) OVER (
+                       ORDER BY day ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cumulative_users
+            FROM days LEFT JOIN per_day ON day = first_day
+        """,
+        tags=("events", "growth", "window"),
+        doc="audience growth curve: first-day keying turns expanding "
+        "COUNT(DISTINCT) into one user agg + a day-sized running sum",
+    )
+)

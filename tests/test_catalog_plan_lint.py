@@ -76,6 +76,7 @@ BNLJ_WHITELIST = {
     "lang_source_mi",  # 1-row n-total + 32-cell marginal broadcasts
     "audience_overlap",  # 10-row literal pair table × ≤32-row histogram
     "ab_test_zscores",  # C-row rate table self-crossed (C·(C−1)/2 pairs)
+    "benford_screen",  # 1-row n-total and chi2-total broadcasts
     "bm25_topk",  # 1-row corpus stats (N, avgdl) broadcast
     "source_kl_divergence",  # 1-row corpus token total broadcast
     "supplier_stock_value",  # global-scalar threshold broadcast (Q11)

@@ -673,3 +673,32 @@ def test_benford_screen_consistency(spark):
     for r in rows:
         expect = math.log10(1.0 + 1.0 / r.digit)
         assert r.p_exp == pytest.approx(expect, abs=1e-6)
+
+
+# ------------------------------------------- cumulative unique users
+
+
+def test_cumulative_unique_users_monotone_and_reference(spark):
+    """Curve is non-decreasing, new_users partition the user set, the
+    final value equals the total distinct user count, and each day's
+    cumulative equals the brute-force distinct-so-far count."""
+    rows = sorted(_run(spark, "cumulative_unique_users"),
+                  key=lambda r: r.day)
+    evs = duckdb.sql(
+        f"SELECT CAST(ts AS DATE), user_id FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    ).fetchall()
+    seen_by_day = defaultdict(set)
+    for d, u in evs:
+        seen_by_day[d.isoformat()].add(u)
+    days = sorted(seen_by_day)
+    assert [r.day for r in rows] == days
+    seen = set()
+    prev = 0
+    for r in rows:
+        seen |= seen_by_day[r.day]
+        assert r.cumulative_users == len(seen)
+        assert r.cumulative_users >= prev
+        assert r.cumulative_users - prev == r.new_users
+        prev = r.cumulative_users
+    assert sum(r.new_users for r in rows) == len(seen)
