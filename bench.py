@@ -171,6 +171,8 @@ HEADLINE = [
     "benford_screen",
     # audience growth: first-day keying + day-sized running sum
     "cumulative_unique_users",
+    # text-format interop: day-1 events through Spark 4 native XML
+    "xml_roundtrip",
 ]
 
 

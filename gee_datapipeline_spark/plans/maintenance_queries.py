@@ -788,3 +788,93 @@ register(
         "one scan to a 9-row histogram",
     )
 )
+
+
+# --------------------------------------- storage-format interop (XML)
+
+
+def _xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-interop gate #2: day-1 events written to XML (Spark 4's
+    built-in XML source), read back with an explicit schema, and
+    aggregated — the result must equal the same aggregate computed
+    straight from the parquet original (the oracle's view of the world;
+    DuckDB has no XML reader, so the roundtrip itself is under test).
+
+    XML is the text-format stressor the columnar gate (ORC) can't
+    provide: doubles survive only because the writer emits
+    shortest-roundtrip decimal strings, and timestamps are carried as
+    explicit formatted strings (written via date_format, parsed back
+    with to_timestamp) so no timezone/precision inference is involved.
+    Ingest-side XML is row-per-record and splittable by rowTag at
+    scale; it is a source/interchange format here, never storage."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    day = ev.filter(F.to_date("ts") == F.lit(first_day)).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_xml_roundtrip_")
+    try:
+        path = f"{root}/events_day1.xml"
+        (
+            day.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "event")
+            .save(path)
+        )
+        back = spark.read.format("xml").option("rowTag", "event").schema(
+            "event_id long, ts_s string, user_id long, "
+            "event_type string, value double"
+        ).load(path)
+        out = (
+            back.select(
+                "*", F.to_timestamp("ts_s").alias("ts")
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(
+                    F.sum(F.col("value").cast("decimal(30,6)")).cast(
+                        "double"
+                    ),
+                    6,
+                ).alias("sum_value"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("last_ts"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="xml_roundtrip",
+        spark=_xml_roundtrip,
+        oracle="""
+            SELECT event_type, count(*) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   round(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE), 6) AS sum_value,
+                   strftime(CAST(max(ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+            FROM events
+            WHERE CAST(ts AS DATE) = (
+                SELECT min(CAST(ts AS DATE)) FROM events
+            )
+            GROUP BY 1
+        """,
+        tags=("maintenance", "interop", "xml"),
+        doc="text-format roundtrip gate: day-1 events through Spark 4 "
+        "native XML == the parquet original (oracle's view)",
+    )
+)

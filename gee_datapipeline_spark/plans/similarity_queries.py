@@ -1135,8 +1135,12 @@ def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     outer-product explode becomes per-partition NumPy gram tiles à la
     ``gram_screen_pairs``; the algebra and the artifact are the same.)
 
-    Determinism: means are decimal-stable averages; scatter entries are
-    decimal sums rounded to 6 dp; each iterate is re-quantized to 12 dp
+    Determinism: means are decimal-stable averages; scatter entries
+    accumulate as 1e12-quantized LONGS (floor-form half-up per product —
+    identical in both engines, ~2.5x cheaper than DECIMAL(38,12)
+    accumulation; the long holds sum(|p|*1e12), overflow-safe to ~1e6
+    rows x unit-scale embeddings — beyond that, route the same sums
+    through DECIMAL as the pre-r4 form did) rounded to 6 dp; each iterate is re-quantized to 12 dp
     through the floor-form half-up round (identical IEEE ops on both
     engines), so the eigenvector converges to the same bits everywhere.
     Sign convention: the component with the largest |loading| (ties →
@@ -1162,18 +1166,19 @@ def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"""flatten(transform(sequence(1, {PCA_DIM}), i ->
                         transform(sequence(i, {PCA_DIM}), j -> struct(
                             i AS i, j AS j,
-                            cast((cast(element_at(embedding, i) AS double)
+                            cast(floor(
+                                (cast(element_at(embedding, i) AS double)
                                   - element_at(marr, i))
                                  * (cast(element_at(embedding, j) AS double)
                                     - element_at(marr, j))
-                                 AS decimal(38,12)) AS p))))"""
+                                 * 1e12 + 0.5) AS bigint) AS p))))"""
                 )
             ).alias("x")
         )
         .select("x.i", "x.j", "x.p")
     )
     s_up = pairs.groupBy("i", "j").agg(
-        F.round(F.sum("p").cast("double"), 6).alias("s")
+        F.round(F.sum("p").cast("double") / F.lit(1e12), 6).alias("s")
     )
     s_full = s_up.unionAll(
         s_up.filter(F.col("i") != F.col("j")).select(
@@ -1275,12 +1280,12 @@ def _pca_oracle() -> str:
         ),
         pairs AS MATERIALIZED (
             SELECT a.i AS i, b.i AS j,
-                   CAST(a.c * b.c AS DECIMAL(38,12)) AS p
+                   CAST(floor(a.c * b.c * 1e12 + 0.5) AS BIGINT) AS p
             FROM cent a JOIN cent b
               ON a.vec_id = b.vec_id AND a.i <= b.i
         ),
         s_up AS MATERIALIZED (
-            SELECT i, j, round(CAST(sum(p) AS DOUBLE), 6) AS s
+            SELECT i, j, round(CAST(sum(p) AS DOUBLE) / 1e12, 6) AS s
             FROM pairs GROUP BY 1, 2
         ),
         sfull AS MATERIALIZED (
