@@ -1101,9 +1101,6 @@ register(
 # ------------------------------------------------ audience overlap
 
 
-_ETYPES = ["click", "error", "purchase", "signup", "view"]
-
-
 def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience overlap between event types: for every type
     pair, how many users did both, each, and the Jaccard overlap — the
@@ -1111,14 +1108,21 @@ def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scale trick: instead of 10 pairwise distinct-intersection
     joins over the fact (the oracle's naive formulation), fold each
-    user into a 5-bit engagement bitmask with ONE user-keyed bit_or
-    aggregate, histogram the ≤32 masks, and answer every pair from the
-    32-row histogram crossed with a 10-row literal pair table. The
+    user into a k-bit engagement bitmask with ONE user-keyed bit_or
+    aggregate, histogram the ≤2^k masks, and answer every pair from
+    the mask histogram crossed with a pair-grid literal table. The
     fact is scanned once and shuffled once on user_id, regardless of
-    how many pairs are asked."""
+    how many pairs are asked. The type list is derived from the data
+    (a group-sized distinct, same as the oracle's SELECT DISTINCT),
+    so a new event type can never be silently dropped."""
     e = _events(spark, sf_dir)
-    bit = F.when(F.col("event_type") == _ETYPES[0], F.lit(1))
-    for i, t in enumerate(_ETYPES[1:], start=1):
+    etypes = sorted(
+        r[0]
+        for r in e.select("event_type").distinct().collect()
+        if r[0] is not None
+    )
+    bit = F.when(F.col("event_type") == etypes[0], F.lit(1))
+    for i, t in enumerate(etypes[1:], start=1):
         bit = bit.when(F.col("event_type") == t, F.lit(1 << i))
     masks = (
         e.select("user_id", bit.alias("b"))
@@ -1128,9 +1132,9 @@ def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = masks.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
     pairs = spark.createDataFrame(
         [
-            (_ETYPES[i], _ETYPES[j], 1 << i, 1 << j)
-            for i in range(len(_ETYPES))
-            for j in range(i + 1, len(_ETYPES))
+            (etypes[i], etypes[j], 1 << i, 1 << j)
+            for i in range(len(etypes))
+            for j in range(i + 1, len(etypes))
         ],
         "type_a string, type_b string, bit_a long, bit_b long",
     )

@@ -563,7 +563,7 @@ register(
         oracle=f"""
             SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight
             FROM documents
-            ORDER BY ln((CAST({_SQL_DOC_H} AS DOUBLE) + 1)
+            ORDER BY ln(CAST(({_SQL_DOC_H}) + 1 AS DOUBLE)
                         / {float(_WSAMPLE_DENOM)!r})
                      / CAST(n_chars AS DOUBLE) DESC
             LIMIT {_WSAMPLE_K}

@@ -527,8 +527,11 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(mad), "event_type")
         .filter(
-            F.abs(F.col("value") - F.col("med"))
-            > F.lit(_MAD_K * _MAD_C) * F.col("mad")
+            (F.col("mad") > F.lit(0.0))
+            & (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(_MAD_K * _MAD_C) * F.col("mad")
+            )
         )
         .select(
             "event_id",
@@ -560,7 +563,7 @@ register(
                        f'(value - med) / ({_MAD_C!r} * mad)', 6)}
                        AS robust_z
             FROM events e JOIN mad USING (event_type)
-            WHERE abs(value - med) > {_MAD_K * _MAD_C!r} * mad
+            WHERE mad > 0 AND abs(value - med) > {_MAD_K * _MAD_C!r} * mad
         """,
         tags=("stats", "outliers", "robust"),
         doc="Hampel MAD outlier screen: two broadcast-sized percentile "

@@ -1,0 +1,74 @@
+"""Regression-gate plumbing for bench.py.
+
+The r4 verdict found the gate silently disarming: the driver's
+BENCH_r{N}.json capture truncates bench stdout to a 2000-char tail with
+``parsed: null`` once the query map grows, so ``latest_bench_baseline``
+returned a dict with no ``queries`` key and every per-query comparison
+was skipped without a word. These tests pin the fix: the loader must
+always return a non-empty query map for the current repo state (falling
+past truncated captures to the newest usable one), and every HEADLINE
+name must be a registered query so the bench can't KeyError mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import bench  # noqa: E402
+
+
+def test_baseline_loader_returns_nonempty_queries():
+    base = bench.latest_bench_baseline()
+    assert base is not None, "no usable bench baseline in the repo"
+    name, data = base
+    assert isinstance(data.get("queries"), dict) and data["queries"], (
+        f"baseline {name} has no per-query timings — the regression "
+        "gate would silently compare against nothing"
+    )
+    assert all(
+        isinstance(v, (int, float)) and v >= 0
+        for v in data["queries"].values()
+    )
+
+
+def test_baseline_loader_skips_truncated_captures():
+    """BENCH_r04.json is a real truncated capture (tail-only,
+    parsed: null); the loader must not select it."""
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    r04 = os.path.join(here, "BENCH_r04.json")
+    if not os.path.exists(r04):
+        pytest.skip("BENCH_r04.json not present")
+    with open(r04) as fh:
+        data = json.load(fh)
+    if isinstance(data.get("queries"), dict) and data["queries"]:
+        pytest.skip("BENCH_r04.json is not truncated after all")
+    name, _ = bench.latest_bench_baseline()
+    assert name != "BENCH_r04.json"
+
+
+def test_headline_names_are_registered_queries():
+    from gee_datapipeline_spark.plans import queries
+
+    qs = queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_local_result_preferred_once_written():
+    """If BENCH_LOCAL.json exists (written by every sf0.1 bench run),
+    it must win over the driver captures."""
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    local = os.path.join(here, bench.LOCAL_RESULT)
+    if not os.path.exists(local):
+        pytest.skip("BENCH_LOCAL.json not written yet this checkout")
+    name, data = bench.latest_bench_baseline()
+    assert name == bench.LOCAL_RESULT
+    assert data["queries"]

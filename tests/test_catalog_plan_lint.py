@@ -48,6 +48,9 @@ EXECUTING_BUILDERS = {
     "image_dhash_dedup",       # reads the dhash fixture at build time
     "multimodal_frames_real",
     "audio_decode_real",
+    "xml_roundtrip",           # collects + re-wraps rows at build time
+    "bfs_reachability",        # eager-checkpoints each frontier round
+    "kcore_decomposition",     # eager-checkpoints each peel round
 }
 
 # Deliberate tiny-side broadcast nested-loops (probes × corpus,
