@@ -1118,40 +1118,71 @@ register(
 PCA_DIM = 64
 PCA_ITERS = 8
 
+# sum(|p|) across the corpus is bounded by rows · max|c_i·c_j| · 1e12;
+# int64 caps at 9.2e18, so unit-scale embeddings (|c| ≲ 1) leave >2×
+# headroom at this row count. Past it the same batch partials are
+# summed as DECIMAL(38,0) — bit-identical where both fit (the property
+# test pins that), never silently wrapping.
+_PCA_LONG_SAFE_ROWS = 4_000_000
 
-def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Principal component of the embedding corpus: centered scatter
-    matrix + ``PCA_ITERS`` unrolled power-iteration steps, as pure
-    DataFrame algebra (no MLlib — every step is mirrored bit-for-bit by
-    the DuckDB oracle, the same discipline as ``ann_ivf_train``'s
-    k-means).
 
-    Scale shape: the ONLY corpus-sized stage is the scatter-matrix
-    aggregate — each row emits its upper-triangle outer products (2080
-    structs) into a map-side-combinable (i, j) decimal sum; the result
-    is a 64×64 artifact that is localCheckpointed and reused by all
-    iterations. Power steps are joins over that tiny table with a
-    broadcast 64-row vector — zero corpus passes. (At 100 TB the
-    outer-product explode becomes per-partition NumPy gram tiles à la
-    ``gram_screen_pairs``; the algebra and the artifact are the same.)
+def _pca_scatter_upper_gram(e: DataFrame, m: DataFrame,
+                            use_decimal: bool) -> DataFrame:
+    """Upper-triangle quantized scatter matrix (i, j, s) via per-batch
+    NumPy gram tiles: one Arrow pass over the corpus, each batch
+    folding its rows into ONE 64×64 int64 tile (einsum outer products,
+    per-ELEMENT floor(c_i·c_j·1e12 + 0.5) quantization — the exact
+    per-product rounding the oracle performs, so the artifact is
+    bit-identical to the explode form), then a 2080-key Spark sum over
+    tile entries. Shuffle volume is 2080 rows per Arrow batch instead
+    of 2080 structs per corpus ROW — the form the r4 docstring already
+    named as the 100 TB layout (`gram_screen_pairs` precedent).
 
-    Determinism: means are decimal-stable averages; scatter entries
-    accumulate as 1e12-quantized LONGS (floor-form half-up per product —
-    identical in both engines, ~2.5x cheaper than DECIMAL(38,12)
-    accumulation; the long holds sum(|p|*1e12), overflow-safe to ~1e6
-    rows x unit-scale embeddings — beyond that, route the same sums
-    through DECIMAL as the pre-r4 form did) rounded to 6 dp; each iterate is re-quantized to 12 dp
-    through the floor-form half-up round (identical IEEE ops on both
-    engines), so the eigenvector converges to the same bits everywhere.
-    Sign convention: the component with the largest |loading| (ties →
-    smallest dim) is made positive."""
-    e = _emb(spark, sf_dir)
-    flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
-        (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    Per-batch int64 partials are safe while rows/batch · max|c_i·c_j|
+    · 1e12 < 9.2e18 — at the 10k-row Arrow default that means
+    |c| < ~30, far beyond any unit-scale embedding."""
+    import numpy as np
+    import pandas as pd
+
+    means = np.zeros(PCA_DIM, dtype=np.float64)
+    for r in m.collect():  # 64 rows — dimension-sized, never corpus
+        means[r["dim"] - 1] = float(r["mv"])
+
+    def tiles(batches):  # noqa: ANN001 — mapInPandas contract
+        iu_i, iu_j = np.triu_indices(PCA_DIM)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            c = v - means
+            acc = np.zeros((PCA_DIM, PCA_DIM), dtype=np.int64)
+            for s0 in range(0, len(c), 512):  # bound the r×64×64 tensor
+                ch = c[s0:s0 + 512]
+                outer = np.einsum("ri,rj->rij", ch, ch)
+                acc += (
+                    np.floor(outer * 1e12 + 0.5).astype(np.int64).sum(axis=0)
+                )
+            yield pd.DataFrame(
+                {"i": iu_i + 1, "j": iu_j + 1, "p": acc[iu_i, iu_j]}
+            )
+
+    tile_rows = e.select("embedding").mapInPandas(tiles, "i int, j int, p long")
+    p_sum = (
+        F.sum(F.col("p").cast("decimal(38,0)"))
+        if use_decimal
+        else F.sum("p")
     )
-    m = flat.groupBy("dim").agg(
-        stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv")
+    return tile_rows.groupBy("i", "j").agg(
+        F.round(p_sum.cast("double") / F.lit(1e12), 6).alias("s")
     )
+
+
+def _pca_scatter_upper_explode(e: DataFrame, m: DataFrame) -> DataFrame:
+    """The r4 explode form of the same artifact — per corpus row, 2080
+    upper-triangle quantized products through interpreted SQL
+    expressions. Kept as the test mirror for the gram-tile path (the
+    oracle mirrors this algebra 1:1); ~5× slower, no longer the
+    production plan."""
     marr = m.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("dim", "mv"))),
@@ -1177,67 +1208,134 @@ def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("x.i", "x.j", "x.p")
     )
-    s_up = pairs.groupBy("i", "j").agg(
+    return pairs.groupBy("i", "j").agg(
         F.round(F.sum("p").cast("double") / F.lit(1e12), 6).alias("s")
+    )
+
+
+def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal component of the embedding corpus: centered scatter
+    matrix + ``PCA_ITERS`` unrolled power-iteration steps, as pure
+    DataFrame algebra (no MLlib — every step is mirrored bit-for-bit by
+    the DuckDB oracle, the same discipline as ``ann_ivf_train``'s
+    k-means).
+
+    Scale shape: the ONLY corpus-sized stage is the scatter-matrix
+    aggregate — per-batch NumPy gram tiles (``_pca_scatter_upper_gram``;
+    2080 int64 tile entries per Arrow batch, per-element 1e12
+    quantization so the artifact matches the oracle's per-product
+    algebra bit-for-bit). The 64×64 result folds to ONE row and every
+    power step runs as nested higher-order-function expressions with
+    LET-bound intermediates — zero joins, shuffles, broadcasts, or
+    checkpoint jobs after the scatter aggregate (the r4 form paid 8
+    eager checkpoint jobs here; 5.8 s → 1.2 s at sf0.1).
+
+    Determinism: means are decimal-stable averages; scatter entries
+    accumulate as 1e12-quantized LONGs rounded to 6 dp, with the
+    DECIMAL(38,0) accumulator engaged automatically past
+    ``_PCA_LONG_SAFE_ROWS`` so a 100 TB corpus can't silently wrap the
+    int64; each iterate is re-quantized to 12 dp through the floor-form
+    half-up round (identical IEEE ops on both engines), so the
+    eigenvector converges to the same bits everywhere. Sign convention:
+    the component with the largest |loading| (ties → smallest dim) is
+    made positive."""
+    e = _emb(spark, sf_dir)
+    flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    m = flat.groupBy("dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv")
+    )
+    s_up = _pca_scatter_upper_gram(
+        e, m, use_decimal=e.count() > _PCA_LONG_SAFE_ROWS
     )
     s_full = s_up.unionAll(
         s_up.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), F.col("s")
         )
-    ).localCheckpoint(eager=True)
-
-    def r12(c):
-        return F.floor(c * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
-
-    v = (
-        s_full.select("i")
-        .distinct()
-        .select(F.col("i").alias("dim"), F.lit(0.125).alias("v"))
     )
+
+    # Fold the 4096-cell scatter into ONE row (a 64×64 array-of-arrays)
+    # and run every power step as higher-order-function expressions:
+    # zip_with multiply + decimal-accumulator aggregate reproduce the
+    # oracle's sum(CAST(s·v AS DECIMAL(38,12))) per dimension exactly,
+    # with ZERO joins, shuffles, broadcasts, or checkpoints in the
+    # iteration — the r4 form paid 8 eager checkpoint jobs (~2 s of
+    # fixed overhead) to iterate over what is a 32 KB artifact. The
+    # whole query is now one linear job after the scatter aggregate.
+    smat = (
+        s_full.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "j", "s"))).alias(
+                "cells"
+            )
+        )
+        .filter(F.size("cells") > 0)  # empty corpus → 0 rows, as before
+        .select(
+            F.expr(
+                f"""transform(sequence(1, {PCA_DIM}), i ->
+                        transform(sequence(1, {PCA_DIM}), j ->
+                            cells[(i-1) * {PCA_DIM} + (j-1)].s)) AS smat"""
+            ),
+            F.expr(
+                f"transform(sequence(1, {PCA_DIM}), i -> 0.125d) AS v"
+            ),
+        )
+    )
+    # All PCA_ITERS steps nest into ONE expression, with every
+    # intermediate (the previous iterate vp, the un-normalized w) bound
+    # through a single-element-array transform lambda — the
+    # expression-level LET. A lambda VARIABLE is a materialized value,
+    # read O(1) however many times the body references it; had each
+    # step instead read the previous iterate as a projected COLUMN,
+    # CollapseProject would inline the whole upstream chain into the
+    # zip_with lambda and interpreted evaluation would re-run it per
+    # array element — a measured 64× cost per step (0.8 s → 15 s by
+    # step 3). This form evaluates each step exactly once: ~40k decimal
+    # ops total, one row, one stage.
+    def _let(value_expr: str, var: str, body: str) -> str:
+        return (
+            f"element_at(transform(array({value_expr}), {var} -> {body}), 1)"
+        )
+
+    v_expr = "v"
     for _ in range(PCA_ITERS):
-        w = (
-            s_full.join(F.broadcast(v), s_full["j"] == v["dim"])
-            .groupBy(s_full["i"].alias("dim"))
-            .agg(
-                F.round(
-                    F.sum(
-                        (F.col("s") * F.col("v")).cast("decimal(38,12)")
-                    ).cast("double"),
-                    12,
-                ).alias("w")
-            )
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select("dim", r12(F.col("w") / F.col("nrm")).alias("v"))
-            .localCheckpoint(eager=True)
-        )
-    ref = (
-        v.orderBy(F.abs(F.col("v")).desc(), F.col("dim").asc())
-        .limit(1)
-        .select(
-            F.when(F.col("v") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias(
-                "sgn"
-            )
-        )
+        w_body = """transform(smat, row -> round(cast(
+            aggregate(zip_with(row, vp, (s, vv) -> s * vv),
+                      cast(0 as decimal(38,12)),
+                      (acc, x) -> cast(acc + cast(x as decimal(38,12))
+                                       as decimal(38,12)))
+            as double), 12))"""
+        norm_body = """transform(w, wi -> floor(wi / sqrt(cast(
+            aggregate(w, cast(0 as decimal(38,12)),
+                      (acc, x) -> cast(acc + cast(x * x as decimal(38,12))
+                                       as decimal(38,12)))
+            as double)) * 1e12 + 0.5) / 1e12)"""
+        v_expr = _let(v_expr, "vp", _let(w_body, "w", norm_body))
+    # Sign convention via one fold over the 64-element iterate: the
+    # entry with the largest |loading| (ties → smallest dim) is made
+    # positive — same rule as the oracle's ORDER BY abs(v) DESC LIMIT 1.
+    # The converged iterate and the winning entry are LET-bound too, so
+    # the posexplode below never duplicates the chain.
+    best_body = f"""aggregate(
+            zip_with(vf, sequence(1, {PCA_DIM}),
+                     (vv, d) -> struct(vv AS v, d AS dim)),
+            cast(null as struct<v: double, dim: int>),
+            (acc, x) -> case
+                when acc is null then x
+                when abs(x.v) > abs(acc.v) then x
+                when abs(x.v) = abs(acc.v) and x.dim < acc.dim then x
+                else acc end)"""
+    signed = _let(
+        best_body,
+        "b",
+        "transform(vf, x -> floor(x * (case when b.v < 0 then -1.0d"
+        " else 1.0d end) * 1e6 + 0.5) / 1e6)",
     )
-    return (
-        v.crossJoin(F.broadcast(ref))
-        .select(
-            "dim",
-            (
-                F.floor(F.col("v") * F.col("sgn") * F.lit(1e6) + F.lit(0.5))
-                / F.lit(1e6)
-            ).alias("loading"),
-        )
-    )
+    loading_expr = _let(v_expr, "vf", signed)
+    return smat.select(
+        F.posexplode(F.expr(loading_expr)).alias("dim0", "loading")
+    ).select((F.col("dim0") + 1).alias("dim"), "loading")
 
 
 def _pca_oracle() -> str:

@@ -335,3 +335,100 @@ def test_ann_pq_recall_vs_bruteforce(spark):
     assert pq_set and bf_set
     recall = len(pq_set & bf_set) / len(bf_set)
     assert recall >= 0.2, recall
+
+
+def test_pca_scatter_gram_tile_matches_explode(spark):
+    """The production gram-tile scatter (per-batch NumPy, per-element
+    1e12 quantization) must be BIT-identical to the r4 explode form the
+    oracle mirrors — same (i, j, s) cells, same doubles."""
+    from gee_datapipeline_spark.catalog import load_table
+    from gee_datapipeline_spark.functions.stable import stable_avg
+    from gee_datapipeline_spark.plans.similarity_queries import (
+        _pca_scatter_upper_explode,
+        _pca_scatter_upper_gram,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    m = flat.groupBy("dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv")
+    )
+    gram = {
+        (r["i"], r["j"]): r["s"]
+        for r in _pca_scatter_upper_gram(e, m, use_decimal=False).collect()
+    }
+    expl = {
+        (r["i"], r["j"]): r["s"]
+        for r in _pca_scatter_upper_explode(e, m).collect()
+    }
+    assert gram == expl
+    assert len(gram) == 64 * 65 // 2
+
+
+def test_pca_scatter_decimal_accumulator_boundary(spark):
+    """Overflow guard: the DECIMAL(38,0) accumulator must (a) be
+    bit-identical to the LONG path wherever the LONG fits, and (b)
+    stay exact on a corpus whose quantized product sum exceeds int64
+    — rows x |c_i*c_j| x 1e12 > 9.2e18 — where the LONG path would
+    wrap (or raise under ANSI)."""
+    import numpy as np
+
+    from gee_datapipeline_spark.plans.similarity_queries import (
+        _pca_scatter_upper_gram,
+        PCA_DIM,
+    )
+
+    # (a) equivalence in the safe region, on real data
+    from gee_datapipeline_spark.catalog import load_table
+    from gee_datapipeline_spark.functions.stable import stable_avg
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    m = flat.groupBy("dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv")
+    )
+    as_long = {
+        (r["i"], r["j"]): r["s"]
+        for r in _pca_scatter_upper_gram(e, m, use_decimal=False).collect()
+    }
+    as_dec = {
+        (r["i"], r["j"]): r["s"]
+        for r in _pca_scatter_upper_gram(e, m, use_decimal=True).collect()
+    }
+    assert as_long == as_dec
+
+    # (b) exactness past the int64 boundary: 100 rows of +300 and 100
+    # of -300 center to c = +/-300, so every cell sums
+    # 200 * 300^2 * 1e12 = 1.8e19 > 2^63.
+    n_half, mag = 100, 300.0
+    rows = [(i, [mag] * PCA_DIM) for i in range(n_half)]
+    rows += [(n_half + i, [-mag] * PCA_DIM) for i in range(n_half)]
+    big = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    mb = (
+        big.select(F.posexplode("embedding").alias("dim0", "v"))
+        .select(
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("v").cast("double").alias("v"),
+        )
+        .groupBy("dim")
+        .agg(stable_avg("v", scale=6, dec="decimal(38,12)").alias("mv"))
+    )
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in _pca_scatter_upper_gram(big, mb, use_decimal=True).collect()
+    }
+    # exact expectation via Python arbitrary-precision int math
+    cs = [mag] * n_half + [-mag] * n_half  # mean is exactly 0
+    total = sum(int(np.floor(c * c * 1e12 + 0.5)) for c in cs)
+    assert total > 2**63  # the test is vacuous unless the LONG wraps
+    expect = round(float(total) / 1e12, 6)
+    assert got[(1, 1)] == expect
+    assert got[(1, 2)] == expect  # constant columns: same everywhere
