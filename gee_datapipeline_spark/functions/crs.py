@@ -16,6 +16,13 @@ implemented directly from their public formulas:
   series PROJ uses as ``tmerc`` default). Forward and inverse; inverse
   recovers geodetic latitude by Newton iteration on the conformal
   tangent. Accuracy is sub-micrometer within a zone.
+- Lambert conformal conic 2SP (EPSG method 9802; Snyder 1987
+  pp. 104-110) — parameterized (``LCC:lat1,lat2,lat0,lon0[,fe,fn]``)
+  with EPSG:3978 (NAD83 / Canada Atlas Lambert) as the named instance.
+  Forward and inverse (Snyder 7-9 fixed-point for φ).
+- Sinusoidal (Snyder 1987 pp. 243-248, spherical) — ``SINU`` is the
+  MODIS grid sphere (R = 6371007.181); ``SINU:<radius>`` for other
+  published spheres. Forward and inverse.
 
 The NumPy forms back the Arrow-batched pandas UDF (API surface). For the
 relational scale path, :func:`utm_forward_steps` emits the SAME formula
@@ -256,6 +263,212 @@ def sql_utm_forward_select(
     return sql
 
 
+# --- Lambert conformal conic (2SP) — Snyder 1987 pp. 104-110, EPSG
+# method 9802. Parameterized so ANY published LCC definition routes
+# through the same math; EPSG:3978 (NAD83 / Canada Atlas Lambert,
+# GRS80) ships as the named instance. NAD83↔WGS84 datum offsets are
+# ≤~2 m and are conventionally treated as identity (the same zero
+# transformation PROJ applies by default), so only the ellipsoid
+# constants differ.
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+class LccParams:
+    """Precomputed 2SP constants n, F, ρ0 (Snyder eqs. 15-1..15-3)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0,
+                 a: float = GRS80_A, f: float = GRS80_F):
+        self.lat1, self.lat2 = lat1, lat2
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = fe, fn
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(
+                1 - self.e2 * math.sin(phi) ** 2
+            )
+
+        def t(phi):
+            es = self.e * math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                (1 - es) / (1 + es)
+            ) ** (self.e / 2)
+
+        p1, p2, p0 = map(math.radians, (lat1, lat2, lat0))
+        m1, m2 = m(p1), m(p2)
+        t1, t2, t0 = t(p1), t(p2), t(p0)
+        self.n = (math.log(m1) - math.log(m2)) / (
+            math.log(t1) - math.log(t2)
+        )
+        self.big_f = m1 / (self.n * t1**self.n)
+        self.rho0 = self.a * self.big_f * t0**self.n
+        self._t = t  # scalar t(φ), reused by tests
+
+
+# EPSG:3978 — NAD83 / Canada Atlas Lambert (public EPSG registry entry:
+# SP1 49°N, SP2 77°N, origin 49°N 95°W, FE=FN=0, GRS80).
+EPSG_3978 = LccParams(lat1=49.0, lat2=77.0, lat0=49.0, lon0=-95.0)
+
+_LCC_REGISTRY = {"EPSG:3978": EPSG_3978}
+
+
+def parse_lcc(code: str) -> LccParams | None:
+    """``EPSG:3978`` or generic ``LCC:lat1,lat2,lat0,lon0[,fe,fn]`` —
+    the parameterized route for arbitrary published LCC definitions."""
+    c = code.upper()
+    if c in _LCC_REGISTRY:
+        return _LCC_REGISTRY[c]
+    if c.startswith("LCC:"):
+        try:
+            nums = [float(v) for v in c[4:].split(",")]
+        except ValueError:
+            return None
+        if len(nums) in (4, 6):
+            return LccParams(*nums)
+    return None
+
+
+def lcc_forward_np(lon: np.ndarray, lat: np.ndarray, p: LccParams):
+    """Geodetic (lon, lat) degrees → LCC (easting, northing) meters."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    esin = p.e * np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) / ((1 - esin) / (1 + esin)) ** (
+        p.e / 2
+    )
+    rho = p.a * p.big_f * t**p.n
+    theta = p.n * np.radians(np.asarray(lon, np.float64) - p.lon0)
+    return p.fe + rho * np.sin(theta), p.fn + p.rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse_np(e: np.ndarray, n: np.ndarray, p: LccParams):
+    """LCC (easting, northing) meters → geodetic (lon, lat) degrees.
+
+    φ is recovered from t′ by Snyder eq. 7-9 fixed-point iteration;
+    7 rounds reach double precision for |φ| < 89°."""
+    de = np.asarray(e, np.float64) - p.fe
+    dn = p.rho0 - (np.asarray(n, np.float64) - p.fn)
+    rho = np.sign(p.n) * np.sqrt(de**2 + dn**2)
+    tp = (rho / (p.a * p.big_f)) ** (1.0 / p.n)
+    theta = np.arctan2(np.sign(p.n) * de, np.sign(p.n) * dn)
+    lon = np.degrees(theta / p.n) + p.lon0
+    phi = np.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(7):
+        esin = p.e * np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            tp * ((1 - esin) / (1 + esin)) ** (p.e / 2)
+        )
+    return lon, np.degrees(phi)
+
+
+def lcc_forward_steps(
+    lon_expr: str, lat_expr: str, p: LccParams
+) -> list[tuple[str, str]]:
+    """The LCC forward transform as portable-SQL steps (same contract
+    as :func:`utm_forward_steps`: identical expression trees in Spark
+    and DuckDB, constants interpolated from the same Python doubles,
+    meters rounded to 3 dp)."""
+    return [
+        ("__phi", f"radians({lat_expr})"),
+        ("__esin", f"{p.e!r} * sin(__phi)"),
+        (
+            "__t",
+            f"tan({math.pi / 4!r} - __phi / 2)"
+            f" / power((1 - __esin) / (1 + __esin), {p.e / 2!r})",
+        ),
+        ("__rho", f"{p.a * p.big_f!r} * power(__t, {p.n!r})"),
+        (
+            "__theta",
+            f"{p.n!r} * radians(({lon_expr}) - {p.lon0!r})",
+        ),
+        ("lcc_e", f"round({p.fe!r} + __rho * sin(__theta), 3)"),
+        (
+            "lcc_n",
+            f"round({p.fn!r} + {p.rho0!r} - __rho * cos(__theta), 3)",
+        ),
+    ]
+
+
+def sql_lcc_forward_select(
+    source_sql: str, lon_expr: str, lat_expr: str, p: LccParams
+) -> str:
+    """DuckDB mirror of the Spark ``F.expr`` fold over
+    :func:`lcc_forward_steps`."""
+    sql = f"SELECT * FROM ({source_sql})"
+    for name, expr in lcc_forward_steps(lon_expr, lat_expr, p):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
+# --- Sinusoidal (equal-area) — Snyder 1987 pp. 243-248, spherical
+# form: x = R·(λ−λ0)·cosφ, y = R·φ. The radius parameterizes the two
+# published instances that matter: the MODIS sinusoidal grid
+# (R = 6371007.181, the authalic sphere PROJ spells
+# ``+proj=sinu +R=6371007.181``) and the sphere-on-WGS84-semimajor
+# variant (R = 6378137).
+MODIS_SINU_R = 6371007.181
+
+
+def parse_sinu(code: str) -> float | None:
+    """``SINU`` (MODIS radius) or ``SINU:<radius_m>`` → sphere radius."""
+    c = code.upper()
+    if c == "SINU":
+        return MODIS_SINU_R
+    if c.startswith("SINU:"):
+        try:
+            r = float(c[5:])
+        except ValueError:
+            return None
+        return r if r > 0 else None
+    return None
+
+
+def sinu_forward_np(lon: np.ndarray, lat: np.ndarray,
+                    radius: float = MODIS_SINU_R):
+    phi = np.radians(np.asarray(lat, np.float64))
+    return (
+        radius * np.radians(np.asarray(lon, np.float64)) * np.cos(phi),
+        radius * phi,
+    )
+
+
+def sinu_inverse_np(x: np.ndarray, y: np.ndarray,
+                    radius: float = MODIS_SINU_R):
+    phi = np.asarray(y, np.float64) / radius
+    lon = np.degrees(
+        np.asarray(x, np.float64) / (radius * np.cos(phi))
+    )
+    return lon, np.degrees(phi)
+
+
+def sinu_forward_steps(
+    lon_expr: str, lat_expr: str, radius: float = MODIS_SINU_R
+) -> list[tuple[str, str]]:
+    """Sinusoidal forward as portable SQL (same contract as the UTM and
+    LCC step chains)."""
+    return [
+        ("__phi", f"radians({lat_expr})"),
+        (
+            "sinu_x",
+            f"round({radius!r} * radians({lon_expr}) * cos(__phi), 3)",
+        ),
+        ("sinu_y", f"round({radius!r} * __phi, 3)"),
+    ]
+
+
+def sql_sinu_forward_select(
+    source_sql: str, lon_expr: str, lat_expr: str,
+    radius: float = MODIS_SINU_R
+) -> str:
+    sql = f"SELECT * FROM ({source_sql})"
+    for name, expr in sinu_forward_steps(lon_expr, lat_expr, radius):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql
+
+
 _XY_SCHEMA = T.StructType(
     [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
 )
@@ -278,6 +491,12 @@ def make_crs_transform_udf(src: str, dst: str, strict: bool = False):
         utm = parse_utm_epsg(code)
         if utm:
             return lambda x, y: utm_inverse_np(x, y, *utm)
+        lcc = parse_lcc(code)
+        if lcc:
+            return lambda x, y: lcc_inverse_np(x, y, lcc)
+        sinu = parse_sinu(code)
+        if sinu:
+            return lambda x, y: sinu_inverse_np(x, y, sinu)
         return None
 
     def from_4326(code: str):
@@ -289,6 +508,12 @@ def make_crs_transform_udf(src: str, dst: str, strict: bool = False):
         utm = parse_utm_epsg(code)
         if utm:
             return lambda x, y: utm_forward_np(x, y, *utm)
+        lcc = parse_lcc(code)
+        if lcc:
+            return lambda x, y: lcc_forward_np(x, y, lcc)
+        sinu = parse_sinu(code)
+        if sinu:
+            return lambda x, y: sinu_forward_np(x, y, sinu)
         return None
 
     def pick():

@@ -534,6 +534,158 @@ register(
 )
 
 
+# ------------------------- Lambert conformal conic / sinusoidal (F8)
+
+
+def _india_lcc():
+    """A published-convention LCC 2SP over North India (standard
+    parallels bracketing the Delhi fixture bbox, origin on the 77°E
+    meridian) — the generic-parameter route a user ingesting a
+    Lambert-projected third-party raster would take
+    (fix_transparency.py:71-74 accepts arbitrary ``src.crs``)."""
+    from ..functions.crs import LccParams
+
+    return LccParams(lat1=28.0, lat2=30.0, lat0=28.0, lon0=77.0)
+
+
+def _crs_lcc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — conic reprojection closing the last CRS-family gap vs the
+    reference's arbitrary-``src.crs`` ingest: project every fixture
+    pixel through Lambert conformal conic 2SP (EPSG method 9802,
+    Snyder 1987 pp. 104-110) and aggregate into 10 km grid cells.
+
+    Same discipline as ``crs_utm_grid``: the forward transform is
+    emitted as portable SQL (``functions.crs.lcc_forward_steps``) and
+    folded via ``F.expr`` — JVM column math inside whole-stage codegen,
+    no Python — while the oracle evaluates the IDENTICAL expression
+    chain in DuckDB; meters round to 3 dp before bucketing."""
+    from ..functions.crs import lcc_forward_steps
+    from ..functions.stable import DECIMAL, stable_round
+
+    df = _pixels(spark).filter(F.col("value").isNotNull()).select(
+        "dataset", "lon", "lat", "value"
+    )
+    for name, expr in lcc_forward_steps("lon", "lat", _india_lcc()):
+        df = df.withColumn(name, F.expr(expr))
+    mean_val = stable_round(
+        F.sum(F.col("value").cast(DECIMAL)).cast("double")
+        / F.count("value"),
+        6,
+    )
+    return (
+        df.withColumn(
+            "cell_e", F.floor(F.col("lcc_e") / 10000).cast("long")
+        )
+        .withColumn("cell_n", F.floor(F.col("lcc_n") / 10000).cast("long"))
+        .groupBy("dataset", "cell_e", "cell_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            mean_val.alias("mean_value"),
+        )
+    )
+
+
+def _crs_lcc_grid_oracle() -> str:
+    from ..functions.crs import sql_lcc_forward_select
+    from ..functions.stable import DECIMAL, sql_stable_round
+
+    projected = sql_lcc_forward_select(
+        f"""SELECT dataset, lon, lat, value
+            FROM read_parquet('{_PX}') WHERE value IS NOT NULL""",
+        "lon",
+        "lat",
+        _india_lcc(),
+    )
+    mean_val = sql_stable_round(
+        f"cast(sum(cast(value as {DECIMAL})) as double) / count(value)", 6
+    )
+    return f"""
+        SELECT dataset,
+               CAST(floor(lcc_e / 10000) AS BIGINT) AS cell_e,
+               CAST(floor(lcc_n / 10000) AS BIGINT) AS cell_n,
+               count(*) AS n_px,
+               {mean_val} AS mean_value
+        FROM ({projected})
+        GROUP BY dataset, cell_e, cell_n
+    """
+
+
+register(
+    Query(
+        name="crs_lcc_grid",
+        spark=_crs_lcc_grid,
+        oracle=_crs_lcc_grid_oracle(),
+        tags=("geo", "F8", "crs", "lcc"),
+    )
+)
+
+
+def _crs_sinu_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — equal-area reprojection onto the MODIS sinusoidal grid
+    (Snyder 1987 pp. 243-248, R = 6371007.181 — the sphere of the
+    MODIS land-product tiles): project fixture pixels and bucket into
+    10 km sinusoidal cells. Portable-SQL fold + identical DuckDB
+    oracle chain, like the UTM and LCC variants."""
+    from ..functions.crs import sinu_forward_steps
+    from ..functions.stable import DECIMAL, stable_round
+
+    df = _pixels(spark).filter(F.col("value").isNotNull()).select(
+        "dataset", "lon", "lat", "value"
+    )
+    for name, expr in sinu_forward_steps("lon", "lat"):
+        df = df.withColumn(name, F.expr(expr))
+    mean_val = stable_round(
+        F.sum(F.col("value").cast(DECIMAL)).cast("double")
+        / F.count("value"),
+        6,
+    )
+    return (
+        df.withColumn(
+            "cell_x", F.floor(F.col("sinu_x") / 10000).cast("long")
+        )
+        .withColumn("cell_y", F.floor(F.col("sinu_y") / 10000).cast("long"))
+        .groupBy("dataset", "cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            mean_val.alias("mean_value"),
+        )
+    )
+
+
+def _crs_sinu_grid_oracle() -> str:
+    from ..functions.crs import sql_sinu_forward_select
+    from ..functions.stable import DECIMAL, sql_stable_round
+
+    projected = sql_sinu_forward_select(
+        f"""SELECT dataset, lon, lat, value
+            FROM read_parquet('{_PX}') WHERE value IS NOT NULL""",
+        "lon",
+        "lat",
+    )
+    mean_val = sql_stable_round(
+        f"cast(sum(cast(value as {DECIMAL})) as double) / count(value)", 6
+    )
+    return f"""
+        SELECT dataset,
+               CAST(floor(sinu_x / 10000) AS BIGINT) AS cell_x,
+               CAST(floor(sinu_y / 10000) AS BIGINT) AS cell_y,
+               count(*) AS n_px,
+               {mean_val} AS mean_value
+        FROM ({projected})
+        GROUP BY dataset, cell_x, cell_y
+    """
+
+
+register(
+    Query(
+        name="crs_sinu_grid",
+        spark=_crs_sinu_grid,
+        oracle=_crs_sinu_grid_oracle(),
+        tags=("geo", "F8", "crs", "sinusoidal"),
+    )
+)
+
+
 # ----------------------------------------- Z-order layout (scale design)
 
 

@@ -287,3 +287,190 @@ def test_render_wrapper_slider_defaults_latest():
     assert "maps/2025-01/index.html" in html
     with pytest.raises(ValueError):
         render_wrapper("empty", [], "x/{date}")
+
+
+# -------------------- Lambert conformal conic + sinusoidal (F8, r5)
+
+
+def test_lcc_forward_matches_snyder_worked_example():
+    """Snyder 1987 pp. 295-297 numerical example (Clarke 1866, SP
+    33/45, origin 23N 96W): (35N, 75W) -> (1894410.9, 1564649.5) m,
+    matched to the book's published 0.1 m precision, inverse included."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        LccParams,
+        lcc_forward_np,
+        lcc_inverse_np,
+    )
+
+    clarke = LccParams(
+        33.0, 45.0, 23.0, -96.0, a=6378206.4, f=1 / 294.97869821
+    )
+    e, n = lcc_forward_np(np.array([-75.0]), np.array([35.0]), clarke)
+    assert e[0] == pytest.approx(1894410.9, abs=0.1)
+    assert n[0] == pytest.approx(1564649.5, abs=0.1)
+    lo, la = lcc_inverse_np(
+        np.array([1894410.9]), np.array([1564649.5]), clarke
+    )
+    assert lo[0] == pytest.approx(-75.0, abs=1e-6)
+    assert la[0] == pytest.approx(35.0, abs=1e-6)
+
+
+def test_lcc_anchors_and_scale():
+    """Closed-form anchors: the projection origin maps to (FE, FN), and
+    the point scale factor equals 1 along BOTH standard parallels (the
+    defining property of the 2SP variant), measured differentially
+    against the ellipsoidal parallel arc."""
+    import math
+
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        EPSG_3978,
+        GRS80_A,
+        GRS80_F,
+        lcc_forward_np,
+    )
+
+    e, n = lcc_forward_np(np.array([-95.0]), np.array([49.0]), EPSG_3978)
+    assert e[0] == pytest.approx(0.0, abs=1e-6)
+    assert n[0] == pytest.approx(0.0, abs=1e-6)
+    e2 = GRS80_F * (2 - GRS80_F)
+    d = 1e-3
+    for sp in (49.0, 77.0):
+        p1 = lcc_forward_np(np.array([-100.0]), np.array([sp]), EPSG_3978)
+        p2 = lcc_forward_np(
+            np.array([-100.0 + d]), np.array([sp]), EPSG_3978
+        )
+        proj = math.hypot(p2[0][0] - p1[0][0], p2[1][0] - p1[1][0])
+        nu = GRS80_A / math.sqrt(1 - e2 * math.sin(math.radians(sp)) ** 2)
+        arc = nu * math.cos(math.radians(sp)) * math.radians(d)
+        assert proj / arc == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lcc_roundtrip_property():
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        EPSG_3978,
+        lcc_forward_np,
+        lcc_inverse_np,
+    )
+
+    rng = np.random.default_rng(99)
+    lon = rng.uniform(-141, -52, 5000)
+    lat = rng.uniform(41, 84, 5000)
+    e, n = lcc_forward_np(lon, lat, EPSG_3978)
+    lon2, lat2 = lcc_inverse_np(e, n, EPSG_3978)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_sinu_anchors_and_roundtrip():
+    """Sinusoidal closed forms: x(±180°, 0) = ±πR (the published MODIS
+    grid extent 20015109.354 m), y(φ) = Rφ, equal-area column width
+    shrinks with cos(φ); roundtrip to 1e-9 degrees."""
+    import math
+
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        MODIS_SINU_R,
+        sinu_forward_np,
+        sinu_inverse_np,
+    )
+
+    x, y = sinu_forward_np(np.array([180.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(math.pi * MODIS_SINU_R, abs=1e-3)
+    x, y = sinu_forward_np(np.array([100.0]), np.array([60.0]))
+    assert y[0] == pytest.approx(MODIS_SINU_R * math.radians(60), abs=1e-6)
+    assert x[0] == pytest.approx(
+        MODIS_SINU_R * math.radians(100) * 0.5, abs=1e-6
+    )
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-179, 179, 5000)
+    lat = rng.uniform(-85, 85, 5000)
+    lon2, lat2 = sinu_inverse_np(*sinu_forward_np(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_lcc_sinu_udf_routing(spark):
+    """The pandas-UDF surface routes EPSG:3978, generic LCC:... params,
+    and SINU through the 4326 hub, including a conic→sinusoidal chain."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        EPSG_3978,
+        lcc_forward_np,
+        sinu_forward_np,
+    )
+
+    df = spark.createDataFrame(
+        [(-95.0, 49.0), (-75.3, 45.4), (-123.1, 49.3)], ["lon", "lat"]
+    )
+    fwd = make_crs_transform_udf("EPSG:4326", "EPSG:3978")
+    back = make_crs_transform_udf("EPSG:3978", "EPSG:4326")
+    to_sinu = make_crs_transform_udf("EPSG:3978", "SINU")
+    out = (
+        df.withColumn("m", fwd(F.col("lon"), F.col("lat")))
+        .withColumn("r", back(F.col("m.x"), F.col("m.y")))
+        .withColumn("s", to_sinu(F.col("m.x"), F.col("m.y")))
+        .collect()
+    )
+    for r in out:
+        ee, nn = lcc_forward_np(
+            np.array([r.lon]), np.array([r.lat]), EPSG_3978
+        )
+        assert r.m.x == pytest.approx(ee[0], abs=1e-6)
+        assert r.m.y == pytest.approx(nn[0], abs=1e-6)
+        assert r.r.x == pytest.approx(r.lon, abs=1e-9)
+        assert r.r.y == pytest.approx(r.lat, abs=1e-9)
+        sx, sy = sinu_forward_np(np.array([r.lon]), np.array([r.lat]))
+        assert r.s.x == pytest.approx(sx[0], abs=1e-6)
+        assert r.s.y == pytest.approx(sy[0], abs=1e-6)
+    # generic parameter token matches the named registry entry
+    gen = make_crs_transform_udf("EPSG:4326", "LCC:49,77,49,-95")
+    got = df.withColumn("g", gen(F.col("lon"), F.col("lat"))).collect()
+    for r, o in zip(got, out):
+        assert r.g.x == pytest.approx(o.m.x, abs=1e-6)
+        assert r.g.y == pytest.approx(o.m.y, abs=1e-6)
+
+
+def test_lcc_sinu_sql_steps_match_numpy(spark):
+    """The portable-SQL forward chains agree with the NumPy references
+    after the 3 dp round (the relational scale path, no Python)."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.crs import (
+        LccParams,
+        lcc_forward_np,
+        lcc_forward_steps,
+        sinu_forward_np,
+        sinu_forward_steps,
+    )
+
+    p = LccParams(28.0, 30.0, 28.0, 77.0)
+    rng = np.random.default_rng(11)
+    lon = (77.0 + rng.uniform(-3, 3, 500)).tolist()
+    lat = rng.uniform(20, 37, 500).tolist()
+    df = spark.createDataFrame(list(zip(lon, lat)), ["lon", "lat"])
+    for name, expr in lcc_forward_steps("lon", "lat", p):
+        df = df.withColumn(name, F.expr(expr))
+    for name, expr in sinu_forward_steps("lon", "lat"):
+        df = df.withColumn(name, F.expr(expr))
+    got = df.select("lon", "lat", "lcc_e", "lcc_n", "sinu_x",
+                    "sinu_y").collect()
+    e_ref, n_ref = lcc_forward_np(np.array(lon), np.array(lat), p)
+    x_ref, y_ref = sinu_forward_np(np.array(lon), np.array(lat))
+    ref = {
+        (lo, la): (round(e, 3), round(n, 3), round(x, 3), round(y, 3))
+        for lo, la, e, n, x, y in zip(lon, lat, e_ref, n_ref, x_ref, y_ref)
+    }
+    for r in got:
+        re_, rn_, rx_, ry_ = ref[(r.lon, r.lat)]
+        assert r.lcc_e == pytest.approx(re_, abs=2e-3)
+        assert r.lcc_n == pytest.approx(rn_, abs=2e-3)
+        assert r.sinu_x == pytest.approx(rx_, abs=2e-3)
+        assert r.sinu_y == pytest.approx(ry_, abs=2e-3)
