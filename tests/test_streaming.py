@@ -353,3 +353,105 @@ def test_ingest_dedup_stream_cross_batch(spark, tmp_path):
     idx_docs = {r.doc_id for r in spark.read.parquet(idx)
                 .select("doc_id").distinct().collect()}
     assert idx_docs == {1, 11, 21}
+
+
+# ------------------- source adapters (Kafka-shaped wire format, r5)
+
+
+def test_file_source_through_wire_decodes_identically(spark, stream_dirs):
+    """FileEventSource encodes micro-batches through the Kafka wire
+    shape (key/value binary + source_ts) and decode_events recovers the
+    typed rows exactly — the adapter proves the jobs never see which
+    transport fed them."""
+    from gee_datapipeline_spark.streaming.sources import (
+        FileEventSource,
+        decode_events,
+    )
+
+    src, ckpt = stream_dirs
+    rows = _rows((0, 10, 0, 1, 1, 50), (0, 20, 0, 1, 2, 80))
+    _write_batch(spark, src, rows, 1)
+    wire = FileEventSource(src + "/*").load(spark)
+    assert [f.name for f in wire.schema.fields] == [
+        "key", "value", "source_ts",
+    ]
+    assert dict(wire.dtypes)["value"] == "binary"
+    q = run_to_memory(decode_events(wire), "wire_decode", ckpt)
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.ts, r.cell_x, r.cell_y, r.value)
+            for r in spark.sql("SELECT * FROM wire_decode").collect()
+        }
+        assert got == set(rows)
+    finally:
+        q.stop()
+
+
+def test_rate_source_job_end_to_end_vs_batch_mirror(spark, tmp_path):
+    """An NRT job runs end-to-end from a NON-file source: the rate
+    adapter feeds windowed_max_composite (complete mode), and because
+    every event field is a pure function of the contiguous rate id, a
+    batch recomputation over range(n_events) must reproduce the
+    captured streaming state exactly."""
+    from gee_datapipeline_spark.streaming.sources import (
+        RateEventSource,
+        decode_events,
+    )
+
+    source = RateEventSource(rows_per_second=2000)
+    job = windowed_max_composite(
+        decode_events(source.load(spark)), "10 minutes", "2 hours"
+    )
+    q = (
+        job.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rate_win")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            rows = spark.sql("SELECT sum(n_obs) AS n FROM rate_win").collect()
+            n = rows[0].n or 0
+            if n >= 500:
+                break
+            time.sleep(0.5)
+        assert n >= 500, "rate source produced too few rows"
+    finally:
+        q.stop()
+    streamed = {
+        (r.window_start, r.cell_x, r.cell_y): (r.max_value, r.n_obs)
+        for r in spark.sql("SELECT * FROM rate_win").collect()
+    }
+    n_events = sum(v[1] for v in streamed.values())
+    mirror = (
+        source.batch_mirror(spark, n_events)
+        .groupBy(
+            F.window("ts", "10 minutes").alias("win"), "cell_x", "cell_y"
+        )
+        .agg(
+            F.max("value").alias("max_value"),
+            F.count("value").alias("n_obs"),
+        )
+    )
+    expected = {
+        (r["win"].start, r.cell_x, r.cell_y): (r.max_value, r.n_obs)
+        for r in mirror.collect()
+    }
+    assert streamed == expected
+
+
+def test_socket_source_wire_shape(spark):
+    """SocketJsonSource normalizes to the same wire columns (schema
+    contract only — no listener in the container, so the stream is
+    built but not started)."""
+    from gee_datapipeline_spark.streaming.sources import SocketJsonSource
+
+    wire = SocketJsonSource("localhost", 19999).load(spark)
+    assert [f.name for f in wire.schema.fields] == [
+        "key", "value", "source_ts",
+    ]
+    assert dict(wire.dtypes)["value"] == "binary"
