@@ -173,6 +173,10 @@ HEADLINE = [
     "cumulative_unique_users",
     # text-format interop: day-1 events through Spark 4 native XML
     "xml_roundtrip",
+    # r5 additions: conic + equal-area reprojection closing the
+    # arbitrary-src.crs gap (portable-SQL chains, codegen, no Python)
+    "crs_lcc_grid",
+    "crs_sinu_grid",
 ]
 
 

@@ -1151,8 +1151,9 @@ def _pca_scatter_upper_gram(e: DataFrame, m: DataFrame,
     def tiles(batches):  # noqa: ANN001 — mapInPandas contract
         iu_i, iu_j = np.triu_indices(PCA_DIM)
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
+            pdf = pdf[pdf["embedding"].notna()]  # NULL rows contribute
+            if len(pdf) == 0:                    # nothing, as in the
+                continue                         # explode form
             v = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             c = v - means
             acc = np.zeros((PCA_DIM, PCA_DIM), dtype=np.int64)
