@@ -474,6 +474,46 @@ _XY_SCHEMA = T.StructType(
 )
 
 
+def to_lonlat_fn(code: str):
+    """(x, y) -> (lon, lat) NumPy callable for a supported CRS, or
+    None. Shared by the UDF surface and the GeoTIFF ingest path."""
+    c = code.upper()
+    if c == "EPSG:4326":
+        return lambda x, y: (x, y)
+    if c == "EPSG:3857":
+        return _webmercator_to_lonlat
+    utm = parse_utm_epsg(c)
+    if utm:
+        return lambda x, y: utm_inverse_np(x, y, *utm)
+    lcc = parse_lcc(c)
+    if lcc:
+        return lambda x, y: lcc_inverse_np(x, y, lcc)
+    sinu = parse_sinu(c)
+    if sinu:
+        return lambda x, y: sinu_inverse_np(x, y, sinu)
+    return None
+
+
+def from_lonlat_fn(code: str):
+    """(lon, lat) -> (x, y) NumPy callable for a supported CRS, or
+    None."""
+    c = code.upper()
+    if c == "EPSG:4326":
+        return lambda x, y: (x, y)
+    if c == "EPSG:3857":
+        return _lonlat_to_webmercator
+    utm = parse_utm_epsg(c)
+    if utm:
+        return lambda x, y: utm_forward_np(x, y, *utm)
+    lcc = parse_lcc(c)
+    if lcc:
+        return lambda x, y: lcc_forward_np(x, y, lcc)
+    sinu = parse_sinu(c)
+    if sinu:
+        return lambda x, y: sinu_forward_np(x, y, sinu)
+    return None
+
+
 def make_crs_transform_udf(src: str, dst: str, strict: bool = False):
     """Vectorized (x, y) -> struct(x, y) transform between supported CRS.
 
@@ -482,46 +522,12 @@ def make_crs_transform_udf(src: str, dst: str, strict: bool = False):
     coordinates")."""
     src_n, dst_n = src.upper(), dst.upper()
 
-    def to_4326(code: str):
-        """Return fn (x, y) -> (lon, lat), or None if unsupported."""
-        if code == "EPSG:4326":
-            return lambda x, y: (x, y)
-        if code == "EPSG:3857":
-            return _webmercator_to_lonlat
-        utm = parse_utm_epsg(code)
-        if utm:
-            return lambda x, y: utm_inverse_np(x, y, *utm)
-        lcc = parse_lcc(code)
-        if lcc:
-            return lambda x, y: lcc_inverse_np(x, y, lcc)
-        sinu = parse_sinu(code)
-        if sinu:
-            return lambda x, y: sinu_inverse_np(x, y, sinu)
-        return None
-
-    def from_4326(code: str):
-        """Return fn (lon, lat) -> (x, y), or None if unsupported."""
-        if code == "EPSG:4326":
-            return lambda x, y: (x, y)
-        if code == "EPSG:3857":
-            return _lonlat_to_webmercator
-        utm = parse_utm_epsg(code)
-        if utm:
-            return lambda x, y: utm_forward_np(x, y, *utm)
-        lcc = parse_lcc(code)
-        if lcc:
-            return lambda x, y: lcc_forward_np(x, y, lcc)
-        sinu = parse_sinu(code)
-        if sinu:
-            return lambda x, y: sinu_forward_np(x, y, sinu)
-        return None
-
     def pick():
         if src_n == dst_n:
             return lambda x, y: (x, y)
         # any supported pair routes through the 4326 hub (how PROJ
         # pipelines compose too); 4326 legs are identity lambdas
-        inv, fwd = to_4326(src_n), from_4326(dst_n)
+        inv, fwd = to_lonlat_fn(src_n), from_lonlat_fn(dst_n)
         if inv is not None and fwd is not None:
             return lambda x, y: fwd(*inv(x, y))
         if strict:

@@ -47,18 +47,19 @@ def encode_fake_raster(
 
 
 def fake_raster_decoder(payload: bytes):
-    """bytes → (values 2-D array, min_lon, min_lat, cell_deg)."""
+    """bytes → (values 2-D array, min_lon, min_lat, cell_deg,
+    crs) — FAKETIF carries no CRS tag, so always EPSG:4326."""
     magic, w, h, min_lon, min_lat, cell = _HDR.unpack_from(payload)
     if magic != _FAKE_MAGIC:
         raise ValueError("not a FAKETIF payload")
     vals = np.frombuffer(payload, dtype="<f8", offset=_HDR.size).reshape(h, w)
-    return vals, min_lon, min_lat, cell
+    return vals, min_lon, min_lat, cell, "EPSG:4326"
 
 
 def default_raster_decoder(payload: bytes):
     """Magic-sniffing decode: real GeoTIFF (II*/MM*) via the pure-Python
-    codec, FAKETIF for plumbing tests. bytes → (values, min_lon,
-    min_lat, cell_deg)."""
+    codec, FAKETIF for plumbing tests. bytes → (values, min_x, min_y,
+    cell, crs)."""
     if payload[:2] in (b"II", b"MM"):
         from .tiffcodec import decode_geotiff
 
@@ -94,21 +95,32 @@ def read_rasters(
         decode = default_raster_decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.crs import to_lonlat_fn
+
         for pdf in batches:
             for _, r in pdf.iterrows():
-                vals, min_lon, min_lat, cell = decode(bytes(r["content"]))
+                vals, min_x, min_y, cell, crs = decode(bytes(r["content"]))
                 h, w = vals.shape
                 ys, xs = np.mgrid[0:h, 0:w]
                 flat = vals.ravel()
+                # pixel centers in the raster's own CRS, like
+                # rasterio.transform.xy (fix_transparency.py:68)
+                px = min_x + (xs.ravel() + 0.5) * cell
+                py = min_y + (ys.ravel() + 0.5) * cell
+                # non-4326 rasters (UTM/LCC/sinusoidal-tagged GeoTIFFs)
+                # reproject to lon/lat at ingest — the reference's
+                # rasterio.warp.transform(src.crs, 'EPSG:4326') pass,
+                # including its identity fallback for CRSs it cannot
+                # handle (fix_transparency.py:71-74)
+                inv = to_lonlat_fn(crs)
+                lon, lat = (px, py) if inv is None else inv(px, py)
                 out = pd.DataFrame(
                     {
                         "path": r["path"],
                         "x": xs.ravel().astype("int32"),
                         "y": ys.ravel().astype("int32"),
-                        # pixel centers, like rasterio.transform.xy
-                        # (fix_transparency.py:68)
-                        "lon": min_lon + (xs.ravel() + 0.5) * cell,
-                        "lat": min_lat + (ys.ravel() + 0.5) * cell,
+                        "lon": lon,
+                        "lat": lat,
                         "value": flat,
                     }
                 )

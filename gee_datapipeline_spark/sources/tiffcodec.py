@@ -45,7 +45,38 @@ _TAG_STRIP_BYTES = 279
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
+_TAG_GEO_KEYS = 34735  # GeoKeyDirectory (GeoTIFF 1.0 §4.1)
 _TAG_GDAL_NODATA = 42113
+
+_GEOKEY_GT_MODEL = 1024       # 1 = projected, 2 = geographic
+_GEOKEY_GEOGRAPHIC_CS = 2048  # GeographicTypeGeoKey (EPSG geographic)
+_GEOKEY_PROJECTED_CS = 3072   # ProjectedCSTypeGeoKey (EPSG projected)
+_GEOKEY_USER_DEFINED = 32767
+
+
+def _parse_geokeys(shorts: list) -> str:
+    """GeoKeyDirectory SHORT array → ``EPSG:<code>`` (projected key
+    wins over geographic, mirroring how rasterio reports ``src.crs``);
+    absent/user-defined keys default to EPSG:4326 — the assumption the
+    pre-GeoTIFF ingest made implicitly, now explicit."""
+    proj = geog = None
+    if len(shorts) >= 4:
+        nkeys = int(shorts[3])
+        for k in range(nkeys):
+            base = 4 + 4 * k
+            if base + 3 >= len(shorts):
+                break
+            kid, loc, _cnt, val = (int(v) for v in shorts[base:base + 4])
+            if loc != 0:  # value stored in another tag — not EPSG ids
+                continue
+            if kid == _GEOKEY_PROJECTED_CS:
+                proj = val
+            elif kid == _GEOKEY_GEOGRAPHIC_CS:
+                geog = val
+    for code in (proj, geog):
+        if code and code != _GEOKEY_USER_DEFINED:
+            return f"EPSG:{code}"
+    return "EPSG:4326"
 
 
 def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, list]:
@@ -72,8 +103,16 @@ def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, list]:
 
 
 def decode_geotiff(data: bytes):
-    """GeoTIFF bytes → (values 2-D float64 [row 0 = south], min_lon,
-    min_lat, cell_deg). NoData becomes NaN."""
+    """GeoTIFF bytes → (values 2-D float64 [row 0 = south], min_x,
+    min_y, cell, crs). NoData becomes NaN.
+
+    ``crs`` comes from the GeoKeyDirectory (``EPSG:<code>``; defaults
+    to EPSG:4326 when untagged) and the grid coordinates are in that
+    CRS's units — degrees for geographic, meters for projected. The
+    ingest layer (``sources.raster.read_rasters``) reprojects pixel
+    centers to lon/lat, the same division of labor as the reference's
+    rasterio read + ``rasterio.warp.transform`` pass
+    (fix_transparency.py:54-74)."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -135,8 +174,9 @@ def decode_geotiff(data: bytes):
     min_lat = max_lat - h * sy
     if abs(sx - sy) > 1e-12:
         raise ValueError("anisotropic pixels not supported (sx != sy)")
+    crs = _parse_geokeys(tags.get(_TAG_GEO_KEYS, []))
     # TIFF rows are top-down; our contract is row 0 = south
-    return vals[::-1].copy(), min_lon, min_lat, sx
+    return vals[::-1].copy(), min_lon, min_lat, sx, crs
 
 
 def encode_geotiff(
@@ -145,11 +185,15 @@ def encode_geotiff(
     min_lat: float,
     cell_deg: float,
     nodata: float | None = None,
+    epsg: int | None = None,
 ) -> bytes:
     """2-D array [row 0 = south] → little-endian uncompressed GeoTIFF.
 
     float64 samples; NaN cells are written as ``nodata`` (default NaN
-    itself, recorded in GDAL_NODATA so decode restores NaN)."""
+    itself, recorded in GDAL_NODATA so decode restores NaN). ``epsg``
+    writes a GeoKeyDirectory (4326 as a geographic key, anything else
+    as a projected key, in which case min_lon/min_lat/cell are that
+    CRS's meters); None leaves the file untagged (= 4326 on decode)."""
     vals = np.asarray(values, dtype="<f8")
     if vals.ndim != 2:
         raise ValueError("encode_geotiff wants a 2-D array")
@@ -164,12 +208,27 @@ def encode_geotiff(
     # offset form (inline packing below handles numerics only)
     nodata_txt = "nan" if nodata is None else f"{nodata:g}"
     nodata_s = nodata_txt.ljust(4).encode("ascii") + b"\x00"
-    # layout: header(8) | pixel data | doubles block | nodata ascii | IFD
+    geokeys: list[int] = []
+    if epsg is not None:
+        cs_key = (
+            (_GEOKEY_GEOGRAPHIC_CS, 2)
+            if epsg == 4326
+            else (_GEOKEY_PROJECTED_CS, 1)
+        )
+        geokeys = [
+            1, 1, 0, 2,                       # directory header, 2 keys
+            _GEOKEY_GT_MODEL, 0, 1, cs_key[1],
+            cs_key[0], 0, 1, epsg,
+        ]
+    geo_s = struct.pack(f"<{len(geokeys)}H", *geokeys)
+    # layout: header(8) | pixel data | doubles block | nodata ascii |
+    #         geokey shorts | IFD
     data_off = 8
     scale_off = data_off + len(data)
     tie_off = scale_off + 3 * 8
     nodata_off = tie_off + 6 * 8
-    ifd_off = nodata_off + len(nodata_s)
+    geo_off = nodata_off + len(nodata_s)
+    ifd_off = geo_off + len(geo_s)
 
     entries = [
         (_TAG_WIDTH, 4, 1, w),
@@ -186,6 +245,8 @@ def encode_geotiff(
         (_TAG_MODEL_TIEPOINT, 12, 6, tie_off),
         (_TAG_GDAL_NODATA, 2, len(nodata_s), nodata_off),
     ]
+    if geokeys:
+        entries.append((_TAG_GEO_KEYS, 3, len(geokeys), geo_off))
     ifd = struct.pack("<H", len(entries))
     for tag, ftype, count, value in sorted(entries):
         size = _TYPE_SIZE[ftype] * count
@@ -204,5 +265,6 @@ def encode_geotiff(
         + struct.pack("<3d", cell_deg, cell_deg, 0.0)
         + struct.pack("<6d", 0.0, 0.0, 0.0, min_lon, max_lat, 0.0)
         + nodata_s
+        + geo_s
         + ifd
     )

@@ -168,8 +168,9 @@ def test_geotiff_roundtrip():
     vals = rng.uniform(-5, 5, size=(7, 11))
     vals[2, 3] = np.nan
     payload = encode_geotiff(vals, 77.0, 28.0, 0.25)
-    out, min_lon, min_lat, cell = decode_geotiff(payload)
+    out, min_lon, min_lat, cell, crs = decode_geotiff(payload)
     assert (min_lon, min_lat, cell) == (77.0, 28.0, 0.25)
+    assert crs == "EPSG:4326"  # untagged file defaults to 4326
     assert out.shape == (7, 11)
     assert np.isnan(out[2, 3])
     m = ~np.isnan(vals)
@@ -282,7 +283,7 @@ def test_geotiff_roundtrip_property(vals):
         encode_geotiff,
     )
 
-    out, min_lon, min_lat, cell = decode_geotiff(
+    out, min_lon, min_lat, cell, _crs = decode_geotiff(
         encode_geotiff(vals, -10.0, 5.0, 0.125)
     )
     assert (min_lon, min_lat, cell) == (-10.0, 5.0, 0.125)
@@ -503,3 +504,72 @@ def test_image_dhash_sparkside(spark):
     assert rows[1].decode_ok and rows[1].dhash == 0
     assert rows[1].width == 18 and rows[1].height == 8
     assert not rows[2].decode_ok and rows[2].dhash is None
+
+
+def test_geotiff_geokey_crs_tag_roundtrip():
+    """The GeoKeyDirectory written by encode is read back by decode:
+    projected EPSG as ProjectedCSTypeGeoKey, 4326 as a geographic key,
+    untagged defaults to 4326."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    vals = np.array([[1.0, 2.0], [3.0, 4.0]])
+    for epsg, expect in [
+        (32643, "EPSG:32643"),
+        (3978, "EPSG:3978"),
+        (4326, "EPSG:4326"),
+        (None, "EPSG:4326"),
+    ]:
+        out, _, _, _, crs = decode_geotiff(
+            encode_geotiff(vals, 500000.0, 3160000.0, 1000.0, epsg=epsg)
+        )
+        assert crs == expect, (epsg, crs)
+        assert (out == vals).all()  # GeoKeys must not disturb samples
+
+
+def test_read_rasters_reprojects_utm_tagged_geotiff(spark, tmp_path):
+    """A UTM-tagged GeoTIFF ingests to true lon/lat pixel rows — the
+    reference's rasterio src.crs → EPSG:4326 warp (fix_transparency.py
+    :71-74), now real in the ingest UDTF."""
+    from gee_datapipeline_spark.functions.crs import utm_inverse_np
+    from gee_datapipeline_spark.sources.raster import read_rasters
+    from gee_datapipeline_spark.sources.tiffcodec import encode_geotiff
+
+    vals = np.arange(12, dtype="f8").reshape(3, 4)
+    min_e, min_n, cell = 500000.0, 3160000.0, 1000.0  # zone 43 CM, ~28.5N
+    (tmp_path / "utm.tif").write_bytes(
+        encode_geotiff(vals, min_e, min_n, cell, epsg=32643)
+    )
+    rows = read_rasters(spark, str(tmp_path / "utm.tif")).collect()
+    assert len(rows) == 12
+    for r in rows:
+        e = min_e + (r.x + 0.5) * cell
+        n = min_n + (r.y + 0.5) * cell
+        lon, lat = utm_inverse_np(np.array([e]), np.array([n]), 43)
+        assert r.lon == pytest.approx(lon[0], abs=1e-9)
+        assert r.lat == pytest.approx(lat[0], abs=1e-9)
+        # easting 500-504 km sits on zone 43's central meridian (75°E)
+        assert 74.9 < r.lon < 75.2 and 28.4 < r.lat < 28.7
+        assert r.value == vals[r.y, r.x]
+
+
+def test_read_rasters_unknown_crs_identity_fallback(spark, tmp_path):
+    """An unsupported projected CRS falls back to identity coordinates
+    — exactly the reference's except-branch behavior ("use original
+    coordinates", fix_transparency.py:73-74) — instead of failing the
+    ingest job."""
+    from gee_datapipeline_spark.sources.raster import read_rasters
+    from gee_datapipeline_spark.sources.tiffcodec import encode_geotiff
+
+    vals = np.array([[7.0, 8.0]])
+    # EPSG:27700 (British National Grid) is not implemented
+    (tmp_path / "bng.tif").write_bytes(
+        encode_geotiff(vals, 400000.0, 100000.0, 1000.0, epsg=27700)
+    )
+    rows = read_rasters(spark, str(tmp_path / "bng.tif")).collect()
+    assert {(r.lon, r.lat) for r in rows} == {
+        (400500.0, 100500.0),
+        (401500.0, 100500.0),
+    }
