@@ -967,6 +967,79 @@ register(
 )
 
 
+def _pq_code_table(e: DataFrame) -> DataFrame:
+    """(vec_id, m, code) — the PQ-encoded corpus (exact decimal argmin
+    per subvector, deterministic, so a cached copy is bit-identical to
+    a fresh encode and the training-inclusive oracle stays valid)."""
+    from ..functions.similarity import decimal_sq_dist_slice
+
+    cb = e.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k_id"), F.col("embedding").alias("c_emb")
+    )
+    sub = e.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    )
+    d = sub.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "m",
+        "k_id",
+        decimal_sq_dist_slice(
+            F.col("embedding"), F.col("c_emb"), F.col("m") * PQ_SUB + 1,
+            PQ_SUB,
+        ).alias("dist"),
+    )
+    return (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("k_id"))).alias("b"))
+        .select("vec_id", "m", F.col("b.k_id").alias("code"))
+    )
+
+
+def _pq_codes_cached(e: DataFrame) -> DataFrame:
+    """Build-once PQ code artifact, same discipline as
+    ``functions.similarity.ivf_centroids_cached``: the encode pass
+    (corpus × K decimal subvector distances) is the expensive *model*
+    half of PQ and runs once per corpus state; serving reads the
+    N×M-row code table from parquet. Cache key = corpus fingerprint
+    (count + order-independent xxhash64 sum) + the PQ geometry, so any
+    corpus change re-encodes. Cache failure falls back to a fresh
+    encode — an optimization, never a correctness dependency."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = (
+        e.select(F.xxhash64(F.col("vec_id"), F.col("embedding")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        )
+        .first()
+    )
+    key = hashlib.md5(
+        f"{fp['n']}:{fp['s']}:{PQ_M}:{PQ_K}:{PQ_SUB}:v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
+    )
+    path = os.path.join(root, f"pq_codes_{key}.parquet")
+    spark = e.sparkSession
+    try:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return spark.read.parquet(path)
+    except Exception:
+        pass
+    codes = _pq_code_table(e)
+    try:
+        codes.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    except Exception:
+        return codes
+
+
 def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN: asymmetric distance computation (ADC) top-k.
 
@@ -981,9 +1054,13 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(M·K) and broadcast; the corpus-side cost is one narrow pass over
     the code table (N·M rows) into a map-side-combinable (q, candidate)
     hash aggregate, then a k-bounded per-probe window. No corpus floats
-    move, no quadratic stage. Ranking compares the EXACT decimal ADC
-    sums (order-independent), so top-k membership is bit-reproducible;
-    the rounded double is display-only.
+    move, no quadratic stage. The code table itself is a build-once
+    fingerprint-keyed parquet artifact (``_pq_codes_cached`` — the
+    ann_ivf/ann_ivf_train split applied to PQ: the encode pass remains
+    separately gated by ``pq_codes``, and the exact decimal argmin
+    makes cached == fresh bit-for-bit). Ranking compares the EXACT
+    decimal ADC sums (order-independent), so top-k membership is
+    bit-reproducible; the rounded double is display-only.
     """
     from ..functions.similarity import decimal_sq_dist_slice
 
@@ -991,25 +1068,7 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = e.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k_id"), F.col("embedding").alias("c_emb")
     )
-    sub = e.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
-    )
-    start = F.col("m") * PQ_SUB + 1
-    d = sub.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        "m",
-        "k_id",
-        decimal_sq_dist_slice(
-            F.col("embedding"), F.col("c_emb"), start, PQ_SUB
-        ).alias("dist"),
-    )
-    codes = (
-        d.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("dist"), F.col("k_id"))).alias("b"))
-        .select("vec_id", "m", F.col("b.k_id").alias("code"))
-    )
+    codes = _pq_codes_cached(e)
     grid = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),

@@ -432,3 +432,32 @@ def test_pca_scatter_decimal_accumulator_boundary(spark):
     expect = round(float(total) / 1e12, 6)
     assert got[(1, 1)] == expect
     assert got[(1, 2)] == expect  # constant columns: same everywhere
+
+
+def test_pq_codes_cached_hit_and_invalidation(spark, tmp_path, monkeypatch):
+    """The PQ code-table artifact (same discipline as the IVF
+    quantizer cache): (a) a repeat call serves bit-identical codes from
+    parquet, (b) cached codes equal a fresh exact encode, (c) a corpus
+    change flips the fingerprint and re-encodes."""
+    import os
+
+    from gee_datapipeline_spark.catalog import load_table
+    from gee_datapipeline_spark.plans.similarity_queries import (
+        _pq_code_table,
+        _pq_codes_cached,
+    )
+
+    cache = str(tmp_path / "artifacts")
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", cache)
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    key = lambda rows: sorted((r.vec_id, r.m, r.code) for r in rows)
+    first = key(_pq_codes_cached(e).collect())
+    assert len(os.listdir(cache)) == 1
+    assert key(_pq_codes_cached(e).collect()) == first
+    assert len(os.listdir(cache)) == 1          # served from cache
+    assert key(_pq_code_table(e).collect()) == first  # cached == fresh
+    changed = e.filter(F.col("vec_id") != e.agg(
+        F.max("vec_id")).first()[0])
+    got2 = key(_pq_codes_cached(changed).collect())
+    assert len(os.listdir(cache)) == 2          # new fingerprint
+    assert got2 and got2 != first
