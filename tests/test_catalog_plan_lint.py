@@ -90,7 +90,35 @@ BNLJ_WHITELIST = {
     "basket_lift_pairs",  # 1-row order-count scalar broadcast
 }
 
+# Unpartitioned (single-partition) windows over PROVABLY BOUNDED
+# inputs only — each entry names the bound. A global window over fact
+# data would serialize the whole table through one task at 100 TB, so
+# any new entry here must state why its input cannot grow with the
+# corpus (the r4 verdict audited these by hand; this rule makes the
+# audit mechanical).
+GLOBAL_WINDOW_WHITELIST = {
+    "cumulative_unique_users",  # |distinct days| rows (calendar-bounded)
+    "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
+    "token_budget_head",        # SCORE_LEVELS-row running-mass windows
+    "geo_max_composite_frp",    # one image: raster-sized, never corpus
+                                # (W1's per-image min-max is the
+                                # reference's own global-agg semantic)
+}
+
 LINTABLE = sorted(set(QUERIES) - EXECUTING_BUILDERS)
+
+
+def _global_windows(jplan, out):
+    cls = jplan.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _global_windows(jplan.inputPlan(), out)
+        return
+    if cls in ("WindowExec", "WindowGroupLimitExec") and (
+        jplan.partitionSpec().isEmpty()
+    ):
+        out.append(cls)
+    for i in range(jplan.children().size()):
+        _global_windows(jplan.children().apply(i), out)
 
 
 @pytest.mark.parametrize("name", LINTABLE)
@@ -107,3 +135,10 @@ def test_plan_lint(name, spark):
         f"{name}: row-at-a-time Python UDF on the plan — use Arrow "
         "(pandas_udf / mapInPandas) instead"
     )
+    if name not in GLOBAL_WINDOW_WHITELIST:
+        hits: list[str] = []
+        _global_windows(df._jdf.queryExecution().executedPlan(), hits)
+        assert not hits, (
+            f"{name}: unpartitioned window ({hits}) — single-partition "
+            "at scale; partition it or whitelist with a bound"
+        )
