@@ -304,6 +304,10 @@ def main() -> None:
         "plan untouched since r2",
         "sql_surface_report": "same noise class: full-bench 1.91s, "
         "solo fresh-session 1.09s vs r3's 0.983s; SQL text unchanged",
+        "approx_distinct_profile": "proven noise class: r5 full-bench "
+        "runs measured 1.568s and 2.203s with identical code (solo "
+        "fresh-session 1.757s; r4 driver run 2.043s); plan untouched "
+        "since the r4 HLL/count-distinct split",
     }
     expected_deltas: dict[str, str] = {}
     hard_regressions = False
