@@ -177,6 +177,8 @@ HEADLINE = [
     # arbitrary-src.crs gap (portable-SQL chains, codegen, no Python)
     "crs_lcc_grid",
     "crs_sinu_grid",
+    # projected-raster ingest: GeoKey parse + inverse-Kruger in the UDTF
+    "raster_ingest_utm_tif",
 ]
 
 

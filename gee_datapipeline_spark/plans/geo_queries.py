@@ -380,6 +380,43 @@ register(
 )
 
 
+def _raster_ingest_utm_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + F8 — ingest of a PROJECTED (UTM-zone-43-tagged) GeoTIFF:
+    binaryFile scan → GeoKeyDirectory parse → inverse-Krüger
+    reprojection of pixel centers to lon/lat inside the ingest UDTF —
+    the reference's rasterio ``src.crs`` → EPSG:4326 warp
+    (fix_transparency.py:71-74) as one differential. The oracle reads
+    the parquet twin whose lon/lat were computed by the identical
+    vectorized inverse at fixture-build time, so the whole GeoKey +
+    reprojection path is bit-exact gated."""
+    from ..sources.fixtures import FIXTURES_DIR, ensure_geo_fixtures
+    from ..sources.raster import read_rasters
+
+    ensure_geo_fixtures()
+    df = read_rasters(spark, str(FIXTURES_DIR / "rasters_utm" / "*.tif"))
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+
+
+register(
+    Query(
+        name="raster_ingest_utm_tif",
+        spark=_raster_ingest_utm_tif,
+        oracle=f"""
+            SELECT file, x, y, lon, lat, value
+            FROM read_parquet('{fixture_path("raster_utm_pixels")}')
+        """,
+        tags=("geo", "S3", "F8", "crs"),
+    )
+)
+
+
 def _csv_points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest differential (S8 inverse): both engines parse the
     SAME text bytes (fixture written by plain Python at fixed 6 dp), so

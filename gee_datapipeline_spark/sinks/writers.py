@@ -127,7 +127,11 @@ def write_geotiffs(
         min_lon = float(lon[0] - (xs[0] + 0.5) * cell_deg)
         min_lat = float(lat[0] - (ys[0] + 0.5) * cell_deg)
         path = os.path.join(out_dir, f"{dataset}_{date}.tif")
-        payload = encode_geotiff(vals, min_lon, min_lat, cell_deg)
+        # tag the CRS explicitly (a geographic 4326 GeoKey, what GDAL
+        # writes for lon/lat exports); decode treats untagged and
+        # 4326-tagged identically, so the roundtrip gate is unchanged
+        payload = encode_geotiff(vals, min_lon, min_lat, cell_deg,
+                                 epsg=4326)
         with open(path, "wb") as fh:
             fh.write(payload)
         return pd.DataFrame(

@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 3
+FIXTURES_VERSION = 4  # v4: UTM-tagged raster fixture + twin
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -47,6 +47,15 @@ DHASH_PARAMS = dict(n=48, variant=2)
 RASTER_PARAMS = dict(
     dates=("2025-01-15", "2025-02-15", "2025-03-15"),
     w=12, h=10, seed=5, cell=0.01, nan_frac=0.1,
+)
+
+# UTM-tagged raster fixture: zone 43N meters near the Delhi bbox
+# (easting ~77°E at ~28.6°N), exercising the GeoKey → reproject ingest
+# path end-to-end in the driver gate.
+UTM_RASTER_PARAMS = dict(
+    dates=("2025-01-15", "2025-02-15"),
+    w=9, h=7, seed=11, cell=1000.0, nan_frac=0.1,
+    zone=43, min_e=700000.0, min_n=3160000.0,
 )
 
 _PIXELS_ARROW = pa.schema(
@@ -318,6 +327,49 @@ def raster_fixture(
     return files, rows
 
 
+def utm_raster_fixture(
+    dates: tuple[str, ...], w: int, h: int, seed: int, cell: float,
+    nan_frac: float, zone: int, min_e: float, min_n: float,
+) -> tuple[dict[str, bytes], list[tuple]]:
+    """UTM-tagged GeoTIFF payloads + their expected REPROJECTED pixel
+    rows. The twin's lon/lat are computed with the exact vectorized
+    path ``read_rasters`` runs (np.mgrid centers → ``utm_inverse_np``),
+    so the GeoKey parse + inverse-Krüger reprojection is a bit-exact
+    differential against DuckDB reading the twin."""
+    import numpy as np
+
+    from ..functions.crs import utm_inverse_np
+    from .tiffcodec import encode_geotiff
+
+    files: dict[str, bytes] = {}
+    rows: list[tuple] = []
+    for d in dates:
+        rng = np.random.default_rng(seed + int(d.replace("-", "")))
+        vals = rng.uniform(0.0, 300.0, size=(h, w))
+        vals[rng.random((h, w)) < nan_frac] = np.nan
+        name = f"frp_utm_{d}.tif"
+        files[name] = encode_geotiff(
+            vals, min_e, min_n, cell, epsg=32600 + zone
+        )
+        ys, xs = np.mgrid[0:h, 0:w]
+        px = min_e + (xs.ravel() + 0.5) * cell
+        py = min_n + (ys.ravel() + 0.5) * cell
+        lon, lat = utm_inverse_np(px, py, zone)
+        flat = vals.ravel()
+        for i in range(h * w):
+            rows.append(
+                (
+                    name,
+                    int(xs.ravel()[i]),
+                    int(ys.ravel()[i]),
+                    float(lon[i]),
+                    float(lat[i]),
+                    None if np.isnan(flat[i]) else float(flat[i]),
+                )
+            )
+    return files, rows
+
+
 def _write_delimited(base: Path) -> None:
     """Text-format twins of the pixel fixture, written by plain Python
     so both engines read IDENTICAL bytes: ``points.csv`` is the
@@ -365,6 +417,8 @@ def _manifest() -> dict:
         "dhash_media": dict(DHASH_PARAMS),
         "rasters": {k: list(v) if isinstance(v, tuple) else v
                     for k, v in RASTER_PARAMS.items()},
+        "utm_rasters": {k: list(v) if isinstance(v, tuple) else v
+                        for k, v in UTM_RASTER_PARAMS.items()},
     }
 
 
@@ -374,7 +428,7 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     manifest_path = base / "MANIFEST.json"
     wanted = _manifest()
     names = ("pixels", "regions", "thresholds", "amenities", "media",
-             "dhash_media", "raster_pixels")
+             "dhash_media", "raster_pixels", "raster_utm_pixels")
     extra = ("points.csv", "logs.jsonl")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
@@ -417,6 +471,15 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     pq.write_table(
         _rows_to_table(tif_rows, _RASTER_PX_ARROW),
         base / "raster_pixels.parquet",
+    )
+    utm_files, utm_rows = utm_raster_fixture(**UTM_RASTER_PARAMS)
+    utm_dir = base / "rasters_utm"
+    utm_dir.mkdir(parents=True, exist_ok=True)
+    for name, payload in utm_files.items():
+        (utm_dir / name).write_bytes(payload)
+    pq.write_table(
+        _rows_to_table(utm_rows, _RASTER_PX_ARROW),
+        base / "raster_utm_pixels.parquet",
     )
     _write_delimited(base)
     manifest_path.write_text(json.dumps(wanted, indent=2))

@@ -42,6 +42,7 @@ EXECUTING_BUILDERS = {
     "label_propagation",       # eager-checkpoints the undirected edges
     "embedding_pca_power",     # eager-checkpoints scatter matrix + iterates
     "raster_ingest_tif",       # reads fixture rasters at build time
+    "raster_ingest_utm_tif",   # reads fixture rasters at build time
     "geotiff_roundtrip",       # writes + re-ingests GeoTIFFs at build time
     "multimodal_resize_real",
     "multimodal_decode_real",
