@@ -179,6 +179,10 @@ HEADLINE = [
     "crs_sinu_grid",
     # projected-raster ingest: GeoKey parse + inverse-Kruger in the UDTF
     "raster_ingest_utm_tif",
+    # hashed linear quality filter: broadcast model artifact, one agg
+    "quality_classifier_score",
+    # segment-sharded d-gap postings: bounded collects, two keyed aggs
+    "inverted_index_postings",
 ]
 
 

@@ -307,3 +307,95 @@ register(
         "bigram index; narrow index build, one count shuffle",
     )
 )
+
+
+# ------------------------------ segmented inverted-index postings
+
+
+# Lucene-segment-style posting-list build: doc ids are bucketed into
+# fixed SHARD_SIZE ranges and each (term, shard) posting list is
+# delta-encoded independently. The per-group array is bounded by
+# SHARD_SIZE *regardless of term frequency* — a stopword's postings
+# split across shards instead of materializing one corpus-sized array,
+# which is what makes the build safe at 100 TB (the classic
+# collect_list-per-term OOM simply cannot occur).
+POSTING_SHARD = 200
+
+
+def _inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-encoded, doc-id-sharded inverted index over the corpus.
+
+    Output: one row per (term, shard) segment with the per-segment
+    document frequency and the gap-encoded posting list (first id
+    absolute, then successive differences — the standard d-gap form
+    fed to varint/PForDelta compression in production indexes).
+
+    Plan shape: tokenize → (term, doc_id) distinct (one shuffle,
+    map-side combinable) → hash-aggregate on (term, shard) where the
+    sorted collect is bounded by SHARD_SIZE. No windows, no UDFs; the
+    delta encoding is a Catalyst transform over the bounded array.
+    """
+    docs = _docs(spark, sf_dir)
+    posts = (
+        docs.select(
+            F.explode(X.tokens(F.col("text"))).alias("term"), "doc_id"
+        )
+        .distinct()
+        .withColumn("shard", F.expr(f"doc_id DIV {POSTING_SHARD}"))
+    )
+    agg = posts.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("p"),
+    )
+    return agg.select(
+        "term",
+        "shard",
+        "df",
+        F.array_join(
+            F.expr(
+                "transform(transform(p, (x, i) ->"
+                " CASE WHEN i = 0 THEN x ELSE x - p[i-1] END),"
+                " g -> cast(g as string))"
+            ),
+            " ",
+        ).alias("gaps"),
+    )
+
+
+register(
+    Query(
+        name="inverted_index_postings",
+        spark=_inverted_index_postings,
+        oracle=rf"""
+            WITH posts AS (
+                SELECT DISTINCT term, doc_id
+                FROM (
+                    SELECT doc_id, unnest(string_split_regex(
+                        lower(trim(text)), '\s+')) AS term
+                    FROM documents
+                )
+            ),
+            agg AS (
+                SELECT term, doc_id // {POSTING_SHARD} AS shard,
+                       count(*) AS df,
+                       list_sort(list(doc_id)) AS p
+                FROM posts GROUP BY 1, 2
+            )
+            SELECT term, shard, df,
+                   array_to_string(
+                       list_transform(
+                           generate_series(1, df),
+                           i -> CAST(CASE WHEN i = 1 THEN p[i]
+                                     ELSE p[i] - p[i - 1] END
+                                     AS VARCHAR)),
+                       ' ') AS gaps
+            FROM agg
+        """,
+        tags=("search", "llm-pipeline", "artifact"),
+        doc="Lucene-segment-style sharded d-gap posting lists: "
+        "per-(term, shard) arrays bounded by SHARD_SIZE, no "
+        "corpus-sized collect possible",
+    )
+)

@@ -573,3 +573,157 @@ register(
         "corpus scan, k-bounded TakeOrderedAndProject, md5 uniforms",
     )
 )
+
+
+# ------------------------------- hashed linear quality classifier
+
+
+# fastText-style hashed linear classifier inference (Joulin et al.,
+# EACL 2017) — the mechanism behind DCLM/FineWeb-Edu-style model-based
+# quality filtering (Li et al. 2024): features are unigrams + word
+# bigrams hashed into CLF_BUCKETS buckets; the trained model is a
+# B-row (bucket -> weight) artifact that BROADCASTS; a document's
+# logit is bias + mean(bucket weights); keep = sigmoid(z) >= 0.5.
+# Weights here come from a seeded generator standing in for the
+# trained artifact (integer millis, so the broadcast table is
+# cross-engine exact); the *engine mechanism* under gate is the
+# feature hashing, artifact join, and per-doc scoring pipeline.
+CLF_BUCKETS = 512
+CLF_SEED = 41
+CLF_BIAS = -0.15
+
+
+def clf_weights_int() -> list[int]:
+    """Model-artifact stand-in: CLF_BUCKETS integer milli-weights in
+    [-1000, 1000] from a seeded generator (same role as
+    ``similarity.plane_matrix_int`` — both engines consume the SAME
+    integers, Spark as a broadcast relation, DuckDB as VALUES rows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(CLF_SEED)
+    return [int(v) for v in rng.integers(-1000, 1001, size=CLF_BUCKETS)]
+
+
+def _quality_classifier_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document quality score from a hashed linear classifier.
+
+    Plan shape at 100 TB: tokenize (narrow) → unigram+bigram feature
+    explode (narrow) → md5 bucket (narrow) → broadcast join against
+    the B-row weight artifact → ONE per-doc hash-aggregate. The corpus
+    is never shuffled on a data-dependent key; the model artifact is
+    bytes-small regardless of corpus size, exactly how a trained
+    fastText/DCLM filter deploys on a cluster.
+
+    Cross-engine exactness: bucket weights are integers, the per-doc
+    sum rides an exact integer accumulator, and the logit/sigmoid is
+    a fixed sequence of IEEE double ops (libm exp — the BM25/PageRank
+    precedent) mirrored verbatim in the oracle; ``keep`` compares the
+    unrounded double so rounding can never flip it.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("t"),
+                F.when(
+                    F.col("n") >= 2,
+                    F.expr(
+                        "transform(sequence(2, n),"
+                        " i -> concat(t[i-2], '_', t[i-1]))"
+                    ),
+                ).otherwise(F.expr("cast(array() as array<string>)")),
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        (_base_hash(F.col("feat")) % F.lit(CLF_BUCKETS)).alias("f"),
+    )
+    weights = spark.createDataFrame(
+        list(enumerate(clf_weights_int())), "f long, w_int long"
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_int").alias("s"),
+        )
+    )
+    z = F.lit(CLF_BIAS) + (
+        F.col("s").cast("double")
+        / (F.lit(1000.0) * F.col("n_feats").cast("double"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        _signed_round(score, 6).alias("score"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+def _clf_weight_values() -> str:
+    return ",\n                ".join(
+        f"({f}, {w})" for f, w in enumerate(clf_weights_int())
+    )
+
+
+register(
+    Query(
+        name="quality_classifier_score",
+        spark=_quality_classifier_score,
+        oracle=rf"""
+            WITH weights(f, w_int) AS (VALUES
+                {_clf_weight_values()}
+            ),
+            toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, unnest(t) AS feat FROM toks
+                UNION ALL
+                SELECT doc_id, concat(t[s - 1], '_', t[s]) AS feat
+                FROM (
+                    SELECT doc_id, t,
+                           unnest(generate_series(2, len(t))) AS s
+                    FROM toks
+                )
+            ),
+            bucketed AS (
+                SELECT doc_id,
+                       CAST({sql_base_hash('feat')} AS BIGINT)
+                           % {CLF_BUCKETS} AS f
+                FROM feats
+            ),
+            scored AS (
+                SELECT doc_id, count(*) AS n_feats,
+                       sum(w_int) AS s
+                FROM bucketed JOIN weights USING (f)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_feats,
+                   {_sql_signed_round(
+                       '1.0 / (1.0 + exp(-(' + repr(CLF_BIAS)
+                       + ' + (CAST(s AS DOUBLE)'
+                       + ' / (1000.0 * CAST(n_feats AS DOUBLE))))))',
+                       6)} AS score,
+                   (1.0 / (1.0 + exp(-({CLF_BIAS!r}
+                        + (CAST(s AS DOUBLE)
+                           / (1000.0 * CAST(n_feats AS DOUBLE))))))
+                    >= 0.5) AS keep
+            FROM scored
+        """,
+        tags=("text", "selection", "llm-pipeline"),
+        doc="fastText/DCLM-style hashed linear quality filter: "
+        "unigram+bigram feature hashing, broadcast B-row model "
+        "artifact, one per-doc aggregate",
+    )
+)
