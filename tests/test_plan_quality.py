@@ -411,3 +411,21 @@ def test_bloom_prefilter_broadcasts_all_probes_no_fact_shuffle(spark):
     # k probe joins + final exact semi-join, all broadcast
     assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_classifier_broadcasts_model_artifact(spark):
+    """The B-row weight table must broadcast; the corpus must never
+    sort-merge-join on the bucket key."""
+    plan = _plan(QUERIES["quality_classifier_score"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_no_join_no_window(spark):
+    """The segmented postings build is pure keyed aggregation: no join
+    node, no window, and partial (map-side) aggregation on the
+    (term, doc_id) distinct."""
+    plan = _plan(QUERIES["inverted_index_postings"].spark(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
