@@ -1471,3 +1471,106 @@ register(
         tags=("similarity", "decomposition"),
     )
 )
+
+
+# ------------------------------------------- centroid outlier filter
+
+
+# Off-topic screen threshold: a vector pointing AWAY from its own
+# label centroid (negative cosine) is flagged — the SemDeDup-companion
+# curation step that catches mislabeled/off-topic members before they
+# poison a per-label training slice.
+OUTLIER_COS = 0.0
+
+
+def _embedding_outlier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid-distance outlier screen over the embedding
+    corpus (the off-topic filter step of an embedding-based curation
+    pipeline, e.g. CLIP-score-style filtering re-expressed for a
+    labeled corpus).
+
+    Plan shape at 100 TB: one unpivot aggregate builds the
+    (|labels| × dim)-bounded centroid table — map-side combinable,
+    shuffle carries at most labels×dim rows per task — which is then
+    re-assembled into arrays and BROADCAST; scoring is a single narrow
+    pass over the corpus (broadcast hash join + codegen arithmetic),
+    so the corpus is never shuffled on a data-dependent key.
+
+    Cross-engine exactness: centroid components are decimal-stable
+    6 dp means cast to double; the dot rides the DECIMAL(38,12)
+    accumulator (order-independent); the flag compares the unrounded
+    double so display rounding can never flip it.
+    """
+    e = _emb(spark, sf_dir)
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = flat.groupBy("label", "dim").agg(
+        stable_avg("v", scale=6, dec="decimal(38,12)")
+        .cast("double")
+        .alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    cos = cosine(
+        F.col("embedding"),
+        F.col("centroid"),
+        F.sqrt(sq_norm(F.col("embedding"))),
+        F.sqrt(sq_norm(F.col("centroid"))),
+    )
+    return (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("centroid_cos"),
+            (cos < F.lit(OUTLIER_COS)).alias("is_outlier"),
+        )
+    )
+
+
+register(
+    Query(
+        name="embedding_outlier_filter",
+        spark=_embedding_outlier_filter,
+        oracle=f"""
+            WITH flat AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ),
+            cent AS (
+                SELECT label, dim,
+                       CAST({sql_stable_avg('v', 6, 'decimal(38,12)')}
+                            AS DOUBLE) AS c
+                FROM flat GROUP BY 1, 2
+            ),
+            carr AS (
+                SELECT label, list(c ORDER BY dim) AS centroid
+                FROM cent GROUP BY 1
+            )
+            SELECT e.vec_id, e.label,
+                   round({sql_cosine(
+                       'e.embedding', 'c.centroid',
+                       f"sqrt({sql_decimal_dot('e.embedding', 'e.embedding')})",
+                       f"sqrt({sql_decimal_dot('c.centroid', 'c.centroid')})",
+                   )}, 6) AS centroid_cos,
+                   ({sql_cosine(
+                       'e.embedding', 'c.centroid',
+                       f"sqrt({sql_decimal_dot('e.embedding', 'e.embedding')})",
+                       f"sqrt({sql_decimal_dot('c.centroid', 'c.centroid')})",
+                   )} < {OUTLIER_COS!r}) AS is_outlier
+            FROM embeddings e JOIN carr c USING (label)
+        """,
+        tags=("similarity", "curation", "llm-pipeline"),
+        doc="Per-label centroid outlier screen: bounded unpivot agg, "
+        "broadcast centroid artifact, one narrow scoring pass",
+    )
+)
