@@ -878,3 +878,202 @@ register(
         "native XML == the parquet original (oracle's view)",
     )
 )
+
+
+# -------------------- KMV bottom-k sketch: distinct & overlap estimates
+
+
+_KMV_K = 16
+_KMV_SCALE = float(1 << 60)  # 15 hex digits -> h/2^60 uniform in [0,1)
+
+_SQL_TEXT_HASH = " + ".join(
+    "(strpos('0123456789abcdef', "
+    f"substr(md5(coalesce(text, '')), {i + 1}, 1)) - 1) "
+    f"* {16 ** (_HASH_HEX_CHARS - 1 - i)}"
+    for i in range(_HASH_HEX_CHARS)
+)
+
+
+def _kmv_estimate(cnt: F.Column, hk: F.Column) -> F.Column:
+    """(K-1)/h_K distinct estimate; exact count when the sketch never
+    filled (cnt < K, i.e. the group has fewer distinct members than K)."""
+    return F.when(cnt < _KMV_K, cnt.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / (hk.cast("double") / F.lit(_KMV_SCALE))
+    )
+
+
+def _sql_kmv_estimate(cnt: str, hk: str) -> str:
+    return (
+        f"CASE WHEN {cnt} < {_KMV_K} THEN CAST({cnt} AS DOUBLE) "
+        f"ELSE {float(_KMV_K - 1)!r} / (CAST({hk} AS DOUBLE) / "
+        f"{_KMV_SCALE!r}) END"
+    )
+
+
+def _kmv_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV (bottom-k, k-minimum-values) content sketches, and
+    pairwise cross-source distinct/overlap/Jaccard estimates from sketch
+    unions (Beyer et al., SIGMOD 2007 "On synopses for distinct-value
+    estimation under multiset operations").
+
+    The 100 TB story: the ONLY corpus-sized work is a distinct on
+    (source, content-hash) followed by a per-source bottom-k — a
+    map-side-combinable rank-k selection (each task keeps its local
+    bottom-k, the merge keeps the bottom-k of bottom-ks; Spark's
+    window row_number after partial distinct is the declared form and
+    AQE sizes the source-keyed exchange). Everything downstream runs on
+    |sources| x K rows: sketches are unioned pairwise (the KMV union =
+    bottom-k of the merged hash sets), |A∩B| follows by inclusion-
+    exclusion, and the estimates ship as a sources^2-sized summary —
+    the cross-crawl overlap audit a curation pipeline runs before
+    mixing sources, without ever joining fact data against fact data.
+
+    Cross-engine: the 60-bit md5 content hash is exact in both engines
+    (the ``corpus_checksum`` precedent); estimates are single-division
+    doubles over identical integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1,
+                    _HASH_HEX_CHARS),
+        16, 10,
+    ).cast("long")
+    hset = docs.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hset.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    per = sk.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")
+    )
+    est = per.select(
+        "source", _kmv_estimate(F.col("cnt"), F.col("hk")).alias("est")
+    )
+    # |sources|-row summary self-pairing (a < b): tiny BNLJ, never fact.
+    a = est.select(
+        F.col("source").alias("source_a"), F.col("est").alias("est_a")
+    )
+    b = est.select(
+        F.col("source").alias("source_b"), F.col("est").alias("est_b")
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    ha = pairs.select("source_a", "source_b").join(
+        sk, sk.source == F.col("source_a")
+    ).select("source_a", "source_b", "h")
+    hb = pairs.select("source_a", "source_b").join(
+        sk, sk.source == F.col("source_b")
+    ).select("source_a", "source_b", "h")
+    hu = ha.unionByName(hb).distinct()
+    wu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    sku = (
+        hu.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("cntu"), F.max("h").alias("hku"))
+    )
+    joined = (
+        sku.join(pairs, ["source_a", "source_b"])
+        .withColumn(
+            "est_union", _kmv_estimate(F.col("cntu"), F.col("hku"))
+        )
+    )
+    inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    inter = F.when(inter < 0, F.lit(0.0)).otherwise(inter)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return joined.select(
+        "source_a",
+        "source_b",
+        r6(F.col("est_a")).alias("est_a"),
+        r6(F.col("est_b")).alias("est_b"),
+        r6(F.col("est_union")).alias("est_union"),
+        r6(inter).alias("est_intersect"),
+        r6(inter / F.col("est_union")).alias("est_jaccard"),
+    )
+
+
+_SQL_KMV_R6 = "floor(({0}) * 1000000.0 + 0.5) / 1000000.0"
+
+register(
+    Query(
+        name="kmv_distinct_overlap",
+        spark=_kmv_distinct_overlap,
+        oracle=f"""
+            WITH hset AS (
+                SELECT DISTINCT source,
+                       CAST({_SQL_TEXT_HASH} AS BIGINT) AS h
+                FROM documents
+            ),
+            sk AS (
+                SELECT source, h FROM (
+                    SELECT source, h, row_number() OVER (
+                        PARTITION BY source ORDER BY h) AS rn
+                    FROM hset
+                ) WHERE rn <= {_KMV_K}
+            ),
+            per AS (
+                SELECT source, count(*) AS cnt, max(h) AS hk
+                FROM sk GROUP BY 1
+            ),
+            est AS (
+                SELECT source,
+                       {_sql_kmv_estimate('cnt', 'hk')} AS est
+                FROM per
+            ),
+            pairs AS (
+                SELECT a.source AS source_a, a.est AS est_a,
+                       b.source AS source_b, b.est AS est_b
+                FROM est a JOIN est b ON a.source < b.source
+            ),
+            hu AS (
+                SELECT DISTINCT source_a, source_b, h FROM (
+                    SELECT p.source_a, p.source_b, s.h
+                    FROM pairs p JOIN sk s ON s.source = p.source_a
+                    UNION ALL
+                    SELECT p.source_a, p.source_b, s.h
+                    FROM pairs p JOIN sk s ON s.source = p.source_b
+                )
+            ),
+            sku AS (
+                SELECT source_a, source_b,
+                       count(*) AS cntu, max(h) AS hku
+                FROM (
+                    SELECT source_a, source_b, h, row_number() OVER (
+                        PARTITION BY source_a, source_b
+                        ORDER BY h) AS rn
+                    FROM hu
+                ) WHERE rn <= {_KMV_K}
+                GROUP BY 1, 2
+            ),
+            fin AS (
+                SELECT p.source_a, p.source_b, p.est_a, p.est_b,
+                       {_sql_kmv_estimate('u.cntu', 'u.hku')} AS est_union
+                FROM sku u
+                JOIN pairs p ON u.source_a = p.source_a
+                            AND u.source_b = p.source_b
+            ),
+            clamped AS (
+                SELECT source_a, source_b, est_a, est_b, est_union,
+                       CASE WHEN est_a + est_b - est_union < 0
+                            THEN 0.0
+                            ELSE est_a + est_b - est_union
+                       END AS est_intersect
+                FROM fin
+            )
+            SELECT source_a, source_b,
+                   {_SQL_KMV_R6.format('est_a')} AS est_a,
+                   {_SQL_KMV_R6.format('est_b')} AS est_b,
+                   {_SQL_KMV_R6.format('est_union')} AS est_union,
+                   {_SQL_KMV_R6.format('est_intersect')} AS est_intersect,
+                   {_SQL_KMV_R6.format('est_intersect / est_union')}
+                       AS est_jaccard
+            FROM clamped
+        """,
+        tags=("sketch", "dedup", "llm-pipeline"),
+        doc="per-source KMV bottom-k sketches with pairwise union / "
+        "intersection / Jaccard estimates (Beyer et al. 2007); the only "
+        "corpus-sized stage is a distinct + per-source bottom-k",
+    )
+)

@@ -660,3 +660,195 @@ register(
         "identity; decimal-exact accumulation, one window pass",
     )
 )
+
+
+# ------------------------- multivariate OLS via one sufficient-stat pass
+
+
+def _sql_ols_final(n_expr: str = "nn") -> dict[str, str]:
+    """Shared final-math SQL snippets for the normal-equation solve.
+
+    The SAME text is executed by Spark (``selectExpr``) and DuckDB
+    (oracle CTE), so both engines build the identical IEEE expression
+    tree over identical decimal-exact inputs — the staged-double
+    determinism contract used across this module."""
+    # det of [[n,sx1,sx2],[sx1,s11,s12],[sx2,s12,s22]] by first-row
+    # cofactors; the three det_k replace column k with (sy,s1y,s2y).
+    det = (
+        f"({n_expr} * (s11 * s22 - s12 * s12)"
+        f" - sx1 * (sx1 * s22 - s12 * sx2)"
+        f" + sx2 * (sx1 * s12 - s11 * sx2))"
+    )
+    det0 = (
+        "(sy * (s11 * s22 - s12 * s12)"
+        " - sx1 * (s1y * s22 - s12 * s2y)"
+        " + sx2 * (s1y * s12 - s11 * s2y))"
+    )
+    det1 = (
+        f"({n_expr} * (s1y * s22 - s12 * s2y)"
+        f" - sy * (sx1 * s22 - s12 * sx2)"
+        f" + sx2 * (sx1 * s2y - s1y * sx2))"
+    )
+    det2 = (
+        f"({n_expr} * (s11 * s2y - s1y * s12)"
+        f" - sx1 * (sx1 * s2y - s1y * sx2)"
+        f" + sy * (sx1 * s12 - s11 * sx2))"
+    )
+    return {
+        "b0": f"({det0}) / ({det})",
+        "b1": f"({det1}) / ({det})",
+        "b2": f"({det2}) / ({det})",
+    }
+
+
+_OLS_UNSCALE = [
+    # exact decimal sums -> doubles in original units (q unscaled,
+    # d and y carry the x100 cent/percent scaling).
+    "cast(n as double) AS nn",
+    "cast(sq as double) AS sx1",
+    "cast(sd as double) / 100.0 AS sx2",
+    "cast(sqq as double) AS s11",
+    "cast(sqd as double) / 100.0 AS s12",
+    "cast(sdd as double) / 10000.0 AS s22",
+    "cast(sy as double) / 100.0 AS sy",
+    "cast(sqy as double) / 100.0 AS s1y",
+    "cast(sdy as double) / 10000.0 AS s2y",
+    "cast(syy as double) / 10000.0 AS syy",
+]
+
+_OLS_R2 = (
+    "1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))"
+    " / (syy - sy * sy / nn)"
+)
+
+
+def _linear_model_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit ``l_extendedprice ~ 1 + l_quantity + l_discount`` by ordinary
+    least squares in ONE pass over the fact table: accumulate the 3x3
+    normal-equation sufficient statistics (X'X, X'y, y'y) as exact
+    integer-decimal sums, then solve the tiny system closed-form
+    (Cramer's rule) on the single aggregated row.
+
+    This is the 100 TB way to train a linear model: the only
+    corpus-sized stage is a map-side-combinable hash aggregate that
+    collapses every partition to ten numbers — no iteration, no
+    gradient passes, no driver-side data movement. Adding features
+    grows the statistic count O(p^2), not the pass count.
+
+    Cross-engine exactness: quantity is integer-valued and discount /
+    price carry exactly two decimals, so ``round(x * 100)`` recovers
+    exact BIGINTs in both engines; every product stays within int64
+    per row and accumulates in DECIMAL(38,0) (associative, partition-
+    order-proof). The closed-form solve then runs the IDENTICAL SQL
+    text (``_sql_ols_final``) on both sides.
+
+    Reference parity: the reference's trend analysis over pollutant
+    composites (DataDownloader_V1.py:94-153 month-keyed exports feeding
+    regression downstream) generalized from the single-regressor
+    ``revenue_trend_slope`` to a true multivariate fit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    rows = li.select(
+        F.round(F.col("l_quantity")).cast("long").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    stats = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum(F.col("d").cast(dec)).alias("sd"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
+        F.sum((F.col("q") * F.col("d")).cast(dec)).alias("sqd"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).alias("sdd"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("q") * F.col("y")).cast(dec)).alias("sqy"),
+        F.sum((F.col("d") * F.col("y")).cast(dec)).alias("sdy"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    fin = _sql_ols_final()
+    u = stats.selectExpr("n", *_OLS_UNSCALE)
+    b = u.selectExpr(
+        "n", "nn", "sy", "s1y", "s2y", "syy",
+        f"{fin['b0']} AS b0",
+        f"{fin['b1']} AS b1",
+        f"{fin['b2']} AS b2",
+    )
+    r = b.selectExpr("n", "b0", "b1", "b2", f"{_OLS_R2} AS r2")
+    return r.select(
+        F.col("n").cast("long").alias("n_rows"),
+        _stats_signed_round(F.col("b0")).alias("intercept"),
+        _stats_signed_round(F.col("b1")).alias("coef_quantity"),
+        _stats_signed_round(F.col("b2")).alias("coef_discount"),
+        _stats_signed_round(F.col("r2")).alias("r2"),
+    )
+
+
+def _stats_signed_round(c, scale: int = 6):
+    """sign(x)*floor(|x|*10^s + 0.5)/10^s — the signed twin of
+    ``functions.stable.stable_round`` (coefficients can be negative)."""
+    f = float(10**scale)
+    return F.signum(c) * (F.floor(F.abs(c) * f + F.lit(0.5)) / f)
+
+
+def _sql_stats_signed_round(expr: str, scale: int = 6) -> str:
+    f = 10**scale
+    return f"sign({expr}) * (floor(abs({expr}) * {f}.0 + 0.5) / {f}.0)"
+
+
+def _ols_oracle() -> str:
+    fin = _sql_ols_final()
+    unscale = ",\n                       ".join(_OLS_UNSCALE)
+    return f"""
+        WITH r AS (
+            SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT count(*) AS n,
+                   sum(CAST(q AS DECIMAL(38,0))) AS sq,
+                   sum(CAST(d AS DECIMAL(38,0))) AS sd,
+                   sum(CAST(q * q AS DECIMAL(38,0))) AS sqq,
+                   sum(CAST(q * d AS DECIMAL(38,0))) AS sqd,
+                   sum(CAST(d * d AS DECIMAL(38,0))) AS sdd,
+                   sum(CAST(y AS DECIMAL(38,0))) AS sy,
+                   sum(CAST(q * y AS DECIMAL(38,0))) AS sqy,
+                   sum(CAST(d * y AS DECIMAL(38,0))) AS sdy,
+                   sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+            FROM r
+        ),
+        u AS (
+            SELECT n, {unscale}
+            FROM stats
+        ),
+        b AS (
+            SELECT n, nn, sy, s1y, s2y, syy,
+                   {fin['b0']} AS b0,
+                   {fin['b1']} AS b1,
+                   {fin['b2']} AS b2
+            FROM u
+        ),
+        f AS (
+            SELECT n, b0, b1, b2, {_OLS_R2} AS r2 FROM b
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               {_sql_stats_signed_round('b0')} AS intercept,
+               {_sql_stats_signed_round('b1')} AS coef_quantity,
+               {_sql_stats_signed_round('b2')} AS coef_discount,
+               {_sql_stats_signed_round('r2')} AS r2
+        FROM f
+    """
+
+
+register(
+    Query(
+        name="linear_model_normal_eq",
+        spark=_linear_model_normal_eq,
+        oracle=_ols_oracle(),
+        tags=("stats", "ml", "aggregate"),
+        doc="multivariate OLS (price ~ quantity + discount) via one "
+        "map-side-combinable sufficient-statistic pass + Cramer solve; "
+        "exact integer-decimal accumulation, shared final-math SQL",
+    )
+)

@@ -89,6 +89,7 @@ BNLJ_WHITELIST = {
     "dsir_importance_weights",  # 1-row corpus token totals broadcast
     "hybrid_rrf_topk",  # 1-row probe vector + 1-row BM25 stats broadcasts
     "basket_lift_pairs",  # 1-row order-count scalar broadcast
+    "kmv_distinct_overlap",  # |sources|-row sketch-summary self-pairing
 }
 
 # Unpartitioned (single-partition) windows over PROVABLY BOUNDED

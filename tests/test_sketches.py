@@ -94,3 +94,74 @@ def test_cms_estimate_unseen_term_is_zero(spark):
     # unseen term: every cell it hashes to is either empty (0) or a
     # collision; with this tiny corpus at CMS width, min must be 0
     assert got["zzz-never-seen"] == 0
+
+
+# -------------------------------------------------- KMV bottom-k sketch
+
+
+def test_kmv_exact_when_sketch_not_full(spark, tmp_path):
+    """When every source holds fewer than K=16 distinct texts the sketch
+    never fills, so KMV must EQUAL the true distinct counts exactly —
+    per source, per pairwise union, and per intersection — including
+    duplicate texts within a source (content identity, not row count)."""
+    import pandas as pd
+
+    from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    corpus = {
+        "web": ["alpha", "beta", "gamma", "beta", "delta"],  # dup row
+        "books": ["gamma", "delta", "epsilon"],
+        "code": ["zeta", "alpha", "eta", "theta", "iota", "kappa"],
+        "wiki": ["unique-one"],
+    }
+    rows_pd = [
+        {
+            "doc_id": f"{s}-{i}",
+            "text": t,
+            "lang": "en",
+            "source": s,
+            "n_chars": len(t),
+        }
+        for s, texts in corpus.items()
+        for i, t in enumerate(texts)
+    ]
+    pd.DataFrame(rows_pd).to_parquet(tmp_path / "documents.parquet")
+    rows = QUERIES["kmv_distinct_overlap"].spark(spark, str(tmp_path)).collect()
+    truth = {s: set(v) for s, v in corpus.items()}
+    n_src = len(truth)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        ta, tb = truth[r.source_a], truth[r.source_b]
+        assert r.est_a == float(len(ta))
+        assert r.est_b == float(len(tb))
+        assert r.est_union == float(len(ta | tb))
+        assert r.est_intersect == float(len(ta & tb))
+
+
+def test_kmv_estimates_bounded_at_sf001(spark):
+    """With full sketches (sf0.01: 25 docs/source > K=16) the estimator
+    must land within a loose multiplicative band of the truth — KMV's
+    relative error concentrates around 1/sqrt(K-1) ≈ 0.26, so a 2x
+    band catches sign/scale bugs without flaking."""
+    import duckdb
+    from collections import defaultdict
+
+    from conftest import SF_SMOKE
+    from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    sf = SF_SMOKE.replace("sf0.001", "sf0.01")
+
+    rows = QUERIES["kmv_distinct_overlap"].spark(spark, sf).collect()
+    texts = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    by_src = defaultdict(set)
+    for src, text in texts:
+        by_src[src].add(text)
+    for r in rows:
+        true_u = len(by_src[r.source_a] | by_src[r.source_b])
+        assert 0.5 * true_u <= r.est_union <= 2.0 * true_u
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert r.est_intersect >= 0.0

@@ -702,3 +702,49 @@ def test_cumulative_unique_users_monotone_and_reference(spark):
         assert r.cumulative_users - prev == r.new_users
         prev = r.cumulative_users
     assert sum(r.new_users for r in rows) == len(seen)
+
+
+# ------------------------------------------- multivariate OLS (normal eq)
+
+
+def test_linear_model_matches_numpy_lstsq(spark):
+    """The one-pass normal-equation fit agrees with numpy's QR-based
+    least squares on the same design matrix, to within quantization."""
+    import numpy as np
+
+    row = _run(spark, "linear_model_normal_eq")[0]
+    data = duckdb.sql(
+        f"""
+        SELECT l_quantity, l_discount, l_extendedprice
+        FROM read_parquet('{SF_SMOKE}/lineitem.parquet')
+        """
+    ).fetchnumpy()
+    X = np.column_stack(
+        [
+            np.ones_like(data["l_quantity"]),
+            data["l_quantity"],
+            data["l_discount"],
+        ]
+    )
+    y = data["l_extendedprice"]
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row.n_rows == len(y)
+    assert row.intercept == pytest.approx(beta[0], abs=1e-3)
+    assert row.coef_quantity == pytest.approx(beta[1], abs=1e-3)
+    assert row.coef_discount == pytest.approx(beta[2], abs=1e-3)
+    pred = X @ beta
+    ss_res = float(((y - pred) ** 2).sum())
+    ss_tot = float(((y - y.mean()) ** 2).sum())
+    assert row.r2 == pytest.approx(1.0 - ss_res / ss_tot, abs=1e-4)
+
+
+def test_linear_model_plan_single_pass(spark):
+    """The fit is ONE map-side-combinable aggregate over the fact table:
+    exactly one scan of lineitem, no join, no window, partial agg
+    present (the 100 TB contract from the docstring)."""
+    df = QUERIES["linear_model_normal_eq"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
