@@ -126,6 +126,9 @@ HEADLINE = [
     "bm25_topk",
     # PQ ADC search: codes-only corpus pass + broadcast lookup tables
     "ann_pq",
+    "knn_join_ivf",
+    "linear_model_normal_eq",
+    "kmv_distinct_overlap",
     # MOSS winnowing: window-min fingerprint sampling, one sort, no join
     "winnowing_fingerprints",
     # PCA principal axis: one corpus-pass scatter agg + tiny power steps

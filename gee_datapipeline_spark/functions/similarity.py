@@ -797,3 +797,124 @@ def gram_screen_pairs(ids_a, mat_a, ids_b, mat_b, cut, upper=False):
         np.minimum(xa, xb).astype("int64"),
         np.maximum(xa, xb).astype("int64"),
     )
+
+
+def knn_join_ivf(
+    vectors: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    quantizer: DataFrame | None = None,
+) -> DataFrame:
+    """Full kNN JOIN: top-k quantized-cosine neighbors for EVERY vector
+    (the retrieval-corpus build behind kNN-LM / RETRO — not a probe-set
+    query like :func:`ann_ivf_topk`, which answers for a handful of
+    external probes).
+
+    Shape: ONE exact-mode IVF assignment pass serves both sides — the
+    ``c_rank = 1`` rows are the member (index) side, all ``c_rank <=
+    n_probe`` rows are the query fan-out — then each cell computes its
+    probe x member similarity block as a NumPy int64 gram tile inside
+    ``applyInPandas`` (vectors quantized to ``floor(v * 2^20)``, so the
+    tile is exact integer arithmetic both engines reproduce bit-for-bit)
+    and keeps k rows per probe; a final per-query window merges the
+    <= n_probe * k survivors. Nothing is ever quadratic in the corpus:
+    work is sum over cells of |cell_probes| x |cell_members|, the IVF
+    contract (n_centroids grows ~sqrt(N) at scale, cells partition).
+
+    Determinism: scores are integer dots divided by float64 norms —
+    every op IEEE-identical in NumPy, Spark and DuckDB — with
+    (score DESC, neighbor ASC) total tie-break at both stages; per-cell
+    top-k then global top-k is exactly the global top-k because members
+    belong to one cell each (no duplicate candidates)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    assign = ivf_assign(
+        vectors,
+        quantizer
+        if quantizer is not None
+        else ivf_centroids(
+            vectors, id_col, emb_col, n_centroids, lloyd_iters=1, exact=True
+        ),
+        id_col,
+        emb_col,
+        n_probe=n_probe,
+        exact=True,
+    )
+    tagged = assign.select(
+        "cid",
+        F.col("c_rank"),
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("emb"),
+    )
+
+    out_schema = "q_id long, neighbor_id long, sim double"
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        q = np.floor(emb * QUANT_SCALE).astype(np.int64)
+        qn = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+        ids = pdf["vid"].to_numpy()
+        is_member = (pdf["c_rank"] == 1).to_numpy()
+        m_idx = np.flatnonzero(is_member)
+        if len(m_idx) == 0:
+            return pd.DataFrame(
+                {
+                    "q_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        gram = q @ q[m_idx].T  # exact int64: |partials| < 2^46 * dims
+        denom = qn[:, None] * qn[m_idx][None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, gram.astype(np.float64) / denom, -2.0)
+        m_ids = ids[m_idx]
+        # self-pairs drop to -inf and are filtered after the top-k cut
+        sim = np.where(m_ids[None, :] == ids[:, None], -np.inf, sim)
+        qi, ni, si = [], [], []
+        for r in range(len(pdf)):
+            order = np.lexsort((m_ids, -sim[r]))[:k]
+            keep = np.isfinite(sim[r][order])
+            order = order[keep]
+            if len(order):
+                qi.append(np.full(len(order), ids[r], dtype=np.int64))
+                ni.append(m_ids[order])
+                si.append(sim[r][order])
+        if not qi:
+            return pd.DataFrame(
+                {
+                    "q_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "sim": np.array([], dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(qi),
+                "neighbor_id": np.concatenate(ni),
+                "sim": np.concatenate(si),
+            }
+        )
+
+    per_cell = tagged.groupBy("cid").applyInPandas(cell_topk, out_schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        per_cell.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.col("rk").cast("int").alias("rk"),
+            (
+                F.signum(F.col("sim"))
+                * (F.floor(F.abs(F.col("sim")) * 1e6 + F.lit(0.5)) / 1e6)
+            ).alias("cos_sim"),
+        )
+    )

@@ -1574,3 +1574,109 @@ register(
         "broadcast centroid artifact, one narrow scoring pass",
     )
 )
+
+
+# ----------------------------------------- full kNN join (every vector)
+
+
+KNN_K = 5
+KNN_NPROBE = 4
+
+
+def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN: top-``KNN_K`` neighbors for EVERY corpus vector — the
+    retrieval-corpus build (kNN-LM, RETRO: each training example ships
+    with its nearest neighbors) — not a probe-set lookup like
+    ``ann_ivf``. One exact-mode IVF assignment pass serves both sides
+    (``c_rank=1`` rows are the index side, ``c_rank<=n_probe`` rows the
+    query fan-out); each cell computes its probe x member block as an
+    exact int64 NumPy gram tile in ``applyInPandas``; a per-query
+    window merges the <= n_probe*k per-cell survivors. Work is
+    sum-over-cells of |cell_probes| x |cell_members| — the IVF
+    contract, never corpus-quadratic. Quantizer comes from the same
+    fingerprint-keyed artifact ``ann_ivf`` serves from.
+
+    Scoring is the integer-quantized cosine (floor(v*2^20) dots over
+    float64 norms) end to end, so every score is bit-identical across
+    NumPy, Spark and DuckDB with no float-boundary margin arguments."""
+    from ..functions.similarity import ivf_centroids_cached, knn_join_ivf
+
+    e = _emb(spark, sf_dir)
+    quantizer = ivf_centroids_cached(
+        e, n_centroids=IVF_CENTROIDS, lloyd_iters=1, exact=True
+    )
+    return knn_join_ivf(
+        e,
+        k=KNN_K,
+        n_probe=KNN_NPROBE,
+        n_centroids=IVF_CENTROIDS,
+        quantizer=quantizer,
+    )
+
+
+def _knn_join_oracle() -> str:
+    qdot = _ivf_sql_qdot
+    qnorm = _ivf_sql_qnorm
+    qcos = (
+        f"CASE WHEN {qnorm('p.q_emb')} * {qnorm('m.n_emb')} > 0 "
+        f"THEN CAST({qdot('p.q_emb', 'm.n_emb')} AS DOUBLE) "
+        f"/ ({qnorm('p.q_emb')} * {qnorm('m.n_emb')}) "
+        f"ELSE -2.0 END"
+    )
+    return f"""
+        WITH {_ivf_training_ctes()},
+        assign AS (
+            SELECT vec_id, embedding, cid, crk
+            FROM (
+                SELECT b.vec_id, b.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY b.vec_id
+                           ORDER BY CASE WHEN {qnorm('b.embedding')}
+                                         * {qnorm('c.c_emb')} > 0
+                                    THEN CAST({qdot('b.embedding', 'c.c_emb')}
+                                              AS DOUBLE)
+                                         / ({qnorm('b.embedding')}
+                                            * {qnorm('c.c_emb')})
+                                    ELSE -2.0 END DESC,
+                                    c.cid ASC
+                       ) AS crk
+                FROM base b CROSS JOIN cents c
+            ) WHERE crk <= {KNN_NPROBE}
+        ),
+        probes AS (
+            SELECT vec_id AS q_id, embedding AS q_emb, cid FROM assign
+        ),
+        members AS (
+            SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
+            FROM assign WHERE crk = 1
+        ),
+        scored AS (
+            SELECT p.q_id, m.neighbor_id, {qcos} AS sim
+            FROM probes p JOIN members m USING (cid)
+            WHERE p.q_id <> m.neighbor_id
+        )
+        SELECT q_id, neighbor_id, rk,
+               sign(sim) * (floor(abs(sim) * 1000000.0 + 0.5)
+                            / 1000000.0) AS cos_sim
+        FROM (
+            SELECT q_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY sim DESC, neighbor_id ASC
+                   ) AS INTEGER) AS rk
+            FROM scored
+        ) WHERE rk <= {KNN_K}
+    """
+
+
+register(
+    Query(
+        name="knn_join_ivf",
+        spark=_knn_join_ivf,
+        oracle=_knn_join_oracle(),
+        tags=("similarity", "ivf", "knn-join", "llm-pipeline"),
+        doc="full kNN join (top-k neighbors for every vector) via "
+        "shared-quantizer IVF cells + exact int64 gram tiles; "
+        "bit-exact quantized-cosine scoring",
+    )
+)

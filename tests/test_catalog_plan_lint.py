@@ -37,6 +37,7 @@ EXECUTING_BUILDERS = {
     "orc_roundtrip",
     "pagerank_trade_network",  # eager-checkpoints its edge table
     "ann_ivf",                 # eager-checkpoints its quantizer
+    "knn_join_ivf",            # serves the same cached quantizer artifact
     "supplier_stock_value",    # eager-checkpoints the per-part aggregate
     "triangle_count",          # eager-checkpoints the deduped edge list
     "label_propagation",       # eager-checkpoints the undirected edges

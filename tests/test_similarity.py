@@ -461,3 +461,60 @@ def test_pq_codes_cached_hit_and_invalidation(spark, tmp_path, monkeypatch):
     got2 = key(_pq_codes_cached(changed).collect())
     assert len(os.listdir(cache)) == 2          # new fingerprint
     assert got2 and got2 != first
+
+
+# ------------------------------------------------------- kNN join (IVF)
+
+
+def test_knn_join_recall_vs_numpy_bruteforce(spark):
+    """The IVF kNN join must recover a solid fraction of each vector's
+    TRUE top-k (exact float cosine via NumPy) on the sf0.001 embeddings
+    — the standard IVF recall contract, here measured over EVERY
+    vector rather than a probe set."""
+    import numpy as np
+
+    got = QUERIES["knn_join_ivf"].spark(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, set()).add(r.neighbor_id)
+    pdf = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.where(n[:, None] * n[None, :] > 0,
+                               n[:, None] * n[None, :], 1.0)
+    np.fill_diagonal(cos, -np.inf)
+    hits = total = 0
+    k = 5
+    for i, q in enumerate(ids):
+        true_top = set(ids[np.argsort(-cos[i])[:k]])
+        approx = by_q.get(q, set())
+        hits += len(true_top & approx)
+        total += k
+    recall = hits / total
+    assert recall >= 0.5, f"kNN-join recall {recall:.2f} too low"
+
+
+def test_knn_join_shape_contracts(spark):
+    """Structural contracts: no self-pairs, at most k neighbors per
+    query, ranks are 1..k without gaps, every corpus vector appears as
+    a query, and the heavy stage runs through Arrow (FlatMapGroups),
+    never a cartesian."""
+    df = QUERIES["knn_join_ivf"].spark(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    n_vec = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    by_q = {}
+    for r in rows:
+        assert r.q_id != r.neighbor_id
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert len(by_q) == n_vec
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
