@@ -748,3 +748,27 @@ def test_linear_model_plan_single_pass(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_linear_model_partition_invariant(spark):
+    """DECIMAL(38,0) sufficient statistics are associative: the fit is
+    bit-identical under an adversarial repartitioning of the fact table
+    (the property that makes the result independent of cluster layout)."""
+    from gee_datapipeline_spark.catalog import load_table
+
+    base = QUERIES["linear_model_normal_eq"].spark(spark, SF_SMOKE).collect()
+
+    import gee_datapipeline_spark.plans.stats_queries as sq
+
+    orig = sq.load_table
+
+    def shuffled(s, d, name):
+        df = orig(s, d, name)
+        return df.repartition(13) if name == "lineitem" else df
+
+    sq.load_table = shuffled
+    try:
+        alt = QUERIES["linear_model_normal_eq"].spark(spark, SF_SMOKE).collect()
+    finally:
+        sq.load_table = orig
+    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
