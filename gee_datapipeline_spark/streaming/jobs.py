@@ -380,3 +380,69 @@ def ingest_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+KMV_STREAM_K = 16
+_KMV_STREAM_SCALE = float(1 << 60)
+
+
+def kmv_distinct_state(stream: DataFrame, k: int = KMV_STREAM_K) -> DataFrame:
+    """Streaming cardinality: per-source KMV bottom-k content sketch
+    maintained in the state store — the incremental form of the batch
+    ``kmv_distinct_overlap`` gate (same hash, same (K-1)/h_K estimator,
+    so a replayed stream converges to the batch answer exactly).
+
+    State per source is AT MOST k int64 hashes regardless of stream
+    length (the sketch property that makes this safe at 100 TB: a
+    billion-doc source still holds 16 longs), and the merge is
+    associative — checkpoint recovery or shuffled arrival order cannot
+    change the sketch. Each update emits the refreshed
+    (n_docs, distinct estimate) for the touched source."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        hs, n = (state.get if state.exists else ((), 0))
+        merged = set(hs)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            merged.update(int(h) for h in pdf["h"].dropna())
+        hs = sorted(merged)[:k]
+        state.update((hs, n))
+        cnt = len(hs)
+        est = (
+            float(cnt)
+            if cnt < k
+            else float(k - 1) / (float(hs[-1]) / _KMV_STREAM_SCALE)
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_docs": [n],
+                "est_distinct": [est],
+            }
+        )
+
+    hashed = stream.select(
+        "source",
+        F.conv(
+            F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return hashed.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType="source string, n_docs long, est_distinct double",
+        stateStructType="hs array<bigint>, n bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

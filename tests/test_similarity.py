@@ -518,3 +518,12 @@ def test_knn_join_shape_contracts(spark):
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
         assert len(rks) <= 5
+
+
+def test_knn_join_deterministic(spark):
+    """Two runs produce identical bytes — quantized-integer scoring plus
+    hash-derived quantizer leaves nothing partition- or run-dependent
+    (idempotent retrieval-corpus builds)."""
+    a = sorted(map(tuple, QUERIES["knn_join_ivf"].spark(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["knn_join_ivf"].spark(spark, SF_SMOKE).collect()))
+    assert a == b

@@ -455,3 +455,73 @@ def test_socket_source_wire_shape(spark):
         "key", "value", "source_ts",
     ]
     assert dict(wire.dtypes)["value"] == "binary"
+
+
+def test_kmv_distinct_state_converges_to_batch(spark, stream_dirs):
+    """Streaming KMV sketches replayed over chunked document files must
+    END at exactly the batch KMV answer (same hash, same estimator) —
+    verified against an INDEPENDENT pure-Python md5 reference, not the
+    Spark batch query. Intermediate updates must never exceed state of
+    k hashes (cardinality est from a prefix is still a valid KMV)."""
+    import hashlib
+
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from gee_datapipeline_spark.streaming.jobs import (
+        DOCS_STREAM_SCHEMA,
+        KMV_STREAM_K,
+        kmv_distinct_state,
+        run_to_memory,
+        stream_from_dir,
+    )
+
+    src, ckpt = stream_dirs
+    docs = duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY source, text"
+    ).fetchall()
+    third = len(docs) // 3
+    chunks = [docs[:third], docs[third : 2 * third], docs[2 * third :]]
+    q = run_to_memory(
+        kmv_distinct_state(
+            stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA)
+        ),
+        "kmv_stream",
+        ckpt,
+        output_mode="update",
+    )
+    try:
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{src}/chunk{i}")
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM kmv_stream").collect()
+    finally:
+        q.stop()
+    # final state per source = the row with the highest n_docs
+    final = {}
+    for r in rows:
+        if r.source not in final or r.n_docs > final[r.source].n_docs:
+            final[r.source] = r
+    # independent reference: pure-Python md5 KMV
+    from collections import defaultdict
+
+    by_src = defaultdict(set)
+    n_rows = defaultdict(int)
+    for s, t in docs:
+        h = int(hashlib.md5((t or "").encode()).hexdigest()[:15], 16)
+        by_src[s].add(h)
+        n_rows[s] += 1
+    assert set(final) == set(by_src)
+    for s, hset in by_src.items():
+        bottom = sorted(hset)[:KMV_STREAM_K]
+        if len(bottom) < KMV_STREAM_K:
+            want = float(len(bottom))
+        else:
+            want = float(KMV_STREAM_K - 1) / (
+                float(bottom[-1]) / float(1 << 60)
+            )
+        assert final[s].n_docs == n_rows[s]
+        assert final[s].est_distinct == want
