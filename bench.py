@@ -129,6 +129,8 @@ HEADLINE = [
     "knn_join_ivf",
     "linear_model_normal_eq",
     "kmv_distinct_overlap",
+    # Dunning G² keyness: one (lang,term) agg + vocab-sized term join
+    "term_keyness",
     # MOSS winnowing: window-min fingerprint sampling, one sort, no join
     "winnowing_fingerprints",
     # PCA principal axis: one corpus-pass scatter agg + tiny power steps
@@ -321,8 +323,29 @@ def main() -> None:
     expected_deltas: dict[str, str] = {}
     hard_regressions = False
     baseline = latest_bench_baseline()
+    drift: dict[str, object] = {}
     if baseline is not None:
         base_name, base = baseline
+        # Host-drift indicator: the median new/old ratio across every
+        # common query. Real code regressions are per-query (one ratio
+        # spikes, the median stays ~1.0); a slower host this boot (vCPU
+        # steal, thermal cap, different machine) shifts the WHOLE
+        # distribution. Reporting the median lets a reader separate
+        # "this query regressed" from "this box is 1.4x slower today"
+        # without re-deriving it from two files.
+        ratios = sorted(
+            sec / base["queries"][name]
+            for name, sec in timings.items()
+            if base.get("queries", {}).get(name, 0) > 0.05
+        )
+        if ratios:
+            drift = {
+                "baseline": base_name,
+                "n_common": len(ratios),
+                "median_ratio_vs_baseline": round(
+                    ratios[len(ratios) // 2], 3
+                ),
+            }
         for name, sec in timings.items():
             prev = base.get("queries", {}).get(name)
             # Absolute floor on top of the 20% ratio: sub-half-second
@@ -353,6 +376,7 @@ def main() -> None:
         "warmup": "table footers + pandas_udf pool + codegen",
         "regressions": regressions,
         "expected_deltas": expected_deltas,
+        "drift": drift,
     }
     # Persist the FULL result (the driver's BENCH_r{N}.json capture
     # truncates) so the next run always has a real baseline. Written

@@ -1835,3 +1835,148 @@ register(
         "agg; integer-count probabilities, decimal term accumulation",
     )
 )
+
+
+# ------------------------------------------- per-language term keyness
+
+
+def _term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature terms per language via Dunning's G² log-likelihood
+    ratio (public formula: Dunning 1993, "Accurate Methods for the
+    Statistics of Surprise and Coincidence"): for each (lang, term),
+    build the 2×2 token contingency table (term-in-lang / term-in-rest
+    / other-in-lang / other-in-rest) and score
+    ``G² = 2·Σ O·ln(O/E)``; keep the top-5 over-represented terms per
+    language. The corpus-curation use: per-source/per-language
+    vocabulary signatures surface template boilerplate and scraper
+    artifacts that per-doc quality scores miss.
+
+    Scale shape: ONE (lang, term) token hash-agg over the corpus, then
+    a vocab-sized equi-join against term totals (co-partitioned on
+    term) and a broadcast of the |langs|-row marginals. The window is
+    partitioned by lang over vocab-sized input. Exactness: every cell
+    and marginal is an exact int64 count; each O/E ratio is written as
+    ``(O/row)·(N/col)`` so both engines evaluate the identical
+    correctly-rounded IEEE double ops; the over-representation filter
+    ``a·N > n_l·c_t`` compares exact int64 products (no float
+    boundary); ranking orders by the stable-rounded score."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "lang", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    lt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("a"))
+    lang_tot = lt.groupBy("lang").agg(F.sum("a").alias("n_l"))
+    term_tot = lt.groupBy("term").agg(F.sum("a").alias("c_t"))
+    n = lt.agg(F.sum("a").alias("n"))
+    joined = (
+        lt.join(term_tot, "term")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_t") >= 5)
+        .filter(F.col("a") * F.col("n") > F.col("n_l") * F.col("c_t"))
+    )
+    ad = F.col("a").cast("double")
+    bd = (F.col("c_t") - F.col("a")).cast("double")
+    cd = (F.col("n_l") - F.col("a")).cast("double")
+    dd = (
+        F.col("n") - F.col("n_l") - (F.col("c_t") - F.col("a"))
+    ).cast("double")
+    nld = F.col("n_l").cast("double")
+    nrd = (F.col("n") - F.col("n_l")).cast("double")
+    ctd = F.col("c_t").cast("double")
+    crd = (F.col("n") - F.col("c_t")).cast("double")
+    nd = F.col("n").cast("double")
+    t_a = ad * F.log((ad / nld) * (nd / ctd))
+    t_b = F.when(
+        bd > 0, bd * F.log((bd / nrd) * (nd / ctd))
+    ).otherwise(F.lit(0.0))
+    t_c = F.when(
+        cd > 0, cd * F.log((cd / nld) * (nd / crd))
+    ).otherwise(F.lit(0.0))
+    t_d = F.when(
+        dd > 0, dd * F.log((dd / nrd) * (nd / crd))
+    ).otherwise(F.lit(0.0))
+    scored = joined.select(
+        "lang",
+        "term",
+        F.col("a").cast("long").alias("obs_count"),
+        stable_round(
+            F.lit(2.0) * (((t_a + t_b) + t_c) + t_d), 6
+        ).alias("g2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("g2").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rk", F.row_number().over(w)
+    ).filter(F.col("rk") <= 5)
+
+
+register(
+    Query(
+        name="term_keyness",
+        spark=_term_keyness,
+        oracle=r"""
+            WITH toks AS (
+                SELECT lang, unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ),
+            lt AS (
+                SELECT lang, term, count(*) AS a FROM toks GROUP BY 1, 2
+            ),
+            lang_tot AS (SELECT lang, sum(a) AS n_l FROM lt GROUP BY 1),
+            term_tot AS (SELECT term, sum(a) AS c_t FROM lt GROUP BY 1),
+            nn AS (SELECT sum(a) AS n FROM lt),
+            scored AS (
+                SELECT lt.lang, lt.term, a,
+                       2.0 * (((
+                           CAST(a AS DOUBLE)
+                           * ln((CAST(a AS DOUBLE) / CAST(n_l AS DOUBLE))
+                                * (CAST(n AS DOUBLE) / CAST(c_t AS DOUBLE)))
+                         + CASE WHEN c_t - a > 0 THEN
+                               CAST(c_t - a AS DOUBLE)
+                               * ln((CAST(c_t - a AS DOUBLE)
+                                     / CAST(n - n_l AS DOUBLE))
+                                    * (CAST(n AS DOUBLE)
+                                       / CAST(c_t AS DOUBLE)))
+                           ELSE 0.0 END)
+                         + CASE WHEN n_l - a > 0 THEN
+                               CAST(n_l - a AS DOUBLE)
+                               * ln((CAST(n_l - a AS DOUBLE)
+                                     / CAST(n_l AS DOUBLE))
+                                    * (CAST(n AS DOUBLE)
+                                       / CAST(n - c_t AS DOUBLE)))
+                           ELSE 0.0 END)
+                         + CASE WHEN n - n_l - (c_t - a) > 0 THEN
+                               CAST(n - n_l - (c_t - a) AS DOUBLE)
+                               * ln((CAST(n - n_l - (c_t - a) AS DOUBLE)
+                                     / CAST(n - n_l AS DOUBLE))
+                                    * (CAST(n AS DOUBLE)
+                                       / CAST(n - c_t AS DOUBLE)))
+                           ELSE 0.0 END) AS g2raw
+                FROM lt
+                JOIN term_tot USING (term)
+                JOIN lang_tot USING (lang)
+                CROSS JOIN nn
+                WHERE c_t >= 5 AND a * n > n_l * c_t
+            ),
+            rounded AS (
+                SELECT lang, term, CAST(a AS BIGINT) AS obs_count,
+                       floor(g2raw * 1000000.0 + 0.5) / 1000000.0 AS g2
+                FROM scored
+            )
+            SELECT lang, term, obs_count, g2, rk FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                    ORDER BY g2 DESC, term) AS rk
+                FROM rounded
+            ) WHERE rk <= 5
+        """,
+        tags=("text", "statistics", "keyness"),
+        doc="Dunning G² signature terms per language: one (lang,term) "
+        "token agg, vocab-sized term-total join, broadcast marginals; "
+        "exact-int contingency cells, IEEE-identical O/E terms",
+    )
+)

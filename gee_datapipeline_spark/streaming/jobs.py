@@ -446,3 +446,97 @@ def kmv_distinct_state(stream: DataFrame, k: int = KMV_STREAM_K) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+CMS_STREAM_DEPTH = 4
+CMS_STREAM_WIDTH = 512
+CMS_STREAM_POOL = 64
+
+
+def cms_heavy_state(
+    stream: DataFrame,
+    k: int = 10,
+    depth: int = CMS_STREAM_DEPTH,
+    width: int = CMS_STREAM_WIDTH,
+    pool: int = CMS_STREAM_POOL,
+) -> DataFrame:
+    """Streaming heavy hitters: a per-source Count-Min sketch plus a
+    bounded candidate pool maintained in the state store — the
+    incremental form of the batch ``cms_heavy_hitters`` gate (same md5
+    base hash, same (a·h+b) mod p mod w bucket family from
+    ``functions.sketches``, so cell counts and point estimates from a
+    replayed stream are BIT-IDENTICAL to the batch sketch: CMS is a
+    monoid and the update order cannot change a cell).
+
+    State per source is fixed-size regardless of stream length:
+    depth·width int64 cells + ≤``pool`` candidate terms (the classic
+    CMS+heap construction, Cormode & Muthukrishnan 2005 §4). Every
+    batch: add the batch's term counts into the cells, re-estimate the
+    union of surviving candidates and the batch's terms against the
+    updated cells, keep the top ``pool``, and emit the top ``k`` with
+    their estimates. A term can only enter the shortlist while it is
+    arriving — the standard CMS+heap admission property — so the pool
+    is sized ≥ the shortlist the consumer reads (k) with headroom.
+
+    Tokenization matches the batch gate (lower, trim, split on
+    whitespace runs); empty texts contribute nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..functions.dedup import MH_PERM_P, mh_perm_constants
+
+    a, b = mh_perm_constants(depth)
+
+    def buckets(term: str) -> list[int]:
+        h = int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16)
+        return [((a[i] * h + b[i]) % MH_PERM_P) % width for i in range(depth)]
+
+    def estimate(cells: list[int], bks: list[int]) -> int:
+        return min(cells[i * width + bks[i]] for i in range(depth))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            cells, n, cand = state.get
+            cells = list(cells)
+            cand = list(cand)
+        else:
+            cells, n, cand = [0] * (depth * width), 0, []
+        batch_terms: dict[str, int] = {}
+        for pdf in pdfs:
+            for text in pdf["text"].dropna():
+                for term in str(text).lower().strip().split():
+                    batch_terms[term] = batch_terms.get(term, 0) + 1
+                    n += 1
+        for term, c in batch_terms.items():
+            for i, bk in enumerate(buckets(term)):
+                cells[i * width + bk] += c
+        scored = sorted(
+            (
+                (-estimate(cells, buckets(t)), t)
+                for t in set(cand) | set(batch_terms)
+            ),
+        )[:pool]
+        cand = [t for _, t in scored]
+        state.update((cells, n, cand))
+        top = scored[:k]
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(top),
+                "term": [t for _, t in top],
+                "est": [-e for e, _ in top],
+                "n_tokens": [n] * len(top),
+                "rk": list(range(1, len(top) + 1)),
+            }
+        )
+
+    return stream.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source string, term string, est bigint, "
+            "n_tokens bigint, rk int"
+        ),
+        stateStructType="cells array<bigint>, n bigint, cand array<string>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

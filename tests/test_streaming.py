@@ -525,3 +525,94 @@ def test_kmv_distinct_state_converges_to_batch(spark, stream_dirs):
             )
         assert final[s].n_docs == n_rows[s]
         assert final[s].est_distinct == want
+
+
+def test_cms_heavy_state_matches_pure_python_cms(spark, stream_dirs):
+    """Streaming CMS heavy hitters replayed over chunked document files
+    must END at the top-k an INDEPENDENT pure-Python CMS computes over
+    the whole corpus (same md5 base hash, same (a·h+b) mod p mod w
+    family — CMS cells are order-independent sums, so the streamed
+    sketch is bit-identical to the batch sketch). Estimates must also
+    satisfy the CMS one-sided guarantee vs exact counts."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from gee_datapipeline_spark.functions.dedup import (
+        MH_PERM_P,
+        mh_perm_constants,
+    )
+    from gee_datapipeline_spark.streaming.jobs import (
+        CMS_STREAM_DEPTH,
+        CMS_STREAM_WIDTH,
+        DOCS_STREAM_SCHEMA,
+        cms_heavy_state,
+        run_to_memory,
+        stream_from_dir,
+    )
+
+    src, ckpt = stream_dirs
+    docs = duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY source, text"
+    ).fetchall()
+    third = len(docs) // 3
+    chunks = [docs[:third], docs[third : 2 * third], docs[2 * third :]]
+    q = run_to_memory(
+        cms_heavy_state(
+            stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA), k=10
+        ),
+        "cms_stream",
+        ckpt,
+        output_mode="update",
+    )
+    try:
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{src}/chunk{i}")
+            q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cms_stream").collect()
+    finally:
+        q.stop()
+    # final emission per source = rows with the highest n_tokens
+    final = defaultdict(dict)
+    n_final = {}
+    for r in rows:
+        if r.source not in n_final or r.n_tokens > n_final[r.source]:
+            n_final[r.source] = r.n_tokens
+            final[r.source] = {}
+        if r.n_tokens == n_final[r.source]:
+            final[r.source][r.rk] = (r.term, r.est)
+
+    # independent reference: pure-Python CMS over the full corpus
+    depth, width = CMS_STREAM_DEPTH, CMS_STREAM_WIDTH
+    a, b = mh_perm_constants(depth)
+
+    def buckets(term):
+        h = int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+        return [((a[i] * h + b[i]) % MH_PERM_P) % width for i in range(depth)]
+
+    by_src = defaultdict(Counter)
+    for s, t in docs:
+        by_src[s].update((t or "").lower().strip().split())
+    assert set(final) == set(by_src)
+    for s, counts in by_src.items():
+        cells = [0] * (depth * width)
+        for term, c in counts.items():
+            for i, bk in enumerate(buckets(term)):
+                cells[i * width + bk] += c
+
+        def est(term):
+            bks = buckets(term)
+            return min(cells[i * width + bks[i]] for i in range(depth))
+
+        want = sorted(((-est(t), t) for t in counts))[:10]
+        got = [final[s][rk] for rk in sorted(final[s])]
+        assert got == [(t, -e) for e, t in want], f"source {s}"
+        assert n_final[s] == sum(counts.values())
+        # CMS one-sided guarantee: estimate >= exact count
+        for term, e in got:
+            assert e >= counts[term]
