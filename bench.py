@@ -131,6 +131,8 @@ HEADLINE = [
     "kmv_distinct_overlap",
     # Dunning G² keyness: one (lang,term) agg + vocab-sized term join
     "term_keyness",
+    # water-filling budget cap: one per-source agg + analytic water line
+    "source_token_waterfill",
     # MOSS winnowing: window-min fingerprint sampling, one sort, no join
     "winnowing_fingerprints",
     # PCA principal axis: one corpus-pass scatter agg + tiny power steps

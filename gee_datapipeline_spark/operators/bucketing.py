@@ -70,24 +70,46 @@ def bucketed_table(
     The table name embeds the corpus fingerprint, so a data change never
     serves a stale layout — it simply creates a new table. Within a
     session the layout cost is paid once (``spark.catalog.tableExists``
-    short-circuits); across sessions the in-memory catalog forgets, and
-    the layout is rebuilt — on a cluster with a persistent metastore it
-    would not be.
+    short-circuits). Across sessions the in-memory catalog forgets, but
+    the bucketed FILES survive at the external location with their
+    bucket ids in the file names — so instead of rewriting the corpus,
+    re-attach a bucketed external table over the existing files with
+    one DDL (the same move a persistent metastore makes implicit).
+    Laying out is paid once per corpus STATE, not once per session.
     """
     spark: SparkSession = df.sparkSession
     fp = corpus_fingerprint(df, *fingerprint_cols)
     name = f"{base_name}_b{n_buckets}_{fp}"
+    path = os.path.join(_artifact_root(), name)
     if not spark.catalog.tableExists(name):
-        (
-            df.write.bucketBy(n_buckets, bucket_col)
-            .sortBy(bucket_col)
-            .mode("overwrite")
-            .format("parquet")
-            # External location: keeps the layout with the other cached
-            # artifacts instead of a cwd-relative spark-warehouse.
-            .option("path", os.path.join(_artifact_root(), name))
-            .saveAsTable(name)
-        )
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Files from a previous session: re-attach, don't rewrite.
+            # Spark reads bucket ids from the saveAsTable file-name
+            # convention, so the re-created table keeps the
+            # no-Exchange join property (asserted in
+            # tests/test_bucketed_join.py::test_relayout_reattaches).
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE `{name}` ({cols_ddl}) USING parquet "
+                f"CLUSTERED BY (`{bucket_col}`) "
+                f"SORTED BY (`{bucket_col}`) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                df.write.bucketBy(n_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .mode("overwrite")
+                .format("parquet")
+                # External location: keeps the layout with the other
+                # cached artifacts instead of a cwd-relative
+                # spark-warehouse.
+                .option("path", path)
+                .saveAsTable(name)
+            )
     return spark.table(name)
 
 

@@ -471,3 +471,131 @@ register(
         tags=("sampling", "budget", "llm-pipeline"),
     )
 )
+
+
+# ------------------------------------------- source token water-filling
+
+
+def _source_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling allocation of a global token budget across sources
+    — the mixture-design step that caps over-represented domains
+    instead of downsampling everything uniformly: find the largest
+    integer cap λ with Σ_s min(T_s, λ) ≤ B, then allocate
+    min(T_s, λ) to each source. Sources below the water line keep
+    every token; only the heavy tail is cut.
+
+    Scale shape: the ONLY corpus-sized stage is the per-source token
+    sum (map-side combinable). The water line is found analytically on
+    the |sources|-row table: sort ascending, prefix-sum, pick the last
+    rank i0 where capping at T_i0 still fits the budget, and close the
+    form with one integer division — no iteration, no budget search
+    loop. The two global windows run over |sources| rows (bounded by
+    the source vocabulary, never by the corpus). Every quantity is an
+    exact int64/integer-division value, so the gate is hash-exact."""
+    docs = _docs(spark, sf_dir)
+    totals = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).alias("t")
+    )
+    w = Window.orderBy(F.asc("t"), F.asc("source"))
+    ranked = totals.select(
+        "source",
+        "t",
+        F.row_number().over(w).alias("i"),
+        F.sum("t")
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    g = totals.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("t").alias("total")
+    ).select("k", "total", F.expr("total div 2").alias("b"))
+    # Last ascending rank where capping everything above it at its own
+    # total still fits: cum_i + T_i·(k−i) ≤ B. max_by keeps (i0, cum_i0)
+    # in one pass over the |sources|-row table.
+    sel = (
+        ranked.crossJoin(F.broadcast(g))
+        .filter(
+            F.col("cum") + F.col("t") * (F.col("k") - F.col("i"))
+            <= F.col("b")
+        )
+        .agg(
+            F.max_by(F.col("i"), F.col("i")).alias("i0"),
+            F.max_by(F.col("cum"), F.col("i")).alias("cum0"),
+        )
+    )
+    params = g.crossJoin(F.broadcast(sel)).select(
+        "k",
+        "b",
+        F.when(
+            F.coalesce(F.col("i0"), F.lit(0)) == F.col("k"), F.lit(None)
+        )
+        .otherwise(
+            F.expr(
+                "(b - coalesce(cum0, 0)) div (k - coalesce(i0, 0))"
+            )
+        )
+        .alias("cap"),
+    )
+    return totals.crossJoin(F.broadcast(params)).select(
+        "source",
+        F.col("t").alias("n_tokens"),
+        F.when(F.col("cap").isNull(), F.col("t"))
+        .otherwise(F.least(F.col("t"), F.col("cap")))
+        .alias("alloc"),
+        F.when(F.col("cap").isNull(), F.lit(False))
+        .otherwise(F.col("t") > F.col("cap"))
+        .alias("capped"),
+        F.col("cap").cast("long").alias("cap"),
+    )
+
+
+register(
+    Query(
+        name="source_token_waterfill",
+        spark=_source_token_waterfill,
+        oracle=r"""
+            WITH totals AS (
+                SELECT source,
+                       CAST(sum(len(string_split_regex(
+                           lower(trim(text)), '\s+'))) AS BIGINT) AS t
+                FROM documents GROUP BY 1
+            ),
+            ranked AS (
+                SELECT source, t,
+                       row_number() OVER (ORDER BY t, source) AS i,
+                       CAST(sum(t) OVER (ORDER BY t, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+                FROM totals
+            ),
+            g AS (
+                SELECT count(*) AS k,
+                       CAST(sum(t) AS BIGINT) // 2 AS b
+                FROM totals
+            ),
+            sel AS (
+                SELECT max_by(i, i) AS i0, max_by(cum, i) AS cum0
+                FROM ranked, g
+                WHERE cum + t * (k - i) <= b
+            ),
+            params AS (
+                SELECT CASE WHEN coalesce(i0, 0) = k THEN NULL
+                            ELSE (b - coalesce(cum0, 0))
+                                 // (k - coalesce(i0, 0)) END AS cap
+                FROM g, sel
+            )
+            SELECT source, t AS n_tokens,
+                   CASE WHEN cap IS NULL THEN t
+                        ELSE least(t, cap) END AS alloc,
+                   CASE WHEN cap IS NULL THEN FALSE
+                        ELSE t > cap END AS capped,
+                   CAST(cap AS BIGINT) AS cap
+            FROM totals, params
+        """,
+        tags=("sampling", "mixture", "llm-pipeline"),
+        doc="water-filling token-budget cap across sources: one "
+        "per-source token agg, analytic integer water line on the "
+        "|sources|-row table (sort + prefix sum + one division)",
+    )
+)

@@ -1873,7 +1873,16 @@ def _term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lang_tot), "lang")
         .crossJoin(F.broadcast(n))
         .filter(F.col("c_t") >= 5)
-        .filter(F.col("a") * F.col("n") > F.col("n_l") * F.col("c_t"))
+        # Exact over-representation test a/n_l > c_t/N as a product
+        # comparison — in DECIMAL(19,0)x(19,0)=DECIMAL(38,0) so it
+        # cannot overflow even at 100 TB token counts (a*n ~ 1e22
+        # exceeds int64); the oracle mirrors with HUGEINT products.
+        .filter(
+            F.col("a").cast("decimal(19,0)")
+            * F.col("n").cast("decimal(19,0)")
+            > F.col("n_l").cast("decimal(19,0)")
+            * F.col("c_t").cast("decimal(19,0)")
+        )
     )
     ad = F.col("a").cast("double")
     bd = (F.col("c_t") - F.col("a")).cast("double")
@@ -1961,7 +1970,8 @@ register(
                 JOIN term_tot USING (term)
                 JOIN lang_tot USING (lang)
                 CROSS JOIN nn
-                WHERE c_t >= 5 AND a * n > n_l * c_t
+                WHERE c_t >= 5
+                  AND CAST(a AS HUGEINT) * n > CAST(n_l AS HUGEINT) * c_t
             ),
             rounded AS (
                 SELECT lang, term, CAST(a AS BIGINT) AS obs_count,

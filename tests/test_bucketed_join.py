@@ -151,3 +151,61 @@ def test_bloom_default_sizing_fp_rate_is_tiny(spark):
         r.o_custkey for r in orders.select("o_custkey").distinct().collect()
     }
     assert passed_keys == (true_keys & all_keys)
+
+
+def test_relayout_reattaches_without_rewriting(spark):
+    """Cross-session amortization: when the bucketed files already
+    exist (a previous session wrote them) but the in-memory catalog
+    has forgotten the table, bucketed_table must RE-ATTACH via DDL —
+    same files (no rewrite), and the re-attached table must still give
+    the no-Exchange co-located join."""
+    import os
+    import re as _re
+
+    from gee_datapipeline_spark.operators.bucketing import (
+        _artifact_root,
+        corpus_fingerprint,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    a = bucketed_table(
+        orders, "orders_by_cust", "o_custkey", ("o_orderkey", "o_totalprice")
+    )
+    n_rows = a.count()
+    fp = corpus_fingerprint(orders, "o_orderkey", "o_totalprice")
+    name = f"orders_by_cust_b8_{fp}"
+    path = os.path.join(_artifact_root(), name)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert mtimes, "expected bucketed parquet files on disk"
+    # Simulate the next session: catalog forgets, files survive.
+    spark.sql(f"DROP TABLE `{name}`")
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    b = bucketed_table(
+        orders, "orders_by_cust", "o_custkey", ("o_orderkey", "o_totalprice")
+    )
+    assert b.count() == n_rows
+    after = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    assert after == mtimes, "re-attach must not rewrite the files"
+    joined = colocated_join(
+        orders,
+        customer,
+        "orders_by_cust",
+        "customer_by_cust",
+        "o_custkey",
+        "c_custkey",
+        ("o_orderkey", "o_totalprice"),
+        ("c_custkey", "c_acctbal"),
+    )
+    plan = _plan(joined)
+    assert "SortMergeJoin" in plan
+    assert not _re.search(r"Exchange hashpartitioning\(o_custkey", plan)
+    assert not _re.search(r"Exchange hashpartitioning\(c_custkey", plan)

@@ -91,6 +91,8 @@ BNLJ_WHITELIST = {
     "hybrid_rrf_topk",  # 1-row probe vector + 1-row BM25 stats broadcasts
     "basket_lift_pairs",  # 1-row order-count scalar broadcast
     "kmv_distinct_overlap",  # |sources|-row sketch-summary self-pairing
+    "source_token_waterfill",  # 1-row budget/water-line broadcasts
+    "term_keyness",  # 1-row corpus token-total broadcast
 }
 
 # Unpartitioned (single-partition) windows over PROVABLY BOUNDED
@@ -103,6 +105,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "cumulative_unique_users",  # |distinct days| rows (calendar-bounded)
     "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
     "token_budget_head",        # SCORE_LEVELS-row running-mass windows
+    "source_token_waterfill",   # |sources|-row rank/prefix-sum windows
     "geo_max_composite_frp",    # one image: raster-sized, never corpus
                                 # (W1's per-image min-max is the
                                 # reference's own global-agg semantic)
