@@ -133,6 +133,8 @@ HEADLINE = [
     "term_keyness",
     # water-filling budget cap: one per-source agg + analytic water line
     "source_token_waterfill",
+    # Zipf exponent: corpus term agg + TakeOrdered head + decimal OLS
+    "zipf_slope",
     # MOSS winnowing: window-min fingerprint sampling, one sort, no join
     "winnowing_fingerprints",
     # PCA principal axis: one corpus-pass scatter agg + tiny power steps

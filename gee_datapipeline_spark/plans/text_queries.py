@@ -1990,3 +1990,141 @@ register(
         "exact-int contingency cells, IEEE-identical O/E terms",
     )
 )
+
+
+# ------------------------------------------------------- Zipf exponent
+
+ZIPF_HEAD = 1000
+
+
+def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus: least-squares fit of
+    ``ln(count) = intercept − s·ln(rank)`` over the top-``ZIPF_HEAD``
+    terms (Zipf's law is a head phenomenon; the tail is censored by
+    corpus size). A healthy natural corpus sits near s ≈ 1 — strong
+    deviation flags templated/boilerplate-heavy or synthetic text, so
+    this is a one-row corpus health probe next to `lang_profile`.
+
+    Scale shape: one corpus-sized (term) count agg; the head is
+    k-bounded (TakeOrderedAndProject, never a vocab sort); ranking and
+    the OLS sufficient statistics run over ≤ZIPF_HEAD rows. Each
+    ln-term is the identical IEEE double on both engines (exact-int
+    inputs), the five OLS sums ride DECIMAL(38,12) (order-independent),
+    and the closed form is written identically in both engines."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    head = counts.orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    ).limit(ZIPF_HEAD)
+    w = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    ranked = head.withColumn("r", F.row_number().over(w))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    dec = "decimal(38,12)"
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+    )
+    d = sums.select(
+        F.col("n").cast("double").alias("nd"),
+        F.col("n").cast("long").alias("n_terms"),
+        F.col("sx").cast("double").alias("sx"),
+        F.col("sy").cast("double").alias("sy"),
+        F.col("sxy").cast("double").alias("sxy"),
+        F.col("sxx").cast("double").alias("sxx"),
+        F.col("syy").cast("double").alias("syy"),
+    )
+    slope = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    with_slope = d.select("n_terms", "nd", "sx", "sy", "sxx", "sxy",
+                          "syy", slope.alias("b"))
+    r2_num = (
+        F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )
+    r2 = (r2_num * r2_num) / (
+        (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return with_slope.select(
+        "n_terms",
+        stable_round(-F.col("b"), 6).alias("zipf_exponent"),
+        stable_round(
+            (F.col("sy") - F.col("b") * F.col("sx")) / F.col("nd"), 6
+        ).alias("intercept"),
+        stable_round(r2, 6).alias("r2"),
+    )
+
+
+register(
+    Query(
+        name="zipf_slope",
+        spark=_zipf_slope,
+        oracle=r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(
+                    lower(trim(text)), '\s+')) AS term
+                FROM documents
+            ),
+            counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+            head AS (
+                SELECT term, c FROM counts
+                ORDER BY c DESC, term LIMIT 1000
+            ),
+            ranked AS (
+                SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+                FROM head
+            ),
+            sums AS (
+                SELECT count(*) AS n,
+                       sum(CAST(ln(CAST(r AS DOUBLE))
+                           AS DECIMAL(38,12))) AS sx,
+                       sum(CAST(ln(CAST(c AS DOUBLE))
+                           AS DECIMAL(38,12))) AS sy,
+                       sum(CAST(ln(CAST(r AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE))
+                           AS DECIMAL(38,12))) AS sxy,
+                       sum(CAST(ln(CAST(r AS DOUBLE))
+                           * ln(CAST(r AS DOUBLE))
+                           AS DECIMAL(38,12))) AS sxx,
+                       sum(CAST(ln(CAST(c AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE))
+                           AS DECIMAL(38,12))) AS syy
+                FROM ranked
+            ),
+            d AS (
+                SELECT CAST(n AS DOUBLE) AS nd, CAST(n AS BIGINT) AS n_terms,
+                       CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                       CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+                       CAST(syy AS DOUBLE) AS syy
+                FROM sums
+            ),
+            w AS (
+                SELECT n_terms, nd, sx, sy, sxx, sxy, syy,
+                       (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS b
+                FROM d
+            )
+            SELECT n_terms,
+                   floor((-b) * 1000000.0 + 0.5) / 1000000.0
+                       AS zipf_exponent,
+                   floor(((sy - b * sx) / nd) * 1000000.0 + 0.5)
+                       / 1000000.0 AS intercept,
+                   floor(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                       / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                       * 1000000.0 + 0.5) / 1000000.0 AS r2
+            FROM w
+        """,
+        tags=("text", "statistics", "corpus-health"),
+        doc="Zipf exponent over the k-bounded frequency head: corpus "
+        "agg + TakeOrdered(1000) + decimal OLS sums, one output row",
+    )
+)

@@ -106,6 +106,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
     "token_budget_head",        # SCORE_LEVELS-row running-mass windows
     "source_token_waterfill",   # |sources|-row rank/prefix-sum windows
+    "zipf_slope",               # ≤ZIPF_HEAD rows post-TakeOrdered
     "geo_max_composite_frp",    # one image: raster-sized, never corpus
                                 # (W1's per-image min-max is the
                                 # reference's own global-agg semantic)

@@ -616,3 +616,110 @@ def test_cms_heavy_state_matches_pure_python_cms(spark, stream_dirs):
         # CMS one-sided guarantee: estimate >= exact count
         for term, e in got:
             assert e >= counts[term]
+
+
+def test_cms_heavy_state_survives_restart(spark, stream_dirs):
+    """Checkpoint recovery: process half the corpus, STOP the query,
+    start a NEW query from the same checkpoint, process the rest — the
+    recovered state must carry the sketch, and the final top-k must
+    equal the pure-Python CMS over the full corpus (same assertion as
+    the replay test, now across a restart boundary)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from conftest import SF_SMOKE
+    from gee_datapipeline_spark.functions.dedup import (
+        MH_PERM_P,
+        mh_perm_constants,
+    )
+    from gee_datapipeline_spark.streaming.jobs import (
+        CMS_STREAM_DEPTH,
+        CMS_STREAM_WIDTH,
+        DOCS_STREAM_SCHEMA,
+        cms_heavy_state,
+        stream_from_dir,
+    )
+
+    src, ckpt = stream_dirs
+    docs = duckdb.sql(
+        f"SELECT source, text FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet') ORDER BY source, text"
+    ).fetchall()
+    half = len(docs) // 2
+    # The memory sink refuses checkpoint recovery (not fault-tolerant);
+    # a foreachBatch parquet-append sink IS recoverable and is what a
+    # production job would use.
+    out = src + "_out"
+
+    def start():
+        return (
+            cms_heavy_state(
+                stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA),
+                k=10,
+            )
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .start()
+        )
+
+    q1 = start()
+    try:
+        spark.createDataFrame(docs[:half], DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/chunk0")
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    q2 = start()
+    try:
+        spark.createDataFrame(docs[half:], DOCS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/chunk1")
+        q2.processAllAvailable()
+        rows = spark.read.parquet(out).collect()
+    finally:
+        q2.stop()
+
+    final = defaultdict(dict)
+    n_final = {}
+    for r in rows:
+        if r.source not in n_final or r.n_tokens > n_final[r.source]:
+            n_final[r.source] = r.n_tokens
+            final[r.source] = {}
+        if r.n_tokens == n_final[r.source]:
+            final[r.source][r.rk] = (r.term, r.est)
+
+    depth, width = CMS_STREAM_DEPTH, CMS_STREAM_WIDTH
+    a, b = mh_perm_constants(depth)
+
+    def buckets(term):
+        h = int(hashlib.md5(term.encode()).hexdigest()[:8], 16)
+        return [((a[i] * h + b[i]) % MH_PERM_P) % width for i in range(depth)]
+
+    by_src = defaultdict(Counter)
+    for s, t in docs:
+        by_src[s].update((t or "").lower().strip().split())
+    # every source seen in the SECOND half re-emits after recovery; its
+    # sketch must reflect BOTH halves
+    second_half_sources = {s for s, _ in docs[half:]}
+    assert second_half_sources <= set(by_src)
+    for s in sorted(second_half_sources):
+        counts = by_src[s]
+        cells = [0] * (depth * width)
+        for term, c in counts.items():
+            for i, bk in enumerate(buckets(term)):
+                cells[i * width + bk] += c
+
+        def est(term):
+            bks = buckets(term)
+            return min(cells[i * width + bks[i]] for i in range(depth))
+
+        want = sorted(((-est(t), t) for t in counts))[:10]
+        got = [final[s][rk] for rk in sorted(final[s])]
+        assert got == [(t, -e) for e, t in want], f"source {s}"
+        assert n_final[s] == sum(counts.values())
