@@ -382,7 +382,12 @@ def ingest_dedup_stream(
     )
 
 
-DOCS_STREAM_SCHEMA = T.StructType(
+# (source, text) wire schema for the per-source sketch jobs below —
+# distinct from DOCS_STREAM_SCHEMA above (doc_id, text), which the
+# ingestion-dedup loop consumes. A second module-level assignment of
+# the same name would silently shadow the first (it did, for one
+# commit — caught by test_ingest_dedup_stream_cross_batch).
+SOURCE_DOCS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType(), False),
         T.StructField("text", T.StringType(), True),

@@ -469,7 +469,7 @@ def test_kmv_distinct_state_converges_to_batch(spark, stream_dirs):
 
     from conftest import SF_SMOKE
     from gee_datapipeline_spark.streaming.jobs import (
-        DOCS_STREAM_SCHEMA,
+        SOURCE_DOCS_STREAM_SCHEMA,
         KMV_STREAM_K,
         kmv_distinct_state,
         run_to_memory,
@@ -485,7 +485,7 @@ def test_kmv_distinct_state_converges_to_batch(spark, stream_dirs):
     chunks = [docs[:third], docs[third : 2 * third], docs[2 * third :]]
     q = run_to_memory(
         kmv_distinct_state(
-            stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA)
+            stream_from_dir(spark, src + "/*", SOURCE_DOCS_STREAM_SCHEMA)
         ),
         "kmv_stream",
         ckpt,
@@ -493,7 +493,7 @@ def test_kmv_distinct_state_converges_to_batch(spark, stream_dirs):
     )
     try:
         for i, chunk in enumerate(chunks):
-            spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(
+            spark.createDataFrame(chunk, SOURCE_DOCS_STREAM_SCHEMA).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{src}/chunk{i}")
             q.processAllAvailable()
@@ -547,7 +547,7 @@ def test_cms_heavy_state_matches_pure_python_cms(spark, stream_dirs):
     from gee_datapipeline_spark.streaming.jobs import (
         CMS_STREAM_DEPTH,
         CMS_STREAM_WIDTH,
-        DOCS_STREAM_SCHEMA,
+        SOURCE_DOCS_STREAM_SCHEMA,
         cms_heavy_state,
         run_to_memory,
         stream_from_dir,
@@ -562,7 +562,7 @@ def test_cms_heavy_state_matches_pure_python_cms(spark, stream_dirs):
     chunks = [docs[:third], docs[third : 2 * third], docs[2 * third :]]
     q = run_to_memory(
         cms_heavy_state(
-            stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA), k=10
+            stream_from_dir(spark, src + "/*", SOURCE_DOCS_STREAM_SCHEMA), k=10
         ),
         "cms_stream",
         ckpt,
@@ -570,7 +570,7 @@ def test_cms_heavy_state_matches_pure_python_cms(spark, stream_dirs):
     )
     try:
         for i, chunk in enumerate(chunks):
-            spark.createDataFrame(chunk, DOCS_STREAM_SCHEMA).coalesce(
+            spark.createDataFrame(chunk, SOURCE_DOCS_STREAM_SCHEMA).coalesce(
                 1
             ).write.mode("overwrite").parquet(f"{src}/chunk{i}")
             q.processAllAvailable()
@@ -637,7 +637,7 @@ def test_cms_heavy_state_survives_restart(spark, stream_dirs):
     from gee_datapipeline_spark.streaming.jobs import (
         CMS_STREAM_DEPTH,
         CMS_STREAM_WIDTH,
-        DOCS_STREAM_SCHEMA,
+        SOURCE_DOCS_STREAM_SCHEMA,
         cms_heavy_state,
         stream_from_dir,
     )
@@ -656,7 +656,7 @@ def test_cms_heavy_state_survives_restart(spark, stream_dirs):
     def start():
         return (
             cms_heavy_state(
-                stream_from_dir(spark, src + "/*", DOCS_STREAM_SCHEMA),
+                stream_from_dir(spark, src + "/*", SOURCE_DOCS_STREAM_SCHEMA),
                 k=10,
             )
             .writeStream.outputMode("update")
@@ -669,7 +669,7 @@ def test_cms_heavy_state_survives_restart(spark, stream_dirs):
 
     q1 = start()
     try:
-        spark.createDataFrame(docs[:half], DOCS_STREAM_SCHEMA).coalesce(
+        spark.createDataFrame(docs[:half], SOURCE_DOCS_STREAM_SCHEMA).coalesce(
             1
         ).write.mode("overwrite").parquet(f"{src}/chunk0")
         q1.processAllAvailable()
@@ -677,7 +677,7 @@ def test_cms_heavy_state_survives_restart(spark, stream_dirs):
         q1.stop()
     q2 = start()
     try:
-        spark.createDataFrame(docs[half:], DOCS_STREAM_SCHEMA).coalesce(
+        spark.createDataFrame(docs[half:], SOURCE_DOCS_STREAM_SCHEMA).coalesce(
             1
         ).write.mode("overwrite").parquet(f"{src}/chunk1")
         q2.processAllAvailable()
