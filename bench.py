@@ -133,6 +133,8 @@ HEADLINE = [
     "term_keyness",
     # water-filling budget cap: one per-source agg + analytic water line
     "source_token_waterfill",
+    # doc-level cap application: broadcast alloc + per-source window
+    "waterfill_apply",
     # Zipf exponent: corpus term agg + TakeOrdered head + decimal OLS
     "zipf_slope",
     # MOSS winnowing: window-min fingerprint sampling, one sort, no join

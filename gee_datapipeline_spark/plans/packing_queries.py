@@ -599,3 +599,105 @@ register(
         "|sources|-row table (sort + prefix sum + one division)",
     )
 )
+
+
+def _waterfill_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the water-filling cap at the document level: each source
+    keeps documents in deterministic (hash, doc_id) order until its
+    allocation (``source_token_waterfill``) fills — the executable half
+    of the mixture-design step. Reuses the cap plan verbatim (the
+    |sources|-row allocation table broadcasts); the per-source running
+    token sum is a window PARTITIONED by source, so no task ever sees
+    more than one source's documents. Deterministic: the keep set is a
+    pure function of the corpus (hash order, no RNG), so retries and
+    re-runs rebuild the identical mixture."""
+    docs = _docs(spark, sf_dir)
+    alloc = _source_token_waterfill(spark, sf_dir).select(
+        "source", "alloc"
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(sample_hash("doc_id").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_doc.withColumn(
+        "run_tokens", F.sum("n_tokens").over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("run_tokens") <= F.col("alloc"))
+        .select("doc_id", "source", "n_tokens", "run_tokens")
+    )
+
+
+register(
+    Query(
+        name="waterfill_apply",
+        spark=_waterfill_apply,
+        oracle=rf"""
+            WITH totals AS (
+                SELECT source,
+                       CAST(sum({SQL_TOKENS}) AS BIGINT) AS t
+                FROM documents GROUP BY 1
+            ),
+            src_ranked AS (
+                SELECT source, t,
+                       row_number() OVER (ORDER BY t, source) AS i,
+                       CAST(sum(t) OVER (ORDER BY t, source
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+                FROM totals
+            ),
+            g AS (
+                SELECT count(*) AS k,
+                       CAST(sum(t) AS BIGINT) // 2 AS b
+                FROM totals
+            ),
+            sel AS (
+                SELECT max_by(i, i) AS i0, max_by(cum, i) AS cum0
+                FROM src_ranked, g
+                WHERE cum + t * (k - i) <= b
+            ),
+            params AS (
+                SELECT CASE WHEN coalesce(i0, 0) = k THEN NULL
+                            ELSE (b - coalesce(cum0, 0))
+                                 // (k - coalesce(i0, 0)) END AS cap
+                FROM g, sel
+            ),
+            alloc AS (
+                SELECT source,
+                       CASE WHEN cap IS NULL THEN t
+                            ELSE least(t, cap) END AS alloc
+                FROM totals, params
+            ),
+            per_doc AS (
+                SELECT doc_id, source,
+                       CAST({SQL_TOKENS} AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            rr AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           PARTITION BY source
+                           ORDER BY (doc_id * 2654435761) % 4294967296,
+                                    doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW
+                       ) AS BIGINT) AS run_tokens
+                FROM per_doc
+            )
+            SELECT doc_id, source, n_tokens, run_tokens
+            FROM rr JOIN alloc USING (source)
+            WHERE run_tokens <= alloc
+        """,
+        tags=("sampling", "mixture", "llm-pipeline"),
+        doc="doc-level application of the water-filling cap: broadcast "
+        "|sources|-row allocation, per-source hash-ordered running sum "
+        "(window partitioned by source), deterministic keep set",
+    )
+)

@@ -23,7 +23,7 @@ from ..functions.similarity import (
     sql_decimal_dot,
     sql_decimal_sq_dist_slice,
 )
-from ..functions.stable import sql_stable_avg, stable_avg
+from ..functions.stable import sql_stable_avg, stable_avg, stable_round
 from .registry import Query, register
 
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -1498,11 +1498,19 @@ def _embedding_outlier_filter(
     pass over the corpus (broadcast hash join + codegen arithmetic),
     so the corpus is never shuffled on a data-dependent key.
 
-    Cross-engine exactness: centroid components are decimal-stable
-    6 dp means cast to double; the dot rides the DECIMAL(38,12)
-    accumulator (order-independent); the flag compares the unrounded
-    double so display rounding can never flip it.
+    Cross-engine exactness: the sf0.1 sweep caught a row whose
+    decimal-dot cosine landed 1 ulp apart across engines exactly on a
+    6-dp rounding midpoint (0.0814695) — no rounding form can survive
+    that, so the score is the family's integer-quantized cosine
+    (``floor(v·2^20)`` components — the ×2^20 multiply is exact in
+    IEEE, floor has no midpoint; dots and square norms are exact int64
+    sums), making the raw score bit-identical in both engines before
+    any rounding. Centroid components are decimal-stable 6-dp means
+    cast to double (one correctly-rounded conversion of the same
+    rational on each engine).
     """
+    from ..functions.similarity import QUANT_SCALE
+
     e = _emb(spark, sf_dir)
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
@@ -1518,18 +1526,37 @@ def _embedding_outlier_filter(
             lambda s: s["c"],
         ).alias("centroid")
     )
-    cos = cosine(
-        F.col("embedding"),
-        F.col("centroid"),
-        F.sqrt(sq_norm(F.col("embedding"))),
-        F.sqrt(sq_norm(F.col("centroid"))),
+    zero = F.lit(0).cast("long")
+
+    def quant(arr):
+        return F.transform(
+            arr,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(QUANT_SCALE))
+            ).cast("long"),
+        )
+
+    def qdot(qa, qb):
+        return F.aggregate(
+            F.zip_with(qa, qb, lambda a, b: a * b),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    qe = quant(F.col("embedding"))
+    qc = quant(F.col("centroid"))
+    denom = F.sqrt(qdot(qe, qe).cast("double")) * F.sqrt(
+        qdot(qc, qc).cast("double")
     )
+    cos = F.when(
+        denom > 0, qdot(qe, qc).cast("double") / denom
+    ).otherwise(F.lit(0.0))
     return (
         e.join(F.broadcast(carr), "label")
         .select(
             "vec_id",
             "label",
-            F.round(cos, 6).alias("centroid_cos"),
+            stable_round(cos, 6).alias("centroid_cos"),
             (cos < F.lit(OUTLIER_COS)).alias("is_outlier"),
         )
     )
@@ -1556,18 +1583,22 @@ register(
                 SELECT label, list(c ORDER BY dim) AS centroid
                 FROM cent GROUP BY 1
             )
-            SELECT e.vec_id, e.label,
-                   round({sql_cosine(
-                       'e.embedding', 'c.centroid',
-                       f"sqrt({sql_decimal_dot('e.embedding', 'e.embedding')})",
-                       f"sqrt({sql_decimal_dot('c.centroid', 'c.centroid')})",
-                   )}, 6) AS centroid_cos,
-                   ({sql_cosine(
-                       'e.embedding', 'c.centroid',
-                       f"sqrt({sql_decimal_dot('e.embedding', 'e.embedding')})",
-                       f"sqrt({sql_decimal_dot('c.centroid', 'c.centroid')})",
-                   )} < {OUTLIER_COS!r}) AS is_outlier
-            FROM embeddings e JOIN carr c USING (label)
+            , scored AS (
+                SELECT e.vec_id, e.label,
+                       CASE WHEN ({_ivf_sql_qnorm('e.embedding')}
+                                  * {_ivf_sql_qnorm('c.centroid')}) > 0
+                            THEN CAST({_ivf_sql_qdot(
+                                'e.embedding', 'c.centroid')} AS DOUBLE)
+                                 / ({_ivf_sql_qnorm('e.embedding')}
+                                    * {_ivf_sql_qnorm('c.centroid')})
+                            ELSE 0.0 END AS cos
+                FROM embeddings e JOIN carr c USING (label)
+            )
+            SELECT vec_id, label,
+                   floor(cos * 1000000.0 + 0.5) / 1000000.0
+                       AS centroid_cos,
+                   (cos < {OUTLIER_COS!r}) AS is_outlier
+            FROM scored
         """,
         tags=("similarity", "curation", "llm-pipeline"),
         doc="Per-label centroid outlier screen: bounded unpivot agg, "

@@ -92,6 +92,7 @@ BNLJ_WHITELIST = {
     "basket_lift_pairs",  # 1-row order-count scalar broadcast
     "kmv_distinct_overlap",  # |sources|-row sketch-summary self-pairing
     "source_token_waterfill",  # 1-row budget/water-line broadcasts
+    "waterfill_apply",  # embeds the waterfill 1-row broadcasts
     "term_keyness",  # 1-row corpus token-total broadcast
 }
 
@@ -106,6 +107,7 @@ GLOBAL_WINDOW_WHITELIST = {
     "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
     "token_budget_head",        # SCORE_LEVELS-row running-mass windows
     "source_token_waterfill",   # |sources|-row rank/prefix-sum windows
+    "waterfill_apply",          # embeds the |sources|-row cap windows
     "zipf_slope",               # ≤ZIPF_HEAD rows post-TakeOrdered
     "geo_max_composite_frp",    # one image: raster-sized, never corpus
                                 # (W1's per-image min-max is the

@@ -82,3 +82,33 @@ def test_shard_assignment_positions_dense(spark):
         shards.setdefault(r["shard"], []).append(r["shard_pos"])
     for shard, positions in shards.items():
         assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+
+
+def test_waterfill_partition_invariant(spark):
+    """The water line and the doc-level keep set are pure functions of
+    the corpus: both queries must return bit-identical rows under an
+    adversarial repartitioning of `documents` (integer counts, hash
+    ordering — nothing layout-dependent)."""
+    import gee_datapipeline_spark.plans.packing_queries as pq
+
+    def rows(name):
+        return sorted(
+            tuple(r) for r in QUERIES[name].spark(spark, SF_SMOKE).collect()
+        )
+
+    base_cap = rows("source_token_waterfill")
+    base_keep = rows("waterfill_apply")
+    assert base_keep, "the keep set must be non-empty at SF_SMOKE"
+
+    orig = pq.load_table
+
+    def shuffled(s, d, name):
+        df = orig(s, d, name)
+        return df.repartition(13) if name == "documents" else df
+
+    pq.load_table = shuffled
+    try:
+        assert rows("source_token_waterfill") == base_cap
+        assert rows("waterfill_apply") == base_keep
+    finally:
+        pq.load_table = orig
