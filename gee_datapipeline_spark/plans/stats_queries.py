@@ -852,3 +852,110 @@ register(
         "exact integer-decimal accumulation, shared final-math SQL",
     )
 )
+
+
+# --------------------------------- differentially private release
+
+_DP_EPS = 1.0  # ε for one release of the lang×source histogram
+_DP_TAU = 10.0  # post-noise suppression threshold (small-cell guard)
+_DP_DENOM = float((1 << 60) + 1)  # u = (h+1)/DENOM ∈ (0,1], never 0
+
+# 60-bit md5 integer of the cell key, as portable SQL (the A-ES
+# uniform-from-md5 idiom from weighted_sample_wor).
+_SQL_CELL_H = " + ".join(
+    f"(strpos('0123456789abcdef', "
+    f"substr(md5(concat_ws('|', lang, source)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+def _dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of the lang×source document
+    histogram: Laplace(1/ε) noise on each cell count (sensitivity 1 for
+    one-doc-one-cell counting), then small cells suppressed below a
+    post-noise threshold — the standard release pattern for sharing
+    corpus composition stats without exposing individual contributors.
+
+    The Laplace draw is DETERMINISTIC: the cell's md5 yields a 60-bit
+    uniform u ∈ (0,1] (the Efraimidis–Spirakis idiom from
+    ``weighted_sample_wor``), and noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
+    via inverse-CDF. Determinism is what makes the release idempotent —
+    a re-run or backfill publishes identical bytes, and the same cell
+    never gets fresh noise (which would burn ε on every run). Both
+    engines evaluate the identical IEEE expression, so the oracle gate
+    hash-compares exactly.
+
+    Scale shape: ONE corpus-sized hash aggregate (map-side combinable)
+    folds 100 TB to the |langs|×|sources| cell table; all noise math
+    runs on those few rows. The ln(1−2|u−½|) argument is floored at
+    1e-18 — the u that would hit ln(0) has probability 2^-60 per cell
+    and the guard is shared by both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_DP_DENOM)
+    cu = u - F.lit(0.5)
+    mag = F.greatest(
+        F.lit(1.0) - F.lit(2.0) * F.abs(cu), F.lit(1e-18)
+    )
+    noise = (
+        (F.lit(0.0) - F.lit(1.0) / F.lit(_DP_EPS))
+        * F.signum(cu)
+        * F.log(mag)
+    )
+    noisy = F.col("c").cast("double") + noise
+    return (
+        cells.select("lang", "source", noisy.alias("noisy"))
+        .filter(F.col("noisy") >= F.lit(_DP_TAU))
+        .select(
+            "lang",
+            "source",
+            stable_round(F.col("noisy"), 6).alias("noisy_count"),
+            F.lit(_DP_EPS).alias("epsilon"),
+        )
+    )
+
+
+register(
+    Query(
+        name="dp_noisy_counts",
+        spark=_dp_noisy_counts,
+        oracle=f"""
+            WITH cells AS (
+                SELECT lang, source, count(*) AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            seeded AS (
+                SELECT lang, source, c,
+                       (CAST(({_SQL_CELL_H}) + 1 AS DOUBLE)
+                        / {_DP_DENOM!r}) - 0.5 AS cu
+                FROM cells
+            ),
+            noised AS (
+                SELECT lang, source,
+                       CAST(c AS DOUBLE)
+                       + (0.0 - 1.0 / {_DP_EPS!r}) * sign(cu)
+                         * ln(greatest(1.0 - 2.0 * abs(cu), 1e-18))
+                           AS noisy
+                FROM seeded
+            )
+            SELECT lang, source,
+                   floor(noisy * 1000000.0 + 0.5) / 1000000.0
+                       AS noisy_count,
+                   CAST({_DP_EPS!r} AS DOUBLE) AS epsilon
+            FROM noised
+            WHERE noisy >= {_DP_TAU!r}
+        """,
+        tags=("stats", "privacy", "dp"),
+        doc="ε-DP Laplace release of the lang×source histogram with "
+        "deterministic md5-seeded inverse-CDF noise and post-noise "
+        "suppression; one map-side-combinable corpus fold",
+    )
+)

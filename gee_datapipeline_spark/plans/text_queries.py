@@ -2128,3 +2128,114 @@ register(
         "agg + TakeOrdered(1000) + decimal OLS sums, one output row",
     )
 )
+
+
+# ------------------------------------------------- lexical diversity
+
+# Quantum for the exact c·ln(c) accumulator: 1e-9 keeps the quantized
+# term inside int64 for per-doc word counts up to ~4.4e8 (c·ln c·1e9 <
+# 2^63), and the ≤0.5e-9-per-term quantization is identical in both
+# engines, so parity is exact regardless of the quantum.
+_LEX_Q = "1000000000.0"
+_LN2 = "0.6931471805599453"
+
+
+def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: unigram Shannon entropy
+    (bits), type-token ratio, and hapax-legomenon ratio — the
+    vocabulary-richness screens a training-data pipeline runs next to
+    the Gopher rules (templated/spammy docs score low entropy even when
+    their raw token counts look healthy).
+
+    Entropy uses the fold H = ln(N)/ln2 − (Σ c·ln c)/(N·ln2): the only
+    data-dependent sum is Σ c·ln c over the doc's distinct words. Each
+    term is quantized to integer 1e-9 quanta (an IEEE-identical double
+    product in both engines, floored — exact as a double always, and
+    within int64 far past any real per-doc word count) and accumulated
+    in DECIMAL(38,0), so the sum is exact and associative — immune to
+    partitioning. The closed form then runs in IEEE double written
+    identically in both engines.
+
+    Scale shape: explode → (doc_id, word) hash-count → per-doc fold.
+    Two hash aggregates, both map-side combinable, keyed by int64 doc
+    ids; the corpus text never rides a shuffle whole, only word-sized
+    tokens (at 100 TB the grouping key would be xxhash64(word) —
+    identical counts, digest-sized shuffle rows — kept as the raw word
+    here so the oracle's grouping matches byte-for-byte)."""
+    docs = _docs(spark, sf_dir)
+    wc = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    term = F.floor(cd * F.log(cd) * F.lit(float(_LEX_Q)) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.sum(term).alias("s"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    td = F.col("n_types").cast("double")
+    entropy = (
+        F.log(nd) - (F.col("s").cast("double") / F.lit(float(_LEX_Q))) / nd
+    ) / F.lit(float(_LN2))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        stable_round(entropy, 6).alias("entropy_bits"),
+        stable_round(td / nd, 6).alias("ttr"),
+        stable_round(F.col("n_hapax").cast("double") / td, 6).alias(
+            "hapax_ratio"
+        ),
+    )
+
+
+register(
+    Query(
+        name="lexical_diversity",
+        spark=_lexical_diversity,
+        oracle=rf"""
+            WITH wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(lower(trim(text)),
+                                                       '\s+')) AS w
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax,
+                       sum(CAST(floor(CAST(c AS DOUBLE)
+                                      * ln(CAST(c AS DOUBLE))
+                                      * {_LEX_Q} + 0.5)
+                                AS DECIMAL(38,0))) AS s
+                FROM wc GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   floor(((ln(CAST(n_tokens AS DOUBLE))
+                           - (CAST(s AS DOUBLE) / {_LEX_Q})
+                             / CAST(n_tokens AS DOUBLE)) / {_LN2})
+                         * 1000000.0 + 0.5) / 1000000.0 AS entropy_bits,
+                   floor((CAST(n_types AS DOUBLE)
+                          / CAST(n_tokens AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+                   floor((CAST(n_hapax AS DOUBLE)
+                          / CAST(n_types AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS hapax_ratio
+            FROM per_doc
+        """,
+        tags=("text", "quality", "entropy"),
+        doc="per-doc unigram Shannon entropy + TTR + hapax ratio via an "
+        "exact decimal-quantized c·ln c fold; two map-side-combinable "
+        "hash aggregates, closed form shared between engines",
+    )
+)
