@@ -194,6 +194,10 @@ HEADLINE = [
     "quality_classifier_score",
     # segment-sharded d-gap postings: bounded collects, two keyed aggs
     "inverted_index_postings",
+    # r6 late additions: exact decimal-quantized entropy fold, and the
+    # deterministic eps-DP histogram release (one corpus fold each)
+    "lexical_diversity",
+    "dp_noisy_counts",
 ]
 
 
@@ -237,6 +241,44 @@ def parse_sf(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _cpu_sample() -> list[int] | None:
+    """Aggregate jiffy counters from /proc/stat (user..steal)."""
+    try:
+        with open("/proc/stat") as fh:
+            return [int(v) for v in fh.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def host_telemetry(before: list[int] | None) -> dict:
+    """CPU-time breakdown over the timed region, so a reader of the
+    recorded JSON can adjudicate host throttling without shell access:
+    this VM has shown progressive vCPU-credit steal (7.5%+ during
+    sustained benches) that uniformly inflates every query. steal_pct
+    is the fraction of elapsed CPU time the hypervisor withheld."""
+    after = _cpu_sample()
+    out: dict = {}
+    if before and after:
+        d = [b - a for a, b in zip(before, after)]
+        tot = sum(d)
+        if tot > 0:
+            names = ["user", "nice", "system", "idle",
+                     "iowait", "irq", "softirq", "steal"]
+            pct = {n: round(100.0 * v / tot, 2) for n, v in zip(names, d)}
+            out = {
+                "steal_pct": pct["steal"],
+                "user_pct": pct["user"],
+                "idle_pct": pct["idle"],
+                "iowait_pct": pct["iowait"],
+            }
+    try:
+        out["load1"] = round(os.getloadavg()[0], 2)
+        out["ncpu"] = os.cpu_count()
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench", extra_conf={
         "spark.ui.showConsoleProgress": "false",
@@ -273,6 +315,7 @@ def main() -> None:
     # (plan compilation cached, JIT warm) while the min guards against
     # GC pauses and the intermittent vCPU-steal noise this VM shows.
     timings: dict[str, float] = {}
+    cpu_before = _cpu_sample()
     for name in HEADLINE:
         best = float("inf")
         for _ in range(3):
@@ -383,6 +426,7 @@ def main() -> None:
         "regressions": regressions,
         "expected_deltas": expected_deltas,
         "drift": drift,
+        "host": host_telemetry(cpu_before),
     }
     # Persist the FULL result (the driver's BENCH_r{N}.json capture
     # truncates) so the next run always has a real baseline. Written
