@@ -1,0 +1,131 @@
+"""Hypothesis differential fuzz over the events-table behavior battery.
+
+Same protocol as ``test_fuzz_differential``: random synthetic event
+streams written in the catalog's parquet layout, run through Spark AND
+DuckDB, value-hash compared. The generator deliberately forces
+timestamp COLLISIONS (same user, same microsecond) — the fixed
+testdata's µs resolution makes ties vanishingly rare, yet tie handling
+is exactly where window orderings diverge between engines; every
+ts-ordered window in the battery must therefore carry its (ts,
+event_id) tiebreak or fail here under shrinkage.
+
+Excluded by design: ``attribution_last_touch`` / ``attribution_position``
+order touches by raw ts (ties between two same-µs touches of different
+campaigns are genuinely ambiguous in the marketing semantics — both
+engines get the same totals on real data, but a forced-tie fuzz would
+flag the ambiguity, not a bug).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parity_sweep import value_hash
+
+from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+
+_load_all()
+
+BATTERY = [
+    "funnel_conversion",
+    "weekly_active_users",
+    "event_transitions",
+    "time_to_convert",
+    "concurrency_profile",
+    "audience_overlap",
+    "ab_test_zscores",
+    "cumulative_unique_users",
+    "top_paths",
+    "session_windows",
+    "retention_cohorts",
+    "hopping_window_load",
+]
+
+ETYPES = ["signup", "click", "view", "purchase", "error"]
+BASE = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def event_stream(draw):
+    n_users = draw(st.integers(2, 6))
+    n = draw(st.integers(15, 60))
+    rows = []
+    for i in range(n):
+        # coarse time grid → frequent exact-µs collisions
+        ts = BASE + dt.timedelta(
+            days=draw(st.integers(0, 13)),
+            hours=draw(st.integers(0, 3)),
+            minutes=draw(st.sampled_from([0, 1, 30])),
+            seconds=draw(st.sampled_from([0, 30])),
+        )
+        rows.append(
+            (
+                i,
+                ts,
+                draw(st.integers(0, n_users - 1)),
+                draw(st.sampled_from(ETYPES)),
+                draw(st.integers(1, 30000)) / 100.0,
+                '{"k": %d}' % draw(st.integers(0, 99)),
+            )
+        )
+    return rows
+
+
+def _compare(spark, rows, names):
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/events.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        for name in names:
+            q = QUERIES[name]
+            spdf = q.spark(spark, d).toPandas()
+            dpdf = con.execute(q.oracle).fetchdf()
+            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
+            assert sorted(spdf.columns) == sorted(dpdf.columns), name
+            assert value_hash(spdf) == value_hash(dpdf), (
+                name,
+                spdf.head(10),
+                dpdf.head(10),
+            )
+        con.close()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(event_stream())
+def test_fuzz_events_battery(spark, rows):
+    _compare(spark, rows, BATTERY)
+
+
+def test_fuzz_events_boundary_stream(spark):
+    """Deterministic worst cases in one stream: every event of one user
+    at the SAME microsecond (pure tiebreak ordering), a user with a
+    purchase but no prior exposure (funnel/ab edge), and a single-event
+    user (lag/lead NULL edges)."""
+    t0 = BASE + dt.timedelta(hours=1)
+    rows = [
+        (0, t0, 0, "click", 10.0, '{"k": 1}'),
+        (1, t0, 0, "view", 20.0, '{"k": 2}'),
+        (2, t0, 0, "purchase", 30.0, '{"k": 3}'),
+        (3, t0, 0, "error", 40.0, '{"k": 4}'),
+        (4, t0 + dt.timedelta(days=1), 1, "purchase", 50.0, '{"k": 5}'),
+        (5, t0 + dt.timedelta(days=2), 2, "signup", 60.0, '{"k": 6}'),
+    ]
+    _compare(spark, rows, BATTERY)
