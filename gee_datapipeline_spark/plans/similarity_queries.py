@@ -1366,11 +1366,15 @@ def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (acc, x) -> cast(acc + cast(x as decimal(38,12))
                                        as decimal(38,12)))
             as double), 12))"""
-        norm_body = """transform(w, wi -> floor(wi / sqrt(cast(
+        # nullif: a zero iterate (zero scatter matrix, or v exactly in
+        # S's null space) must yield NULL loadings in BOTH engines, not
+        # an ANSI DIVIDE_BY_ZERO that kills the job — DuckDB's double
+        # x/0 is already NULL, so nullif is the Spark-side mirror.
+        norm_body = """transform(w, wi -> floor(wi / nullif(sqrt(cast(
             aggregate(w, cast(0 as decimal(38,12)),
                       (acc, x) -> cast(acc + cast(x * x as decimal(38,12))
                                        as decimal(38,12)))
-            as double)) * 1e12 + 0.5) / 1e12)"""
+            as double)), 0.0d) * 1e12 + 0.5) / 1e12)"""
         v_expr = _let(v_expr, "vp", _let(w_body, "w", norm_body))
     # Sign convention via one fold over the 64-element iterate: the
     # entry with the largest |loading| (ties → smallest dim) is made

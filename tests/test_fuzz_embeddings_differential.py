@@ -1,0 +1,115 @@
+"""Hypothesis differential fuzz over the embeddings-table battery.
+
+Random small embedding sets — including exact duplicate vectors and
+2-dp lattice values that land quantized cosines on boundaries — written
+in the catalog's parquet layout (list<float32>), run through Spark AND
+DuckDB, value-hash compared. Gates the integer-quantized cosine
+contract on data shapes the fixed testdata never produces.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parity_sweep import value_hash
+
+from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+
+_load_all()
+
+BATTERY = [
+    "embedding_norms",
+    "embedding_centroids",
+    "ann_bruteforce",
+    "ann_lsh",
+    "embedding_near_dup",
+    "embedding_pca_power",
+    "embedding_outlier_filter",
+]
+
+DIM = 64
+
+
+@st.composite
+def embedding_set(draw):
+    n = draw(st.integers(30, 70))
+    rows = []
+    for i in range(n):
+        if rows and draw(st.integers(0, 4)) == 0:
+            # exact duplicate of an earlier vector: near-dup hit,
+            # cosine exactly 1, ANN tie between ids
+            emb = rows[draw(st.integers(0, len(rows) - 1))][1]
+        else:
+            emb = [
+                draw(st.integers(-50, 50)) / 100.0 for _ in range(DIM)
+            ]
+        rows.append((i, emb, draw(st.integers(0, 9))))
+    return rows
+
+
+def _write(rows, path):
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def _compare(spark, rows, names):
+    with tempfile.TemporaryDirectory() as d:
+        _write(rows, f"{d}/embeddings.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        for name in names:
+            q = QUERIES[name]
+            spdf = q.spark(spark, d).toPandas()
+            dpdf = con.execute(q.oracle).fetchdf()
+            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
+            assert sorted(spdf.columns) == sorted(dpdf.columns), name
+            assert value_hash(spdf) == value_hash(dpdf), (
+                name,
+                spdf.head(10),
+                dpdf.head(10),
+            )
+        con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(embedding_set())
+def test_fuzz_embeddings_battery(spark, rows):
+    _compare(spark, rows, BATTERY)
+
+
+def test_fuzz_embeddings_boundary_set(spark):
+    """Deterministic worst cases: a probe that duplicates a corpus
+    vector (cosine exactly 1), axis-aligned one-hot vectors (cosine
+    exactly 0 between them), and a constant-vector pair."""
+    one_hot = lambda j: [1.0 if k == j else 0.0 for k in range(DIM)]  # noqa: E731
+    rows = [(i, one_hot(i % 8), i % 3) for i in range(8)]
+    rows += [(8, one_hot(0), 3)]  # duplicate of vec 0
+    rows += [(9, [0.25] * DIM, 4), (10, [0.25] * DIM, 5)]
+    rows += [
+        (11 + i, [((i * 7 + k) % 11 - 5) / 10.0 for k in range(DIM)], i % 10)
+        for i in range(24)
+    ]
+    _compare(spark, rows, BATTERY)
