@@ -694,10 +694,15 @@ def _sql_ols_final(n_expr: str = "nn") -> dict[str, str]:
         f" - sx1 * (sx1 * s2y - s1y * sx2)"
         f" + sy * (sx1 * s12 - s11 * sx2))"
     )
+    # nullif: a singular design (collinear or constant regressors —
+    # e.g. every row the same quantity AND discount) has det = 0; the
+    # fit is undefined, so both engines must return NULL coefficients
+    # rather than Spark throwing ANSI DIVIDE_BY_ZERO while DuckDB
+    # quietly NULLs (found by the lineitem differential fuzz).
     return {
-        "b0": f"({det0}) / ({det})",
-        "b1": f"({det1}) / ({det})",
-        "b2": f"({det2}) / ({det})",
+        "b0": f"({det0}) / nullif(({det}), 0.0)",
+        "b1": f"({det1}) / nullif(({det}), 0.0)",
+        "b2": f"({det2}) / nullif(({det}), 0.0)",
     }
 
 
@@ -716,9 +721,11 @@ _OLS_UNSCALE = [
     "cast(syy as double) / 10000.0 AS syy",
 ]
 
+# nullif: constant y (zero total variance) leaves R² undefined — NULL
+# in both engines, same rationale as the det guard above.
 _OLS_R2 = (
     "1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y))"
-    " / (syy - sy * sy / nn)"
+    " / nullif((syy - sy * sy / nn), 0.0)"
 )
 
 
