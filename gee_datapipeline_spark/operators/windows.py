@@ -72,22 +72,53 @@ def blocked_trailing_window(
     """A globally-ordered trailing ROWS frame WITHOUT a single-partition
     window (no ``WindowExec: No Partition Defined`` collapse).
 
-    Rows are blocked on ``floor(idx/block)`` and each block is augmented
+    Stage 1 computes each row's exact GLOBAL rank from value-blocks:
+    rows are bucketed on ``floor(idx/block)``, per-bucket counts prefix-
+    sum into bucket offsets (a window over the bucket table, bounded by
+    the idx domain / block — calendar-index-sized, never corpus-sized),
+    and offset + within-bucket row_number is the global rank. Stage 2
+    re-blocks on ``floor(rank/block)`` — DENSE by construction, every
+    rank-block except the last exactly full — and augments each block
     with the previous block's last ``n_preceding`` rows (carry rows), so
     a partitioned window over the block key sees exactly the same frame
-    members as the global window would — carry rows provide the context
-    for the first rows of each block and are dropped afterwards.
+    members as the global window would.
+
+    The two stages exist because value-blocking alone is WRONG on
+    sparse indexes: an empty idx range breaks the carry chain and a
+    value-block holding fewer than ``n_preceding`` rows can't supply a
+    full carry — the trailing frame silently loses members (caught by
+    the star-schema differential fuzz; the dense day indexes of the
+    fixed testdata never exposed it). Rank-blocking makes both
+    impossible for any idx distribution.
 
     Returns ``(augmented_df, window_spec)``; the caller applies its frame
     aggregates over the spec, then filters ``~__carry`` and drops
-    ``__pk``/``__carry``. Requires unique ``idx_col`` values (e.g. a
-    grouped day index) so the carry rows order strictly before own rows.
-    ``block`` must exceed ``n_preceding``.
+    ``__pk``/``__carry``. Requires unique ``idx_col`` values from a
+    bounded domain (e.g. a grouped day index) so the bucket table stays
+    small and carry rows order strictly before own rows. ``block`` must
+    exceed ``n_preceding``.
     """
     if block <= n_preceding:
         raise ValueError("block must exceed n_preceding")
-    aug = df.withColumn("__pk", F.floor(F.col(idx_col) / block))
-    wdesc = Window.partitionBy("__pk").orderBy(F.col(idx_col).desc())
+    vb = df.withColumn("__vb", F.floor(F.col(idx_col) / block))
+    counts = vb.groupBy("__vb").agg(F.count(F.lit(1)).alias("__cnt"))
+    # bounded unpartitioned window: |nonempty idx/block buckets| rows
+    woff = Window.orderBy("__vb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0))
+    ).drop("__cnt")
+    wrank = Window.partitionBy("__vb").orderBy(idx_col)
+    ranked = (
+        vb.join(F.broadcast(offsets), "__vb")
+        .withColumn(
+            "__rk", F.row_number().over(wrank) + F.col("__off") - 1
+        )
+        .drop("__vb", "__off")
+    )
+    aug = ranked.withColumn("__pk", F.floor(F.col("__rk") / block))
+    wdesc = Window.partitionBy("__pk").orderBy(F.col("__rk").desc())
     tail = (
         aug.withColumn("__rn", F.row_number().over(wdesc))
         .filter(F.col("__rn") <= n_preceding)
@@ -98,7 +129,7 @@ def blocked_trailing_window(
     u = aug.withColumn("__carry", F.lit(False)).unionByName(tail)
     w = (
         Window.partitionBy("__pk")
-        .orderBy(idx_col)
+        .orderBy("__rk")
         .rowsBetween(-n_preceding, 0)
     )
     return u, w

@@ -104,6 +104,10 @@ BNLJ_WHITELIST = {
 # audit mechanical).
 GLOBAL_WINDOW_WHITELIST = {
     "cumulative_unique_users",  # |distinct days| rows (calendar-bounded)
+    "moving_average",           # bucket-offset prefix sum over the
+                                # per-bucket count table: ≤ idx-domain /
+                                # block rows (calendar-bounded), the
+                                # rank stage of blocked_trailing_window
     "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
     "token_budget_head",        # SCORE_LEVELS-row running-mass windows
     "source_token_waterfill",   # |sources|-row rank/prefix-sum windows

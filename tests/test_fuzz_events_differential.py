@@ -45,6 +45,16 @@ BATTERY = [
     "session_windows",
     "retention_cohorts",
     "hopping_window_load",
+    # window/stats family over events: frames, per-group firsts and
+    # top-k, percentiles, robust outliers — all tie-sensitive
+    "range_frame_daily",
+    "month_over_month_delta",
+    "first_per_group",
+    "topk_per_group",
+    "value_percentiles",
+    "approx_percentiles",
+    "mad_outliers",
+    "rolling_zscore_anomaly",
 ]
 
 ETYPES = ["signup", "click", "view", "purchase", "error"]

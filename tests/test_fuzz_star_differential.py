@@ -41,6 +41,12 @@ BATTERY = [
     "parts_no_recent_ship",
     "active_customers_semi",
     "small_qty_revenue",
+    # window/stats family over orders/customer: trailing frames,
+    # quartile assignment under ties, first-digit screen, Gini ranks
+    "moving_average",
+    "ntile_quartiles",
+    "benford_screen",
+    "gini_concentration",
 ]
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]

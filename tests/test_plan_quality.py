@@ -185,8 +185,12 @@ def test_promo_share_broadcasts_part_single_agg_pass(spark):
 
 def test_moving_average_no_unpartitioned_window(spark):
     """The trailing-7d frame must not collapse to a single-partition
-    window: every windowspecdefinition in the plan carries a partition
-    key (the blocked_trailing_window pattern)."""
+    window OVER THE FACT: every windowspecdefinition that orders by a
+    row-level column carries a partition key (the
+    blocked_trailing_window pattern). The one permitted unpartitioned
+    spec is the bucket-offset prefix sum ordered by ``__vb`` — its
+    input is the per-bucket count table, bounded by the idx domain /
+    block size (calendar-sized), never by the corpus."""
     import re
 
     plan = _plan(QUERIES["moving_average"].spark(spark, SF_SMOKE))
@@ -194,7 +198,10 @@ def test_moving_average_no_unpartitioned_window(spark):
     # (no partition expressions before the ordering spec).
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         args = m.group(1)
-        assert " ASC" not in args.split(",")[0], (
+        head = args.split(",")[0]
+        if "__vb" in head:
+            continue  # bucket-table prefix sum: block-count-sized input
+        assert " ASC" not in head, (
             f"unpartitioned window spec in plan: {args!r}"
         )
 
@@ -209,9 +216,14 @@ def test_blocked_trailing_window_matches_global(spark):
         blocked_trailing_window,
     )
 
-    # idx values straddle the 16-block boundaries, with gaps.
+    # idx values straddle the 16-block boundaries, with gaps — including
+    # EMPTY value-blocks (65 → 300 skips whole 16-ranges) and a sparse
+    # tail whose value-blocks hold fewer than n_preceding rows: the
+    # sparse-index regime where value-blocking broke the carry chain
+    # (caught by the star-schema differential fuzz).
     rows = [(i, float(i * i % 97)) for i in
-            [0, 3, 14, 15, 16, 17, 30, 31, 32, 33, 40, 47, 48, 49, 63, 64, 65]]
+            [0, 3, 14, 15, 16, 17, 30, 31, 32, 33, 40, 47, 48, 49, 63,
+             64, 65, 300, 301, 555, 999, 1000, 1601]]
     df = spark.createDataFrame(rows, ["idx", "v"])
     gw = Window.orderBy("idx").rowsBetween(-3, 0)
     want = {
