@@ -92,11 +92,22 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # Exact rank-band selection: TakeOrdered bounds the head to
+    # PROBE_RANK_HI rows, then a row_number over that ≤14-row table
+    # keeps ranks LO..HI. The previous double-orderBy-limit emulation
+    # silently returned ranks V-4..V on a vocabulary of V < 14 terms
+    # while the oracle's rank band returned nothing (caught by the
+    # short-docs differential fuzz on a one-term corpus).
+    from pyspark.sql import Window
+
+    head = dfreq.orderBy(
+        F.col("doc_freq").desc(), F.col("term").asc()
+    ).limit(PROBE_RANK_HI)
+    wrk = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
     probes = (
-        dfreq.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
-        .limit(PROBE_RANK_HI)
-        .orderBy(F.col("doc_freq").asc(), F.col("term").desc())
-        .limit(PROBE_RANK_HI - PROBE_RANK_LO + 1)
+        head.withColumn("__rk", F.row_number().over(wrk))
+        .filter(F.col("__rk") >= PROBE_RANK_LO)
+        .drop("__rk")
     )
     scored = (
         tf.join(F.broadcast(probes.select("term", "doc_freq")), "term")

@@ -109,6 +109,8 @@ GLOBAL_WINDOW_WHITELIST = {
                                 # block rows (calendar-bounded), the
                                 # rank stage of blocked_trailing_window
     "hybrid_rrf_topk",          # ≤FUSE_DEPTH rows each, post-TakeOrdered
+    "bm25_topk",                # probe rank band: row_number over the
+                                # ≤PROBE_RANK_HI-row TakeOrdered head
     "token_budget_head",        # SCORE_LEVELS-row running-mass windows
     "source_token_waterfill",   # |sources|-row rank/prefix-sum windows
     "waterfill_apply",          # embeds the |sources|-row cap windows

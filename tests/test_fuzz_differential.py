@@ -96,13 +96,32 @@ def _compare(spark, docs, names):
     pdf = pd.DataFrame(
         docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
+    # tiny fixed side tables for the two battery members that read them
+    # (contamination_scan: nation names as the benchmark set;
+    # lm_perplexity_buckets: part as an auxiliary threshold table)
+    nation = pd.DataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(4)],
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).astype({"n_nationkey": "int32", "n_regionkey": "int32"})
+    part = pd.DataFrame(
+        [
+            (i, f"part {i}", "Brand#1", "PROMO", 10 + i, 1000.0 + i)
+            for i in range(3)
+        ],
+        columns=[
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            "p_retailprice",
+        ],
+    ).astype({"p_size": "int32"})
     with tempfile.TemporaryDirectory() as d:
         pdf.to_parquet(f"{d}/documents.parquet")
+        nation.to_parquet(f"{d}/nation.parquet")
+        part.to_parquet(f"{d}/part.parquet")
         con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW documents AS "
-            f"SELECT * FROM '{d}/documents.parquet'"
-        )
+        for t in ("documents", "nation", "part"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+            )
         for name in names:
             q = QUERIES[name]
             spdf = q.spark(spark, d).toPandas()
@@ -117,6 +136,75 @@ def _compare(spark, docs, names):
         con.close()
 
 
+# The heavy text/dedup/selection family: shingle- and window-based ops
+# whose edge cases live BELOW their width constants (a 1-token doc has
+# no 3-gram shingles, no winnowing windows, no chunk overlap), plus the
+# sampling/packing/split family whose determinism rides md5 uniforms.
+BATTERY2 = [
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "winnowing_fingerprints",
+    "span_dedup",
+    "boilerplate_removal",
+    "tfidf_top_terms",
+    "vocab_top_terms",
+    "lang_id_heuristic",
+    "gopher_quality",
+    "repetition_ratio",
+    "contamination_scan",
+    "pii_scrub",
+    "doc_chunks",
+    "bm25_topk",
+    "source_kl_divergence",
+    "lm_perplexity_buckets",
+    "dsir_importance_weights",
+    "quality_classifier_score",
+    "inverted_index_postings",
+    "cms_heavy_hitters",
+    "token_weighted_quality",
+    "leakage_safe_split",
+    "cluster_representative",
+    "dedup_clusters",
+    "curation_pipeline_e2e",
+    "token_budget_head",
+    "mixture_sampling",
+    "stratified_sample",
+    "shard_assignment",
+    "sequence_packing",
+    "quality_weighted_sample",
+    "weighted_sample_wor",
+    "score_calibration",
+]
+
+
+@st.composite
+def short_corpus(draw):
+    """Corpus biased to docs BELOW the text ops' width constants."""
+    n = draw(st.integers(3, 20))
+    docs = []
+    for i in range(n):
+        words = draw(
+            st.lists(st.sampled_from(VOCAB), min_size=1, max_size=6)
+        )
+        if draw(st.booleans()) and docs:
+            # exact duplicate (dedup/cluster paths)
+            _, text, *_ = docs[draw(st.integers(0, len(docs) - 1))]
+        else:
+            text = " ".join(words)
+        docs.append(
+            (
+                i,
+                text,
+                draw(st.sampled_from(LANGS)),
+                draw(st.sampled_from(SRCS)),
+                len(text),
+            )
+        )
+    return docs
+
+
 @settings(
     max_examples=8,
     deadline=None,
@@ -126,6 +214,17 @@ def _compare(spark, docs, names):
 @given(corpus())
 def test_fuzz_documents_battery(spark, docs):
     _compare(spark, docs, BATTERY)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(short_corpus())
+def test_fuzz_documents_battery2_short_docs(spark, docs):
+    _compare(spark, docs, BATTERY2)
 
 
 def test_fuzz_battery_on_boundary_corpus(spark):
