@@ -260,10 +260,20 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_intersect(F.col("na.nbrs"), F.col("nb.nbrs"))
             ).alias("k")
         )
-        .agg(F.sum("k").alias("n_triangles"))
+        # coalesce: an edgeless graph (no order holds two distinct
+        # parts) makes both sums aggregate zero rows — NULL in Spark,
+        # while the oracle's count(*) forms yield 0 (caught by the
+        # star-schema differential fuzz).
+        .agg(
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            )
+        )
     )
     n_edge = adj.agg(
-        F.sum(F.size("nbrs")).cast("long").alias("n_edges")
+        F.coalesce(F.sum(F.size("nbrs")), F.lit(0))
+        .cast("long")
+        .alias("n_edges")
     )
     n_node = pairs.select(
         F.explode(F.array("a", "b")).alias("n")

@@ -47,6 +47,16 @@ BATTERY = [
     "ntile_quartiles",
     "benford_screen",
     "gini_concentration",
+    # graph family over the supplier→customer trade edges: random
+    # bipartite graphs with isolated nodes, dangling sinks (customers
+    # never supplying), parallel-edge collapse, forced weight ties
+    "pagerank_trade_network",
+    "label_propagation",
+    "triangle_count",
+    "bfs_reachability",
+    "kcore_decomposition",
+    "proximity_pairs",
+    "fuzzy_name_pairs",
 ]
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
