@@ -176,6 +176,12 @@ BATTERY2 = [
     "quality_weighted_sample",
     "weighted_sample_wor",
     "score_calibration",
+    "lang_source_mi",
+    "kmv_distinct_overlap",
+    "set_similarity_prefix_join",
+    "phrase_search",
+    "corpus_checksum",
+    "bpe_token_count",
 ]
 
 

@@ -32,6 +32,7 @@ BATTERY = [
     "embedding_near_dup",
     "embedding_pca_power",
     "embedding_outlier_filter",
+    "semantic_dedup",
 ]
 
 DIM = 64

@@ -55,6 +55,28 @@ BATTERY = [
     "approx_percentiles",
     "mad_outliers",
     "rolling_zscore_anomaly",
+    # remaining events-table families: as-of correlation under ties,
+    # CDC collapse, seasonality, OHLC cascade, gap interpolation, date
+    # spines, JSON access, pixel-model composites and classification
+    "asof_clicks_to_errors",
+    "scd2_user_state",
+    "weekday_seasonality",
+    "ohlc_rollup_cascade",
+    "gapfill_interpolate",
+    "date_spine_gaps",
+    "json_props",
+    "null_handling",
+    "rollup_report",
+    "pivot_matrix",
+    "union_stack",
+    "collection_size",
+    "value_bounds",
+    "max_composite",
+    "mean_composite",
+    "minmax_normalize",
+    "threshold_classify",
+    "layer_selection",
+    "grid_resample",
 ]
 
 ETYPES = ["signup", "click", "view", "purchase", "error"]
@@ -114,7 +136,7 @@ def _compare(spark, rows, names):
 
 
 @settings(
-    max_examples=8,
+    max_examples=6,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -57,6 +57,29 @@ BATTERY = [
     "kcore_decomposition",
     "proximity_pairs",
     "fuzzy_name_pairs",
+    # remaining relational families: co-purchase lift, snapshot diff,
+    # disjunctive predicates, set ops on month keys, trend OLS, profit
+    # and share rollups, argmin supplier, upsert, anti-join gaps
+    "basket_lift_pairs",
+    "distinct_profile",
+    "snapshot_diff",
+    "disjunctive_revenue",
+    "conditional_agg",
+    "string_funcs",
+    "set_except_months",
+    "set_intersect_months",
+    "month_math",
+    "revenue_trend_slope",
+    "product_profit",
+    "market_share",
+    "min_cost_supplier",
+    "bulk_part_suppliers",
+    "part_supplier_diversity",
+    "late_unreturned_orders",
+    "outer_join_fill",
+    "merge_upsert",
+    "interval_join_bucketized",
+    "k_anonymity_audit",
 ]
 
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
@@ -215,7 +238,7 @@ def _compare(spark, tables, names):
 
 
 @settings(
-    max_examples=8,
+    max_examples=6,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
