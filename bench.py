@@ -368,6 +368,11 @@ def main() -> None:
         "runs measured 1.568s and 2.203s with identical code (solo "
         "fresh-session 1.757s; r4 driver run 2.043s); plan untouched "
         "since the r4 HLL/count-distinct split",
+        "moving_average": "correctness fix (r6 fuzz): "
+        "blocked_trailing_window gained an exact-rank stage so sparse "
+        "indexes can't break the carry chain — two extra tiny-table "
+        "stages, ~+0.55s of fixed overhead at sf0.1 (solo re-measure "
+        "0.49s -> 1.04s), constant-cost at scale",
     }
     expected_deltas: dict[str, str] = {}
     hard_regressions = False
