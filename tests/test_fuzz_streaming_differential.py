@@ -1,0 +1,168 @@
+"""Hypothesis fuzz for the chunking-invariance of streaming jobs.
+
+The streaming contract at 100 TB: HOW the input happens to be split
+into micro-batches must never change the result — arrival batching is
+an operational accident (file sizes, trigger intervals, backpressure),
+not a semantic input. The fixed replay tests use one chunking; this
+harness draws random event sets AND random chunk boundaries, streams
+the chunks through the job, and compares against the one-shot batch
+mirror computed from the same rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gee_datapipeline_spark.streaming.jobs import (
+    EVENTS_STREAM_SCHEMA,
+    incremental_max_state,
+    run_to_memory,
+    stream_from_dir,
+    windowed_max_composite,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def chunked_events(draw, ordered: bool = False):
+    """Random events + random micro-batch boundaries.
+
+    ``ordered=True`` sorts arrival by event time before cutting chunks:
+    the watermark contract only promises chunking-invariance for data
+    that is not LATE across batches (an event older than a previous
+    batch's max-ts minus the delay is dropped by design — the first
+    run of this fuzz produced exactly that drop and "failed" with
+    correct semantics). Watermark-free jobs keep fully random order.
+    """
+    n = draw(st.integers(5, 25))
+    rows = [
+        (
+            BASE
+            + dt.timedelta(
+                minutes=draw(st.integers(0, 90)),
+                seconds=draw(st.sampled_from([0, 30])),
+            ),
+            draw(st.integers(1, 3)),
+            draw(st.integers(1, 2)),
+            float(draw(st.integers(1, 100))),
+        )
+        for _ in range(n)
+    ]
+    if ordered:
+        rows = sorted(rows, key=lambda r: r[0])
+    # random chunk boundaries: 1..4 cuts at arbitrary positions
+    n_cuts = draw(st.integers(0, 3))
+    cuts = sorted(
+        {draw(st.integers(1, n - 1)) for _ in range(n_cuts)} | {n}
+    )
+    chunks, lo = [], 0
+    for hi in cuts:
+        chunks.append(rows[lo:hi])
+        lo = hi
+    return rows, chunks
+
+
+def _stream_chunks(spark, tmp, chunks, job, name, mode):
+    src = tmp / f"src_{name}"
+    src.mkdir()
+    q = run_to_memory(
+        job(stream_from_dir(spark, str(src) + "/*")),
+        name,
+        str(tmp / f"ckpt_{name}"),
+        output_mode=mode,
+    )
+    try:
+        for i, chunk in enumerate(chunks):
+            if not chunk:
+                continue
+            spark.createDataFrame(
+                chunk, EVENTS_STREAM_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/chunk{i}"
+            )
+            q.processAllAvailable()
+        # far-future row closes every event-time window
+        spark.createDataFrame(
+            [(BASE + dt.timedelta(days=2), 9, 9, 1.0)],
+            EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/close")
+        q.processAllAvailable()
+        return spark.sql(
+            f"SELECT * FROM {name} WHERE cell_x != 9"
+        ).collect()
+    finally:
+        q.stop()
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chunked_events(ordered=True))
+def test_windowed_composite_chunking_invariance(spark, tmp_path_factory, data):
+    rows, chunks = data
+    tmp = tmp_path_factory.mktemp("fuzzstream")
+    got = {
+        (str(r.window_start), r.cell_x, r.cell_y): (r.max_value, r.n_obs)
+        for r in _stream_chunks(
+            spark,
+            tmp,
+            chunks,
+            lambda s: windowed_max_composite(s, "30 minutes", "1 minute"),
+            f"fz_win_{tmp.name}",
+            "append",
+        )
+    }
+    batch = (
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+        .groupBy(
+            F.window("ts", "30 minutes").alias("w"), "cell_x", "cell_y"
+        )
+        .agg(F.max("value").alias("mv"), F.count("value").alias("n"))
+    )
+    want = {
+        (str(r["w"].start), r.cell_x, r.cell_y): (r.mv, r.n)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chunked_events())
+def test_incremental_max_chunking_invariance(spark, tmp_path_factory, data):
+    rows, chunks = data
+    tmp = tmp_path_factory.mktemp("fuzzstream")
+    out = _stream_chunks(
+        spark,
+        tmp,
+        chunks,
+        incremental_max_state,
+        f"fz_max_{tmp.name}",
+        "update",
+    )
+    # update mode re-emits per batch: the row with the highest n_obs
+    # per cell is the final state
+    final = {}
+    for r in out:
+        k = (r.cell_x, r.cell_y)
+        if k not in final or r.n_obs > final[k][1]:
+            final[k] = (r.max_value, r.n_obs)
+    batch = (
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.max("value").alias("mv"), F.count("value").alias("n"))
+    )
+    want = {(r.cell_x, r.cell_y): (r.mv, r.n) for r in batch.collect()}
+    assert final == want
