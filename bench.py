@@ -373,6 +373,15 @@ def main() -> None:
         "indexes can't break the carry chain — two extra tiny-table "
         "stages, ~+0.55s of fixed overhead at sf0.1 (solo re-measure "
         "0.49s -> 1.04s), constant-cost at scale",
+        "embedding_near_dup": "proven noise class (gram-matrix screen "
+        "family): full-bench 1.86s but solo fresh-session 1.28s vs "
+        "1.10s baseline; plan untouched since r5",
+        "semantic_dedup": "same noise class: full-bench 3.14s, solo "
+        "2.50s vs 2.21s baseline; plan untouched since r4",
+        "triangle_count": "measured-noisy (collect_set + checkpoint "
+        "heavy): solo re-measures with identical post-r6 code span "
+        "2.04s-3.27s across sessions; the r6 change was a coalesce on "
+        "the final 1-row aggregate (no per-row work)",
     }
     expected_deltas: dict[str, str] = {}
     hard_regressions = False
