@@ -29,6 +29,12 @@ from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
 
 _load_all()
 
+import os as _os
+
+# soak knob: raise for a long exploratory run (examples are drawn
+# deterministically, so a bigger budget extends the same sequence)
+_FUZZ_EX = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
 BATTERY = [
     "lexical_diversity",
     "dedup_exact",
@@ -212,7 +218,7 @@ def short_corpus(draw):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_FUZZ_EX or 8,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -223,7 +229,7 @@ def test_fuzz_documents_battery(spark, docs):
 
 
 @settings(
-    max_examples=4,
+    max_examples=_FUZZ_EX or 4,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -32,6 +32,12 @@ from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
 
 _load_all()
 
+import os as _os
+
+# soak knob: raise for a long exploratory run (examples are drawn
+# deterministically, so a bigger budget extends the same sequence)
+_FUZZ_EX = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
 BATTERY = [
     "funnel_conversion",
     "weekly_active_users",
@@ -136,7 +142,7 @@ def _compare(spark, rows, names):
 
 
 @settings(
-    max_examples=6,
+    max_examples=_FUZZ_EX or 6,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -24,6 +24,12 @@ from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
 
 _load_all()
 
+import os as _os
+
+# soak knob: raise for a long exploratory run (examples are drawn
+# deterministically, so a bigger budget extends the same sequence)
+_FUZZ_EX = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
 BATTERY = [
     "pricing_summary",
     "selective_revenue",
@@ -106,7 +112,7 @@ def _compare(spark, rows, names):
 
 
 @settings(
-    max_examples=8,
+    max_examples=_FUZZ_EX or 8,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -27,6 +27,12 @@ from gee_datapipeline_spark.streaming.jobs import (
 
 BASE = dt.datetime(2024, 1, 1)
 
+import os as _os  # noqa: E402
+
+# soak knob: raise for a long exploratory run (examples are drawn
+# deterministically, so a bigger budget extends the same sequence)
+_FUZZ_EX = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+
 
 @st.composite
 def chunked_events(draw, ordered: bool = False):
@@ -100,7 +106,7 @@ def _stream_chunks(spark, tmp, chunks, job, name, mode):
 
 
 @settings(
-    max_examples=4,
+    max_examples=_FUZZ_EX or 4,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -135,7 +141,7 @@ def test_windowed_composite_chunking_invariance(spark, tmp_path_factory, data):
 
 
 @settings(
-    max_examples=4,
+    max_examples=_FUZZ_EX or 4,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
