@@ -16,16 +16,13 @@ a documented precondition, not a silent divergence).
 
 from __future__ import annotations
 
-import tempfile
-
-import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from parity_sweep import value_hash
+from fuzz_common import run_battery
 
-from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+from gee_datapipeline_spark.plans.registry import _load_all
 
 _load_all()
 
@@ -119,27 +116,9 @@ def _compare(spark, docs, names):
             "p_retailprice",
         ],
     ).astype({"p_size": "int32"})
-    with tempfile.TemporaryDirectory() as d:
-        pdf.to_parquet(f"{d}/documents.parquet")
-        nation.to_parquet(f"{d}/nation.parquet")
-        part.to_parquet(f"{d}/part.parquet")
-        con = duckdb.connect()
-        for t in ("documents", "nation", "part"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
-            )
-        for name in names:
-            q = QUERIES[name]
-            spdf = q.spark(spark, d).toPandas()
-            dpdf = con.execute(q.oracle).fetchdf()
-            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
-            assert sorted(spdf.columns) == sorted(dpdf.columns), name
-            assert value_hash(spdf) == value_hash(dpdf), (
-                name,
-                spdf.sort_values(spdf.columns.tolist()).head(10),
-                dpdf.sort_values(dpdf.columns.tolist()).head(10),
-            )
-        con.close()
+    run_battery(
+        spark, {"documents": pdf, "nation": nation, "part": part}, names
+    )
 
 
 # The heavy text/dedup/selection family: shingle- and window-based ops

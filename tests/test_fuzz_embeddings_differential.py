@@ -9,18 +9,14 @@ contract on data shapes the fixed testdata never produces.
 
 from __future__ import annotations
 
-import tempfile
-
-import duckdb
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from parity_sweep import value_hash
+from fuzz_common import run_battery
 
-from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+from gee_datapipeline_spark.plans.registry import _load_all
 
 _load_all()
 
@@ -75,25 +71,9 @@ def _write(rows, path):
 
 
 def _compare(spark, rows, names):
-    with tempfile.TemporaryDirectory() as d:
-        _write(rows, f"{d}/embeddings.parquet")
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW embeddings AS "
-            f"SELECT * FROM '{d}/embeddings.parquet'"
-        )
-        for name in names:
-            q = QUERIES[name]
-            spdf = q.spark(spark, d).toPandas()
-            dpdf = con.execute(q.oracle).fetchdf()
-            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
-            assert sorted(spdf.columns) == sorted(dpdf.columns), name
-            assert value_hash(spdf) == value_hash(dpdf), (
-                name,
-                spdf.head(10),
-                dpdf.head(10),
-            )
-        con.close()
+    run_battery(
+        spark, {"embeddings": lambda p: _write(rows, p)}, names
+    )
 
 
 @settings(

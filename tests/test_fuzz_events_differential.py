@@ -19,16 +19,14 @@ flag the ambiguity, not a bug).
 from __future__ import annotations
 
 import datetime as dt
-import tempfile
 
-import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from parity_sweep import value_hash
+from fuzz_common import run_battery
 
-from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+from gee_datapipeline_spark.plans.registry import _load_all
 
 _load_all()
 
@@ -121,24 +119,7 @@ def _compare(spark, rows, names):
         columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
     )
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
-    with tempfile.TemporaryDirectory() as d:
-        pdf.to_parquet(f"{d}/events.parquet")
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
-        )
-        for name in names:
-            q = QUERIES[name]
-            spdf = q.spark(spark, d).toPandas()
-            dpdf = con.execute(q.oracle).fetchdf()
-            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
-            assert sorted(spdf.columns) == sorted(dpdf.columns), name
-            assert value_hash(spdf) == value_hash(dpdf), (
-                name,
-                spdf.head(10),
-                dpdf.head(10),
-            )
-        con.close()
+    run_battery(spark, {"events": pdf}, names)
 
 
 @settings(

@@ -11,16 +11,14 @@ partitioning and ANY data; this is the any-data half of that claim.
 from __future__ import annotations
 
 import datetime as dt
-import tempfile
 
-import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from parity_sweep import value_hash
+from fuzz_common import run_battery
 
-from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+from gee_datapipeline_spark.plans.registry import _load_all
 
 _load_all()
 
@@ -91,24 +89,7 @@ def _compare(spark, rows, names):
     pdf["l_shipdate"] = pd.to_datetime(pdf["l_shipdate"]).astype(
         "datetime64[us]"
     )
-    with tempfile.TemporaryDirectory() as d:
-        pdf.to_parquet(f"{d}/lineitem.parquet")
-        con = duckdb.connect()
-        con.execute(
-            f"CREATE VIEW lineitem AS SELECT * FROM '{d}/lineitem.parquet'"
-        )
-        for name in names:
-            q = QUERIES[name]
-            spdf = q.spark(spark, d).toPandas()
-            dpdf = con.execute(q.oracle).fetchdf()
-            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
-            assert sorted(spdf.columns) == sorted(dpdf.columns), name
-            assert value_hash(spdf) == value_hash(dpdf), (
-                name,
-                spdf.head(10),
-                dpdf.head(10),
-            )
-        con.close()
+    run_battery(spark, {"lineitem": pdf}, names)
 
 
 @settings(

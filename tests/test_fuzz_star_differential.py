@@ -11,16 +11,14 @@ are exactly what the fixed TPC-H-ish corpus never produces.
 from __future__ import annotations
 
 import datetime as dt
-import tempfile
 
-import duckdb
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from parity_sweep import value_hash
+from fuzz_common import run_battery
 
-from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+from gee_datapipeline_spark.plans.registry import _load_all
 
 _load_all()
 
@@ -222,25 +220,7 @@ def _compare(spark, tables, names):
     frames["lineitem"]["l_shipdate"] = pd.to_datetime(
         frames["lineitem"]["l_shipdate"]
     ).astype("datetime64[us]")
-    with tempfile.TemporaryDirectory() as d:
-        con = duckdb.connect()
-        for t, pdf in frames.items():
-            pdf.to_parquet(f"{d}/{t}.parquet")
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
-            )
-        for name in names:
-            q = QUERIES[name]
-            spdf = q.spark(spark, d).toPandas()
-            dpdf = con.execute(q.oracle).fetchdf()
-            assert len(spdf) == len(dpdf), (name, len(spdf), len(dpdf))
-            assert sorted(spdf.columns) == sorted(dpdf.columns), name
-            assert value_hash(spdf) == value_hash(dpdf), (
-                name,
-                spdf.head(10),
-                dpdf.head(10),
-            )
-        con.close()
+    run_battery(spark, frames, names)
 
 
 @settings(
