@@ -297,6 +297,11 @@ register(
                    {sql_stable_sum('l_quantity')} AS sum_qty
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+            -- engine contract: Spark's Expand+HashAggregate emits no
+            -- grouping-set rows on EMPTY input (the standard grand-total
+            -- row needs >=1 input row here); every real grouping-set row
+            -- has n >= 1, so this is a no-op on non-empty data
+            HAVING count(*) > 0
         """,
         tags=("aggregation", "cube"),
     )
@@ -573,6 +578,7 @@ register(
                    {sql_stable_sum('l_quantity')} AS sum_qty
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            HAVING count(*) > 0  -- engine contract: see cube_report
         """,
         tags=("aggregation", "cube"),
     )

@@ -1121,6 +1121,15 @@ def _audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.select("event_type").distinct().collect()
         if r[0] is not None
     )
+    if not etypes:
+        # empty stream → no types → no pairs (the oracle's SELECT
+        # DISTINCT yields the same zero rows; caught by the
+        # empty-input sweep, which previously hit etypes[0] below)
+        return spark.createDataFrame(
+            [],
+            "type_a string, type_b string, n_both long, n_a long, "
+            "n_b long, jaccard double",
+        )
     bit = F.when(F.col("event_type") == etypes[0], F.lit(1))
     for i, t in enumerate(etypes[1:], start=1):
         bit = bit.when(F.col("event_type") == t, F.lit(1 << i))

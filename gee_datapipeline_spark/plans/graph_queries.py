@@ -100,6 +100,11 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # scalar: node-count, metadata-sized
+    if n == 0:
+        # empty graph → zero rank rows (the oracle's node CTE is empty
+        # too); without the guard the Python-side 1/n teleport constant
+        # raised before any plan was built (empty-input sweep)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - DAMPING) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(ITERATIONS):

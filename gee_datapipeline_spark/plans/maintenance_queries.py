@@ -411,11 +411,16 @@ def _contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
         "shipdate_not_null": F.col("l_shipdate").isNotNull(),
     }
+    # coalesce: on an empty fact each violation sum is NULL — DuckDB's
+    # UNPIVOT silently drops NULL cells (0 rows) while stack() keeps
+    # them, and an audit should report ZERO violations explicitly
+    # anyway (caught by the empty-input sweep)
     agg = li.agg(
         F.count(F.lit(1)).alias("checked"),
         *[
-            F.sum(
-                F.when(~cond | cond.isNull(), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(~cond | cond.isNull(), 1).otherwise(0)),
+                F.lit(0),
             ).alias(name)
             for name, cond in contracts.items()
         ],
@@ -435,20 +440,20 @@ register(
         oracle="""
             WITH agg AS (
                 SELECT count(*) AS checked,
-                       sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                       coalesce(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
                                   OR l_quantity IS NULL
-                                THEN 1 ELSE 0 END) AS quantity_in_range,
-                       sum(CASE WHEN NOT (l_extendedprice > 0)
+                                THEN 1 ELSE 0 END), 0) AS quantity_in_range,
+                       coalesce(sum(CASE WHEN NOT (l_extendedprice > 0)
                                   OR l_extendedprice IS NULL
-                                THEN 1 ELSE 0 END) AS price_positive,
-                       sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
+                                THEN 1 ELSE 0 END), 0) AS price_positive,
+                       coalesce(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 1)
                                   OR l_discount IS NULL
-                                THEN 1 ELSE 0 END) AS discount_unit_interval,
-                       sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                                THEN 1 ELSE 0 END), 0) AS discount_unit_interval,
+                       coalesce(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
                                   OR l_returnflag IS NULL
-                                THEN 1 ELSE 0 END) AS returnflag_domain,
-                       sum(CASE WHEN l_shipdate IS NULL
-                                THEN 1 ELSE 0 END) AS shipdate_not_null
+                                THEN 1 ELSE 0 END), 0) AS returnflag_domain,
+                       coalesce(sum(CASE WHEN l_shipdate IS NULL
+                                THEN 1 ELSE 0 END), 0) AS shipdate_not_null
                 FROM lineitem
             )
             SELECT contract, CAST(violations AS BIGINT) AS violations,

@@ -381,6 +381,7 @@ register(
                    {sql_stable_sum('value')} AS total_value
             FROM events
             GROUP BY ROLLUP (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+            HAVING count(*) > 0  -- engine contract: see cube_report
         """,
         tags=("aggregation", "rollup"),
     )

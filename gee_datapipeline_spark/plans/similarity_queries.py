@@ -666,7 +666,14 @@ def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+            # nullif: an empty probe set (empty corpus partition) makes
+            # recall 0/0 — NULL in DuckDB, ANSI error in Spark without
+            # the guard (caught by the empty-input sweep).
+            F.round(
+                F.col("n_hit")
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                4,
+            ).alias("recall"),
         )
     )
 

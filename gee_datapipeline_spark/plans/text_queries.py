@@ -1829,6 +1829,10 @@ register(
                    floor(CAST(h_source AS DOUBLE) * 1000000.0 + 0.5)
                        / 1000000.0 AS h_source
             FROM mi, hl, hs, nn
+            -- engine contract: empty corpus -> no diagnostic row
+            -- (Spark's groupBy over zero cells); n IS NULL only
+            -- on empty input, so this is a no-op otherwise
+            WHERE n IS NOT NULL
         """,
         tags=("text", "information-theory", "mixture"),
         doc="MI(lang; source) + marginal entropies from one cell-table "
