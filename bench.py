@@ -382,6 +382,14 @@ def main() -> None:
         "heavy): solo re-measures with identical post-r6 code span "
         "2.04s-3.27s across sessions; the r6 change was a coalesce on "
         "the final 1-row aggregate (no per-row work)",
+        "label_propagation": "adjudicated r6->r7: the r6 full-bench "
+        "flag (4.112 -> 5.49s, host steal 0.72%) vanished on the r7 "
+        "solo re-run — best 4.139s (runs 4.56/4.37/4.14s) == baseline "
+        "4.112s; plan untouched since r5",
+        "lm_perplexity_buckets": "adjudicated r6->r7: r6 full-bench "
+        "flag (1.037 -> 1.538s, same noisy run) — r7 solo best 1.136s "
+        "(runs 1.21/1.19/1.14s), within noise of 1.037s baseline; "
+        "plan untouched",
     }
     expected_deltas: dict[str, str] = {}
     hard_regressions = False

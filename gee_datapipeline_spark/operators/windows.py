@@ -92,8 +92,10 @@ def blocked_trailing_window(
     impossible for any idx distribution.
 
     Returns ``(augmented_df, window_spec)``; the caller applies its frame
-    aggregates over the spec, then filters ``~__carry`` and drops
-    ``__pk``/``__carry``. Requires unique ``idx_col`` values from a
+    aggregates over the spec, then filters ``~__carry`` and SELECTS its
+    output columns explicitly (don't drop-by-name: the augmented frame
+    carries three helpers — ``__pk``, ``__carry``, and the exact-rank
+    stage's ``__rk`` — and future stages may add more). Requires unique ``idx_col`` values from a
     bounded domain (e.g. a grouped day index) so the bucket table stays
     small and carry rows order strictly before own rows. ``block`` must
     exceed ``n_preceding``.

@@ -15,7 +15,7 @@ formula is closed-form Catalyst arithmetic inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -98,8 +98,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently returned ranks V-4..V on a vocabulary of V < 14 terms
     # while the oracle's rank band returned nothing (caught by the
     # short-docs differential fuzz on a one-term corpus).
-    from pyspark.sql import Window
-
     head = dfreq.orderBy(
         F.col("doc_freq").desc(), F.col("term").asc()
     ).limit(PROBE_RANK_HI)

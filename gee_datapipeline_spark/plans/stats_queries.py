@@ -878,20 +878,29 @@ _SQL_CELL_H = " + ".join(
 
 
 def _dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private release of the lang×source document
-    histogram: Laplace(1/ε) noise on each cell count (sensitivity 1 for
-    one-doc-one-cell counting), then small cells suppressed below a
-    post-noise threshold — the standard release pattern for sharing
-    corpus composition stats without exposing individual contributors.
+    """Laplace-shaped noisy release of the lang×source document
+    histogram: Laplace(1/ε)-distributed pseudo-noise on each cell
+    count, then small cells suppressed below a post-noise threshold —
+    the *plan shape* of a DP histogram release (one corpus aggregate,
+    noise math on the tiny cell table).
 
-    The Laplace draw is DETERMINISTIC: the cell's md5 yields a 60-bit
-    uniform u ∈ (0,1] (the Efraimidis–Spirakis idiom from
-    ``weighted_sample_wor``), and noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
-    via inverse-CDF. Determinism is what makes the release idempotent —
-    a re-run or backfill publishes identical bytes, and the same cell
-    never gets fresh noise (which would burn ε on every run). Both
-    engines evaluate the identical IEEE expression, so the oracle gate
-    hash-compares exactly.
+    NOT a privacy mechanism as written. The noise is a deterministic
+    function of the PUBLIC cell key md5(lang|source): anyone who knows
+    the pipeline can recompute the noise and subtract it to recover
+    exact counts (and invert the suppression), and deterministic
+    per-cell noise breaks the Laplace-mechanism proof regardless —
+    adjacent datasets get identical noise. This query exists for
+    engine-parity benchmarking of the release *plan*; a real ε-DP
+    release needs fresh (or secretly-keyed, budget-accounted)
+    randomness, e.g. seeding from a secret salt kept out of the
+    released artifact, with ε accounting across re-runs.
+
+    The determinism is what makes the oracle gate possible: the cell's
+    md5 yields a 60-bit uniform u ∈ (0,1] (the Efraimidis–Spirakis
+    idiom from ``weighted_sample_wor``), noise =
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|) via inverse-CDF, and both engines
+    evaluate the identical IEEE expression so the release
+    hash-compares exactly and is idempotent across backfills.
 
     Scale shape: ONE corpus-sized hash aggregate (map-side combinable)
     folds 100 TB to the |langs|×|sources| cell table; all noise math
@@ -960,9 +969,11 @@ register(
             FROM noised
             WHERE noisy >= {_DP_TAU!r}
         """,
-        tags=("stats", "privacy", "dp"),
-        doc="ε-DP Laplace release of the lang×source histogram with "
-        "deterministic md5-seeded inverse-CDF noise and post-noise "
+        tags=("stats", "noisy-release"),
+        doc="Laplace-SHAPED deterministic pseudo-noise release of the "
+        "lang×source histogram (engine-parity benchmark of the DP "
+        "release plan shape — NOT a privacy mechanism: noise is "
+        "recomputable from the public cell key); post-noise "
         "suppression; one map-side-combinable corpus fold",
     )
 )

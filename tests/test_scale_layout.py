@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from gee_datapipeline_spark.functions.geo import z_order_key
+
+from conftest import SF_SMOKE
 from gee_datapipeline_spark.sinks.writers import write_pixels
 from gee_datapipeline_spark.sources.synthetic import make_pixels
 
@@ -49,8 +51,8 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key pre-co-locates them: the
     join plan must contain NO Exchange (shuffle) above the scans —
     the steady-state layout for repeated fact-fact joins at 100 TB."""
-    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     (
         li.write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
@@ -90,7 +92,7 @@ def test_dynamic_partition_pruning_on_date_partitioned_fact(spark, tmp_path):
     scripts' month-keyed exports produce."""
     from gee_datapipeline_spark.catalog import load_table
 
-    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events = load_table(spark, SF_SMOKE, "events")
     fact_path = str(tmp_path / "events_by_day")
     fact = events.withColumn(
         "day", F.date_format(F.col("ts"), "yyyy-MM-dd")
