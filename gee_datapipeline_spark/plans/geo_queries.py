@@ -380,6 +380,46 @@ register(
 )
 
 
+def _raster_ingest_deflate_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — ingest of DEFLATE-compressed and TILED GeoTIFFs, the
+    layouts real-world GEE exports use (rasterio reads arbitrary
+    layouts in the reference — fix_transparency.py:11-12; GDAL writes
+    COMPRESS=DEFLATE / TILED=YES routinely). The fixture dir holds one
+    file per layout (deflate strips, uncompressed 16×16 tiles, deflate
+    tiles) with a non-tile-aligned 21×19 grid, so edge-tile cropping,
+    zlib segment decode, and tile assembly are all inside the bit-exact
+    differential vs the parquet twin written from the pre-encode
+    arrays."""
+    from ..sources.fixtures import FIXTURES_DIR, ensure_geo_fixtures
+    from ..sources.raster import read_rasters
+
+    ensure_geo_fixtures()
+    df = read_rasters(
+        spark, str(FIXTURES_DIR / "rasters_deflate" / "*.tif")
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+
+
+register(
+    Query(
+        name="raster_ingest_deflate_tif",
+        spark=_raster_ingest_deflate_tif,
+        oracle=f"""
+            SELECT file, x, y, lon, lat, value
+            FROM read_parquet('{fixture_path("raster_deflate_pixels")}')
+        """,
+        tags=("geo", "S3", "S5"),
+    )
+)
+
+
 def _raster_ingest_utm_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + F8 — ingest of a PROJECTED (UTM-zone-43-tagged) GeoTIFF:
     binaryFile scan → GeoKeyDirectory parse → inverse-Krüger

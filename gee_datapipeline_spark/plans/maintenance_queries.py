@@ -227,8 +227,10 @@ def _geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical aggregate straight from the fixture's parquet twin,
     so the encode→decode cycle (strip layout, Model tags, NaN nodata,
     center-convention georeferencing) is what's under test — DuckDB
-    never sees a TIFF. Value sums are decimal-stable; bounds and grid
-    dims pin the geo transform bit-for-bit."""
+    never sees a TIFF. The export uses the DEFLATE+tiled layout, so
+    the compressed/tiled codec paths are inside the gate. Value sums
+    are decimal-stable; bounds and grid dims pin the geo transform
+    bit-for-bit."""
     import os
     import shutil
     import tempfile
@@ -253,7 +255,13 @@ def _geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="gee_tif_roundtrip_")
     try:
-        write_geotiffs(px, root, RASTER_PARAMS["cell"]).collect()
+        # export in the DEFLATE+tiled layout (GDAL COMPRESS=DEFLATE,
+        # TILED=YES — the common real-world GEE-export shape) so the
+        # roundtrip gates the compressed/tiled codec paths, not just
+        # the reference's own uncompressed strips
+        write_geotiffs(
+            px, root, RASTER_PARAMS["cell"], compress="deflate", tile=16
+        ).collect()
         back = read_rasters(spark, os.path.join(root, "*.tif"))
         out = (
             back.select(

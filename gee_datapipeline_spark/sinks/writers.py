@@ -74,6 +74,8 @@ def write_geotiffs(
     out_dir: str,
     cell_deg: float,
     value_col: str = "value",
+    compress: str | None = None,
+    tile: int | None = None,
 ) -> DataFrame:
     """S6 (full form) — one real GeoTIFF file per (dataset, date)
     raster, the reference's actual export artifact
@@ -97,7 +99,12 @@ def write_geotiffs(
     executor (local dir in local mode, NFS/fuse mount on a cluster):
     files are written with plain ``open()``, not the Hadoop
     FileSystem API, so ``hdfs://``/``s3a://`` URIs are NOT supported —
-    export to a mount, or swap the ``open`` for an fsspec handle."""
+    export to a mount, or swap the ``open`` for an fsspec handle.
+
+    ``compress``/``tile`` pass through to ``encode_geotiff`` —
+    ``compress="deflate"`` + ``tile=256`` writes the layout GDAL's
+    ``COMPRESS=DEFLATE, TILED=YES`` produces (the common GEE-export
+    shape), and ``read_rasters`` ingests either layout."""
     import os
 
     import numpy as np
@@ -131,7 +138,7 @@ def write_geotiffs(
         # writes for lon/lat exports); decode treats untagged and
         # 4326-tagged identically, so the roundtrip gate is unchanged
         payload = encode_geotiff(vals, min_lon, min_lat, cell_deg,
-                                 epsg=4326)
+                                 epsg=4326, compress=compress, tile=tile)
         with open(path, "wb") as fh:
             fh.write(payload)
         return pd.DataFrame(

@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 4  # v4: UTM-tagged raster fixture + twin
+FIXTURES_VERSION = 5  # v5: DEFLATE/tiled raster fixture + twin
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -56,6 +56,14 @@ UTM_RASTER_PARAMS = dict(
     dates=("2025-01-15", "2025-02-15"),
     w=9, h=7, seed=11, cell=1000.0, nan_frac=0.1,
     zone=43, min_e=700000.0, min_n=3160000.0,
+)
+
+# DEFLATE/tiled raster fixture: one file per layout (deflate strips,
+# uncompressed tiles, deflate tiles) — w/h deliberately NOT multiples
+# of the 16-px tile edge so edge-tile cropping is inside the gate.
+DEFLATE_RASTER_PARAMS = dict(
+    dates=("2025-01-15", "2025-02-15", "2025-03-15"),
+    w=21, h=19, seed=17, cell=0.01, nan_frac=0.1,
 )
 
 _PIXELS_ARROW = pa.schema(
@@ -370,6 +378,52 @@ def utm_raster_fixture(
     return files, rows
 
 
+def deflate_raster_fixture(
+    dates: tuple[str, ...], w: int, h: int, seed: int, cell: float,
+    nan_frac: float,
+) -> tuple[dict[str, bytes], list[tuple]]:
+    """DEFLATE-compressed / tiled GeoTIFF payloads + expected pixel
+    rows — the layouts real-world GEE exports use (GDAL
+    ``COMPRESS=DEFLATE``, ``TILED=YES``; fix_transparency.py:11-12
+    reads them via rasterio). One file per layout: deflate strips,
+    uncompressed 16×16 tiles, deflate 16×16 tiles — the twin rows are
+    identical in construction to ``raster_fixture``'s, so the decode
+    of every layout is a bit-exact differential against DuckDB."""
+    import numpy as np
+
+    from .synthetic import DELHI_BBOX
+    from .tiffcodec import encode_geotiff
+
+    min_lon, min_lat = DELHI_BBOX[0], DELHI_BBOX[1]
+    layouts = (
+        ("deflate", dict(compress="deflate")),
+        ("tiled", dict(tile=16)),
+        ("deflate_tiled", dict(compress="deflate", tile=16)),
+    )
+    files: dict[str, bytes] = {}
+    rows: list[tuple] = []
+    for d, (tag, kw) in zip(dates, layouts):
+        rng = np.random.default_rng(seed + int(d.replace("-", "")))
+        vals = rng.uniform(0.0, 300.0, size=(h, w))
+        vals[rng.random((h, w)) < nan_frac] = np.nan
+        name = f"aod_{tag}_{d}.tif"
+        files[name] = encode_geotiff(vals, min_lon, min_lat, cell, **kw)
+        for y in range(h):
+            for x in range(w):
+                v = vals[y, x]
+                rows.append(
+                    (
+                        name,
+                        x,
+                        y,
+                        min_lon + (float(x) + 0.5) * cell,
+                        min_lat + (float(y) + 0.5) * cell,
+                        None if np.isnan(v) else float(v),
+                    )
+                )
+    return files, rows
+
+
 def _write_delimited(base: Path) -> None:
     """Text-format twins of the pixel fixture, written by plain Python
     so both engines read IDENTICAL bytes: ``points.csv`` is the
@@ -419,6 +473,8 @@ def _manifest() -> dict:
                     for k, v in RASTER_PARAMS.items()},
         "utm_rasters": {k: list(v) if isinstance(v, tuple) else v
                         for k, v in UTM_RASTER_PARAMS.items()},
+        "deflate_rasters": {k: list(v) if isinstance(v, tuple) else v
+                            for k, v in DEFLATE_RASTER_PARAMS.items()},
     }
 
 
@@ -428,7 +484,8 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     manifest_path = base / "MANIFEST.json"
     wanted = _manifest()
     names = ("pixels", "regions", "thresholds", "amenities", "media",
-             "dhash_media", "raster_pixels", "raster_utm_pixels")
+             "dhash_media", "raster_pixels", "raster_utm_pixels",
+             "raster_deflate_pixels")
     extra = ("points.csv", "logs.jsonl")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
@@ -471,6 +528,15 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     pq.write_table(
         _rows_to_table(tif_rows, _RASTER_PX_ARROW),
         base / "raster_pixels.parquet",
+    )
+    dfl_files, dfl_rows = deflate_raster_fixture(**DEFLATE_RASTER_PARAMS)
+    dfl_dir = base / "rasters_deflate"
+    dfl_dir.mkdir(parents=True, exist_ok=True)
+    for name, payload in dfl_files.items():
+        (dfl_dir / name).write_bytes(payload)
+    pq.write_table(
+        _rows_to_table(dfl_rows, _RASTER_PX_ARROW),
+        base / "raster_deflate_pixels.parquet",
     )
     utm_files, utm_rows = utm_raster_fixture(**UTM_RASTER_PARAMS)
     utm_dir = base / "rasters_utm"

@@ -1,22 +1,29 @@
-"""Pure-Python GeoTIFF codec (uncompressed strips).
+"""Pure-Python GeoTIFF codec (strips + tiles, none/DEFLATE).
 
 The reference reads materialized GeoTIFFs with rasterio
-(``rasterio.open(path); src.read(1)`` — DataDownloader_V1.py:39,57) and
+(``rasterio.open(path); src.read(1)`` — DataDownloader_V1.py:39,57;
+fix_transparency.py:11-12 reads arbitrary rasterio-supported files) and
 its own exports are plain uncompressed single-band rasters
-(DataDownloader_V1.py:149). rasterio is absent in this container, but an
-uncompressed TIFF is just a tag directory + raw sample strips (public
-TIFF 6.0 + GeoTIFF specs), so the subset the reference actually produces
-and consumes is implemented here with ``struct`` + NumPy — making the S3
-ingest path real with no injected decoder.
+(DataDownloader_V1.py:149) — but real-world GEE exports (e.g. typical
+``geemap.ee_export_image`` output) are routinely DEFLATE-compressed and
+often tiled. rasterio is absent in this container, but a TIFF is just a
+tag directory + sample segments (public TIFF 6.0 + Technical Note 3 +
+GeoTIFF specs) and DEFLATE is stdlib ``zlib``, so the subset real
+exports use is implemented here with ``struct`` + ``zlib`` + NumPy —
+making the S3 ingest path real with no injected decoder.
 
 Surface:
-- decode: II/MM byte order; compression 1 (none); one sample per pixel;
-  sample formats uint/int/float at 8/16/32/64 bits; multiple strips;
+- decode: II/MM byte order; compression 1 (none), 8/32946
+  (zlib/AdobeDeflate); predictor 1 (none), 2 (horizontal differencing,
+  integer samples), 3 (floating-point byte-plane, TIFF TechNote 3);
+  strip (273/278/279) AND tile (322/323/324/325) layouts; one sample
+  per pixel; sample formats uint/int/float at 8/16/32/64 bits;
   ModelPixelScale (33550) + ModelTiepoint (33922) georeferencing;
   GDAL_NODATA (42113) → NaN.
-- encode: little-endian, single-band float32/float64, one strip per
-  row block, top-left tiepoint — the shape GDAL writes for the
-  reference's exports.
+- encode: little-endian, single-band float64, top-left tiepoint, with
+  optional ``compress="deflate"`` and/or ``tile=<edge>`` layouts — the
+  shapes GDAL writes for the reference's exports and for
+  ``-co COMPRESS=DEFLATE -co TILED=YES`` ones.
 
 Orientation contract (matches ``raster.read_rasters``): decoded arrays
 have row 0 at the SOUTH edge — ``lat = min_lat + (y + 0.5) * cell`` —
@@ -27,6 +34,7 @@ them back.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -42,6 +50,11 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTES = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
@@ -102,6 +115,30 @@ def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, list]:
     return tags
 
 
+def _undo_predictor(seg: np.ndarray, predictor: int, dtype: np.dtype):
+    """Invert TIFF predictor on one decoded segment (rows × width,
+    native-order samples). Predictor 2 is horizontal differencing on
+    the integer sample ring (modular cumsum); predictor 3 (TechNote 3)
+    is byte-level differencing over big-endian byte planes — undone by
+    a uint8 cumsum, then de-interleaving the planes back into samples.
+    Predictors apply per row, so whole segments vectorize in one shot."""
+    if predictor == 2:
+        if dtype.kind == "f":
+            raise ValueError("predictor 2 is undefined for float samples")
+        u = seg.view(np.dtype(f"u{dtype.itemsize}"))
+        return np.cumsum(u, axis=1, dtype=u.dtype).view(seg.dtype)
+    # predictor 3: seg arrives as raw uint8 rows × (width·itemsize)
+    b = np.cumsum(seg, axis=1, dtype=np.uint8)
+    rows = b.shape[0]
+    itemsize = dtype.itemsize
+    width = b.shape[1] // itemsize
+    planes = b.reshape(rows, itemsize, width)[:, ::-1, :]  # MSB-first → LSB
+    le = np.ascontiguousarray(planes.transpose(0, 2, 1)).reshape(
+        rows, width * itemsize
+    )
+    return le.view(np.dtype(f"<{dtype.kind}{itemsize}"))
+
+
 def decode_geotiff(data: bytes):
     """GeoTIFF bytes → (values 2-D float64 [row 0 = south], min_x,
     min_y, cell, crs). NoData becomes NaN.
@@ -127,11 +164,14 @@ def decode_geotiff(data: bytes):
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp != 1:
+    if comp not in (1, 8, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp}; codec reads "
-            "uncompressed strips only"
+            "uncompressed or DEFLATE (8/32946) segments only"
         )
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
     if spp != 1:
         raise ValueError("codec reads single-band rasters only")
@@ -143,15 +183,49 @@ def decode_geotiff(data: bytes):
     ):
         raise ValueError(f"unsupported sample format {fmt}/{bits}")
     dtype = np.dtype(f"{'<' if bo == '<' else '>'}{kind}{bits // 8}")
+    native = dtype.newbyteorder("=")
+    itemsize = dtype.itemsize
 
-    offsets = tags[_TAG_STRIP_OFFSETS]
-    counts = tags[_TAG_STRIP_BYTES]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
-    vals = (
-        np.frombuffer(raw, dtype=dtype, count=h * w)
-        .reshape(h, w)
-        .astype(np.float64)
-    )
+    def segment(off: int, cnt: int, rows: int, width: int) -> np.ndarray:
+        """One strip/tile → rows × width native-order sample array."""
+        raw = data[off : off + cnt]
+        if comp in (8, 32946):
+            raw = zlib.decompress(raw)
+        raw = raw[: rows * width * itemsize]
+        if predictor == 3:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(
+                rows, width * itemsize
+            )
+            return _undo_predictor(b, 3, dtype).astype(native)
+        a = (
+            np.frombuffer(raw, dtype=dtype)
+            .reshape(rows, width)
+            .astype(native)
+        )
+        return _undo_predictor(a, 2, native) if predictor == 2 else a
+
+    if _TAG_TILE_OFFSETS in tags:
+        tw = tags[_TAG_TILE_WIDTH][0]
+        tl = tags[_TAG_TILE_LENGTH][0]
+        across = -(-w // tw)
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_BYTES]
+        full = np.zeros((-(-h // tl) * tl, across * tw), dtype=native)
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(idx, across)
+            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
+                segment(o, c, tl, tw)
+            )
+        vals = full[:h, :w].astype(np.float64)
+    else:
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_BYTES]
+        rps = tags.get(_TAG_ROWS_PER_STRIP, [h])[0]
+        parts = [
+            segment(o, c, min(rps, h - i * rps), w)
+            for i, (o, c) in enumerate(zip(offsets, counts))
+        ]
+        vals = np.vstack(parts)[:h].astype(np.float64)
 
     nodata = tags.get(_TAG_GDAL_NODATA)
     if nodata:
@@ -186,14 +260,24 @@ def encode_geotiff(
     cell_deg: float,
     nodata: float | None = None,
     epsg: int | None = None,
+    compress: str | None = None,
+    tile: int | None = None,
 ) -> bytes:
-    """2-D array [row 0 = south] → little-endian uncompressed GeoTIFF.
+    """2-D array [row 0 = south] → little-endian GeoTIFF.
 
     float64 samples; NaN cells are written as ``nodata`` (default NaN
     itself, recorded in GDAL_NODATA so decode restores NaN). ``epsg``
     writes a GeoKeyDirectory (4326 as a geographic key, anything else
     as a projected key, in which case min_lon/min_lat/cell are that
-    CRS's meters); None leaves the file untagged (= 4326 on decode)."""
+    CRS's meters); None leaves the file untagged (= 4326 on decode).
+    ``compress="deflate"`` zlib-compresses each segment (GDAL
+    ``COMPRESS=DEFLATE``); ``tile=<edge>`` writes a tiled layout (GDAL
+    ``TILED=YES``; edge must be a multiple of 16 per TIFF 6.0 §15) —
+    edge tiles are padded with ``nodata`` (or NaN)."""
+    if compress not in (None, "deflate"):
+        raise ValueError(f"unsupported compress={compress!r}")
+    if tile is not None and (tile <= 0 or tile % 16):
+        raise ValueError("tile edge must be a positive multiple of 16")
     vals = np.asarray(values, dtype="<f8")
     if vals.ndim != 2:
         raise ValueError("encode_geotiff wants a 2-D array")
@@ -201,7 +285,34 @@ def encode_geotiff(
     top_down = vals[::-1]
     if nodata is not None:
         top_down = np.where(np.isnan(top_down), nodata, top_down)
-    data = np.ascontiguousarray(top_down).tobytes()
+    top_down = np.ascontiguousarray(top_down)
+    comp_id = 8 if compress == "deflate" else 1
+
+    def pack(seg: np.ndarray) -> bytes:
+        raw = seg.tobytes()
+        return zlib.compress(raw) if compress == "deflate" else raw
+
+    segments: list[bytes] = []
+    if tile is not None:
+        pad = np.float64("nan") if nodata is None else float(nodata)
+        down, across = -(-h // tile), -(-w // tile)
+        padded = np.full((down * tile, across * tile), pad, dtype="<f8")
+        padded[:h, :w] = top_down
+        for ty in range(down):
+            for tx in range(across):
+                segments.append(
+                    pack(
+                        np.ascontiguousarray(
+                            padded[
+                                ty * tile : (ty + 1) * tile,
+                                tx * tile : (tx + 1) * tile,
+                            ]
+                        )
+                    )
+                )
+    else:
+        segments.append(pack(top_down))
+    data = b"".join(segments)
     max_lat = min_lat + h * cell_deg
 
     # space-padded to ≥5 bytes so the ASCII tag always takes the
@@ -222,29 +333,60 @@ def encode_geotiff(
         ]
     geo_s = struct.pack(f"<{len(geokeys)}H", *geokeys)
     # layout: header(8) | pixel data | doubles block | nodata ascii |
-    #         geokey shorts | IFD
+    #         geokey shorts | segment offset/count arrays | IFD
     data_off = 8
     scale_off = data_off + len(data)
     tie_off = scale_off + 3 * 8
     nodata_off = tie_off + 6 * 8
     geo_off = nodata_off + len(nodata_s)
-    ifd_off = geo_off + len(geo_s)
+    seg_arr_off = geo_off + len(geo_s)
+
+    nseg = len(segments)
+    seg_offsets: list[int] = []
+    pos = data_off
+    for s in segments:
+        seg_offsets.append(pos)
+        pos += len(s)
+    seg_counts = [len(s) for s in segments]
+    # LONG arrays: inline when a single segment fits the 4-byte slot,
+    # else an external block right before the IFD.
+    if nseg == 1:
+        off_val, cnt_val = seg_offsets[0], seg_counts[0]
+        seg_arrays = b""
+        ifd_off = seg_arr_off
+    else:
+        off_val = seg_arr_off
+        cnt_val = seg_arr_off + 4 * nseg
+        seg_arrays = struct.pack(
+            f"<{nseg}I", *seg_offsets
+        ) + struct.pack(f"<{nseg}I", *seg_counts)
+        ifd_off = seg_arr_off + len(seg_arrays)
 
     entries = [
         (_TAG_WIDTH, 4, 1, w),
         (_TAG_HEIGHT, 4, 1, h),
         (_TAG_BITS, 3, 1, 64),
-        (_TAG_COMPRESSION, 3, 1, 1),
+        (_TAG_COMPRESSION, 3, 1, comp_id),
         (262, 3, 1, 1),  # photometric: BlackIsZero
-        (_TAG_STRIP_OFFSETS, 4, 1, data_off),
         (_TAG_SAMPLES_PER_PIXEL, 3, 1, 1),
-        (_TAG_ROWS_PER_STRIP, 4, 1, h),
-        (_TAG_STRIP_BYTES, 4, 1, len(data)),
         (_TAG_SAMPLE_FORMAT, 3, 1, 3),  # IEEE float
         (_TAG_MODEL_PIXEL_SCALE, 12, 3, scale_off),
         (_TAG_MODEL_TIEPOINT, 12, 6, tie_off),
         (_TAG_GDAL_NODATA, 2, len(nodata_s), nodata_off),
     ]
+    if tile is not None:
+        entries += [
+            (_TAG_TILE_WIDTH, 4, 1, tile),
+            (_TAG_TILE_LENGTH, 4, 1, tile),
+            (_TAG_TILE_OFFSETS, 4, nseg, off_val),
+            (_TAG_TILE_BYTES, 4, nseg, cnt_val),
+        ]
+    else:
+        entries += [
+            (_TAG_STRIP_OFFSETS, 4, nseg, off_val),
+            (_TAG_ROWS_PER_STRIP, 4, 1, h),
+            (_TAG_STRIP_BYTES, 4, nseg, cnt_val),
+        ]
     if geokeys:
         entries.append((_TAG_GEO_KEYS, 3, len(geokeys), geo_off))
     ifd = struct.pack("<H", len(entries))
@@ -266,5 +408,6 @@ def encode_geotiff(
         + struct.pack("<6d", 0.0, 0.0, 0.0, min_lon, max_lat, 0.0)
         + nodata_s
         + geo_s
+        + seg_arrays
         + ifd
     )
