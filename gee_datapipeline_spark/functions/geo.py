@@ -183,6 +183,43 @@ def _parse_ring(poly: str) -> np.ndarray:
     return np.array([[float(a), float(b)] for a, b in pts], dtype=np.float64)
 
 
+def _parse_rings(poly) -> list[np.ndarray]:
+    """Polygon spec → list of (n, 2) rings, even-odd semantics.
+
+    Accepts the legacy single-ring ``'lon lat, lon lat, ...'`` string, a
+    ``;``-separated multi-ring string (interior rings are holes, extra
+    exterior rings are MultiPolygon parts — both are just "more rings"
+    under even-odd), or a GeoJSON ``Polygon``/``MultiPolygon`` geometry
+    (mapping or JSON string) — the shapes ``rasterio.mask.mask`` accepts
+    in the reference (DataDownloader_V1.py:54) and what the FAO GAUL
+    ADM1 boundaries it clips to actually are
+    (DataDownloader_SNPP_VIIRS_V1.py:32-36 — MultiPolygons in
+    practice)."""
+    import json
+
+    if isinstance(poly, str) and poly.lstrip().startswith("{"):
+        poly = json.loads(poly)
+    if isinstance(poly, dict):
+        gtype = poly.get("type")
+        coords = poly.get("coordinates", [])
+        if gtype == "Polygon":
+            rings = [np.asarray(r, dtype=np.float64) for r in coords]
+        elif gtype == "MultiPolygon":
+            rings = [
+                np.asarray(r, dtype=np.float64)
+                for part in coords
+                for r in part
+            ]
+        else:
+            raise ValueError(
+                f"unsupported GeoJSON geometry type {gtype!r}"
+            )
+        if not rings:
+            raise ValueError("geometry has no rings")
+        return rings
+    return [_parse_ring(seg) for seg in str(poly).split(";") if seg.strip()]
+
+
 def _ray_cast(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
     """Vectorized even-odd ray casting: point vs one polygon ring."""
     inside = np.zeros(len(lons), dtype=bool)
@@ -197,20 +234,35 @@ def _ray_cast(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarra
     return inside
 
 
-def make_point_in_polygon_udf(polygon: str):
+def _ray_cast_rings(
+    lons: np.ndarray, lats: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Even-odd over ALL rings: XOR of per-ring crossings. A point in
+    an outer ring and its hole toggles twice → outside; a point in any
+    one disjoint part toggles once → inside — matching
+    ``rasterio.mask.mask`` / GeoJSON winding-agnostic semantics."""
+    inside = np.zeros(len(lons), dtype=bool)
+    for ring in rings:
+        inside ^= _ray_cast(lons, lats, ring)
+    return inside
+
+
+def make_point_in_polygon_udf(polygon):
     """P6/J1 — exact polygon containment (the ``rasterio.mask.mask``
     clip, DataDownloader_V1.py:54) as an Arrow-batched pandas UDF.
 
-    The ring is parsed once per executor (closure), the test is
+    Accepts single-ring strings, ``;``-separated multi-ring strings,
+    and GeoJSON Polygon/MultiPolygon geometries (see ``_parse_rings``).
+    Rings are parsed once per executor (closure), the test is
     vectorized NumPy over the whole Arrow batch — never per-row Python.
     Always apply after a bbox prefilter (bbox_contains) so the UDF sees
     only candidate rows."""
-    ring = _parse_ring(polygon)
+    rings = _parse_rings(polygon)
 
     @F.pandas_udf(T.BooleanType())
     def pip(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        res = _ray_cast(
-            lon.to_numpy(np.float64), lat.to_numpy(np.float64), ring
+        res = _ray_cast_rings(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), rings
         )
         return pd.Series(res)
 
@@ -218,12 +270,15 @@ def make_point_in_polygon_udf(polygon: str):
 
 
 def clip_to_polygon(
-    pixels: DataFrame, polygon: str, lon: str = "lon", lat: str = "lat"
+    pixels: DataFrame, polygon, lon: str = "lon", lat: str = "lat"
 ) -> DataFrame:
-    """J1 — clip: bbox prefilter (pushdown-able) + exact ray-cast test."""
-    ring = _parse_ring(polygon)
-    lo_lon, lo_lat = ring.min(axis=0)
-    hi_lon, hi_lat = ring.max(axis=0)
+    """J1 — clip: bbox prefilter (pushdown-able) + exact ray-cast test.
+    ``polygon`` may be any shape ``_parse_rings`` accepts (single ring,
+    multi-ring with holes, MultiPolygon); the bbox prefilter is the
+    envelope of every ring."""
+    pts = np.vstack(_parse_rings(polygon))
+    lo_lon, lo_lat = pts.min(axis=0)
+    hi_lon, hi_lat = pts.max(axis=0)
     pip = make_point_in_polygon_udf(polygon)
     return pixels.filter(
         bbox_contains(

@@ -135,6 +135,47 @@ register(
 )
 
 
+def _geo_clip_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 full form — clip to a HOLED, TWO-PART region (the
+    ``rasterio.mask.mask`` shape class: FAO GAUL ADM1 boundaries the
+    reference clips to are MultiPolygons in practice,
+    DataDownloader_SNPP_VIIRS_V1.py:32-36). Even-odd ray cast over all
+    rings: the hole toggles containment off inside part A; part B is a
+    disjoint rectangle. Ring coords end in 5 at the thousandth so no
+    pixel center sits on a boundary — the oracle is the closed-form
+    rectangle algebra."""
+    px = _pixels(spark)
+    regions = load_fixture(spark, "regions")
+    poly = regions.filter(
+        F.col("region") == "delhi_holed_multi"
+    ).first()["polygon"]
+    return (
+        clip_to_polygon(px, poly)
+        .groupBy("dataset")
+        .agg(F.count(F.lit(1)).alias("n_pixels_in_region"))
+    )
+
+
+register(
+    Query(
+        name="geo_clip_multipolygon",
+        spark=_geo_clip_multipolygon,
+        oracle=f"""
+            SELECT dataset, count(*) AS n_pixels_in_region
+            FROM read_parquet('{_PX}')
+            WHERE ((lon BETWEEN 76.995 AND 77.235
+                    AND lat BETWEEN 28.295 AND 28.615
+                    AND NOT (lon BETWEEN 77.075 AND 77.155
+                             AND lat BETWEEN 28.375 AND 28.535))
+                OR (lon BETWEEN 77.315 AND 77.555
+                    AND lat BETWEEN 28.675 AND 28.855))
+            GROUP BY dataset
+        """,
+        tags=("geo", "J1", "P6"),
+    )
+)
+
+
 def _geo_proximity_amenities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — the advocacy query the reference answers visually
     (README.md:2; power-plant overlay DataDownloader_V2.py:96-102):

@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 5  # v5: DEFLATE/tiled raster fixture + twin
+FIXTURES_VERSION = 6  # v6: holed/multi-part clip region (+v5 DEFLATE rasters)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 

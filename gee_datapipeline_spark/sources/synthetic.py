@@ -100,10 +100,24 @@ def regions_rows() -> list[tuple]:
     diamond = (
         "77.25 28.3, 77.55 28.6, 77.25 28.9, 76.95 28.6, 77.25 28.3"
     )
+    # Holed + two-part region (the GAUL-ADM1 shape class the reference
+    # clips to): part A is a rectangle with a rectangular hole, part B
+    # a disjoint rectangle. All ring coordinates end in 5 at the
+    # thousandth so no fixture pixel center (hundredths, 76.89+0.08k /
+    # 28.24+0.08k) ever lies on a boundary — ray-cast == closed form.
+    holed_multi = (
+        "76.995 28.295, 77.235 28.295, 77.235 28.615, 76.995 28.615,"
+        " 76.995 28.295;"
+        " 77.075 28.375, 77.155 28.375, 77.155 28.535, 77.075 28.535,"
+        " 77.075 28.375;"
+        " 77.315 28.675, 77.555 28.675, 77.555 28.855, 77.315 28.855,"
+        " 77.315 28.675"
+    )
     return [
         ("delhi_ncr", *DELHI_BBOX, None),
         ("punjab", *PUNJAB_BBOX, None),
         ("delhi_diamond", 76.95, 28.3, 77.55, 28.9, diamond),
+        ("delhi_holed_multi", 76.995, 28.295, 77.555, 28.855, holed_multi),
     ]
 
 

@@ -83,6 +83,81 @@ def test_point_in_polygon_diamond(spark):
     assert got == {1, 3}
 
 
+def test_clip_holed_multipolygon_string(spark):
+    """Even-odd over multiple rings: a holed rectangle + a disjoint
+    part, as a ';'-separated ring string (the delhi_holed_multi
+    fixture shape)."""
+    regions = make_regions(spark)
+    poly = regions.filter(
+        F.col("region") == "delhi_holed_multi"
+    ).collect()[0]["polygon"]
+    pts = spark.createDataFrame(
+        [
+            (1, 77.02, 28.32),  # part A, outside the hole — inside
+            (2, 77.10, 28.45),  # inside the hole — outside
+            (3, 77.40, 28.70),  # part B — inside
+            (4, 77.28, 28.65),  # between the parts — outside
+            (5, 77.16, 28.45),  # part A, just east of the hole — inside
+            (6, 70.00, 20.00),  # far away
+        ],
+        ["id", "lon", "lat"],
+    )
+    got = {r.id for r in clip_to_polygon(pts, poly).collect()}
+    assert got == {1, 3, 5}
+
+
+def test_clip_geojson_multipolygon(spark):
+    """GeoJSON MultiPolygon geometry (dict and JSON-string forms) —
+    the literal shape class of FAO GAUL ADM1 boundaries; same even-odd
+    semantics as the ring-string form."""
+    import json
+
+    geom = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [  # part A: unit square with a center hole
+                [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0],
+                 [0.0, 0.0]],
+                [[1.5, 1.5], [2.5, 1.5], [2.5, 2.5], [1.5, 2.5],
+                 [1.5, 1.5]],
+            ],
+            [  # part B: disjoint square
+                [[10.0, 10.0], [12.0, 10.0], [12.0, 12.0],
+                 [10.0, 12.0], [10.0, 10.0]],
+            ],
+        ],
+    }
+    pts = spark.createDataFrame(
+        [
+            (1, 0.5, 0.5),    # part A — inside
+            (2, 2.0, 2.0),    # hole — outside
+            (3, 11.0, 11.0),  # part B — inside
+            (4, 6.0, 6.0),    # between — outside
+        ],
+        ["id", "lon", "lat"],
+    )
+    for spec in (geom, json.dumps(geom)):
+        got = {r.id for r in clip_to_polygon(pts, spec).collect()}
+        assert got == {1, 3}, type(spec)
+
+
+def test_clip_geojson_polygon_with_hole(spark):
+    """GeoJSON Polygon with an interior ring behaves as a hole."""
+    geom = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0.0, 0.0], [3.0, 0.0], [3.0, 3.0], [0.0, 3.0], [0.0, 0.0]],
+            [[1.0, 1.0], [2.0, 1.0], [2.0, 2.0], [1.0, 2.0], [1.0, 1.0]],
+        ],
+    }
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 1.5, 1.5), (3, 2.5, 2.5)],
+        ["id", "lon", "lat"],
+    )
+    got = {r.id for r in clip_to_polygon(pts, geom).collect()}
+    assert got == {1, 3}
+
+
 def test_proximity_join_matches_bruteforce(spark, pixels):
     """J2 — grid-bucketed proximity join returns exactly the brute-force
     haversine pairs (the bucketing must not lose border candidates)."""
