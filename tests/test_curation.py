@@ -5,6 +5,8 @@ hash comparison can't explain."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -127,12 +129,12 @@ def test_compression_ratio_matches_pure_python(spark):
     import duckdb
 
     from gee_datapipeline_spark.plans.curation_queries import (
-        _compression_ratio_quality,
+        compression_ratio_per_doc,
     )
 
     got = {
         r.doc_id: (r.n_chars, r.compression_ratio, r.bucket)
-        for r in _compression_ratio_quality(spark, SF_SMOKE).collect()
+        for r in compression_ratio_per_doc(spark, SF_SMOKE).collect()
     }
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_SMOKE}/documents.parquet')"
@@ -156,3 +158,58 @@ def test_compression_ratio_matches_pure_python(spark):
             else ("incompressible" if exp > 0.85 else "normal")
         )
         assert bucket == exp_bucket
+
+
+def test_compression_pinned_oracle_rows():
+    """The oracle for ``compression_ratio_quality`` is a pinned literal
+    table keyed by corpus signature. Recompute every pin from the
+    parquet on disk with the same public zlib; on mismatch the failure
+    message prints the fresh rows to paste into ``_COMPRESSION_PINNED``
+    (this test IS the regeneration tool)."""
+    import collections
+    import math
+    import zlib
+
+    import duckdb
+
+    from gee_datapipeline_spark.plans.curation_queries import (
+        _COMPRESSION_PINNED,
+    )
+
+    con = duckdb.connect()
+    fresh = []
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        sig = con.execute(
+            "SELECT md5(string_agg(md5(text), '' ORDER BY doc_id)) "
+            f"FROM '{p}'"
+        ).fetchone()[0]
+        agg = collections.defaultdict(lambda: [0, 0, 0])
+        for _, text in con.execute(
+            f"SELECT doc_id, text FROM '{p}'"
+        ).fetchall():
+            raw = text.encode("utf-8")
+            if not raw:
+                a = agg["empty"]
+                a[0] += 1
+                a[1] += len(text)
+                continue
+            x = len(zlib.compress(raw, 6)) / len(raw)
+            b = (
+                "repetitive"
+                if x < 0.35
+                else ("incompressible" if x > 0.85 else "normal")
+            )
+            a = agg[b]
+            a[0] += 1
+            a[1] += len(text)
+            a[2] += math.floor(x * 10**6 + 0.5)
+        for b in sorted(agg):
+            n, s, m = agg[b]
+            fresh.append((sig, b, n, s, m))
+    assert set(fresh) <= set(_COMPRESSION_PINNED), (
+        "pinned oracle rows are stale; replace _COMPRESSION_PINNED "
+        f"with:\n{fresh}"
+    )
