@@ -19,7 +19,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -285,3 +285,160 @@ def clip_to_polygon(
             F.col(lon), F.col(lat), lo_lon, lo_lat, hi_lon, hi_lat
         )
     ).filter(pip(F.col(lon), F.col(lat)))
+
+
+# --------------------------------------------------- exact dissolve (A6)
+
+
+def make_point_in_union_udf(geometries):
+    """A6 full form — containment in the DISSOLVED union of a feature
+    set (``punjab.geometry()``, DataDownloader_SNPP_VIIRS_V1.py:36): a
+    point is inside iff it is inside ANY member geometry, each member
+    evaluated even-odd with its own holes. This is exact for arbitrary
+    overlaps, where flattening all rings into one even-odd test would
+    wrongly toggle the shared area OFF — the reason a dissolve is not
+    just "more rings".
+
+    ``geometries`` is a list of polygon specs (any shape
+    ``_parse_rings`` accepts). Parsed once per executor; the test is
+    vectorized NumPy over the whole Arrow batch."""
+    parts = [_parse_rings(g) for g in geometries]
+    if not parts:
+        raise ValueError("union of zero geometries")
+
+    @F.pandas_udf(T.BooleanType())
+    def piu(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lons = lon.to_numpy(np.float64)
+        lats = lat.to_numpy(np.float64)
+        inside = np.zeros(len(lons), dtype=bool)
+        for rings in parts:
+            inside |= _ray_cast_rings(lons, lats, rings)
+        return pd.Series(inside)
+
+    return piu
+
+
+def clip_to_union(
+    pixels: DataFrame, geometries, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Clip to the dissolved union of several geometries: bbox
+    prefilter on the union envelope (pushdown-able), then the exact
+    any-member ray-cast test. Covers every reference use of the
+    dissolve — GEE's ``geometry()`` union feeds either a clip mask or a
+    bounds request, never the merged boundary itself."""
+    pts = np.vstack([np.vstack(_parse_rings(g)) for g in geometries])
+    lo_lon, lo_lat = pts.min(axis=0)
+    hi_lon, hi_lat = pts.max(axis=0)
+    piu = make_point_in_union_udf(geometries)
+    return pixels.filter(
+        bbox_contains(
+            F.col(lon), F.col(lat), lo_lon, lo_lat, hi_lon, hi_lat
+        )
+    ).filter(piu(F.col(lon), F.col(lat)))
+
+
+def rect_union_area(
+    rects: DataFrame,
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+    group: list[str] | None = None,
+) -> DataFrame:
+    """Exact dissolved-union AREA of axis-aligned rectangles (scene /
+    export footprints — ``ee.Geometry.Rectangle`` is the reference's
+    own region currency, DataDownloader_V1.py:25) via vertical slab
+    decomposition, entirely in Catalyst expressions — no UDF, no
+    geometry library:
+
+    1. slab edges = distinct x-coordinates of all rectangle sides;
+       consecutive pairs (lead over an x-sort) form vertical slabs;
+    2. each slab joins the rectangles fully spanning it (range
+       predicate on two sorted bounds);
+    3. per slab, the classic sorted-interval sweep merges overlapping
+       [y1, y2] intervals: a running max of y2 over the y-sort marks
+       interval starts, a running sum of the marks numbers the merged
+       runs, and a group-by collapses them;
+    4. union area = Σ slab_width × merged-interval length, summed
+       through DECIMAL so the total is partition-order independent.
+
+    Returns one row per ``group`` (or one global row) with
+    ``n_rects``, ``sum_rect_area`` (double-counts overlaps) and
+    ``union_area`` (exact dissolve).
+
+    Scale: the decomposition is per-``group`` — at 100 TB you dissolve
+    footprints within a region/tile/day key, so every window below is
+    key-partitioned and each group holds a bounded footprint set (the
+    global-sort form only runs when ``group`` is None, i.e. on
+    dimension-sized inputs). Slab count is 2·N per group and the
+    slab×rect range join is the O(N²)-worst-case plane sweep — the
+    standard exact algorithm; for the heavier general-polygon dissolve
+    semantics use :func:`clip_to_union`, which never materializes the
+    union at all."""
+    keys = list(group or [])
+    cx1, cy1 = F.col(x1), F.col(y1)
+    cx2, cy2 = F.col(x2), F.col(y2)
+    r = rects.select(
+        *keys,
+        F.least(cx1, cx2).alias("__rx1"),
+        F.least(cy1, cy2).alias("__ry1"),
+        F.greatest(cx1, cx2).alias("__rx2"),
+        F.greatest(cy1, cy2).alias("__ry2"),
+    )
+    xs = r.select(
+        *keys, F.explode(F.array("__rx1", "__rx2")).alias("__x")
+    ).distinct()
+    wx = (
+        Window.partitionBy(*keys).orderBy("__x")
+        if keys
+        else Window.orderBy("__x")
+    )
+    slabs = (
+        xs.withColumn("__x_hi", F.lead("__x").over(wx))
+        .filter(F.col("__x_hi").isNotNull())
+        .withColumnRenamed("__x", "__x_lo")
+    )
+    cond = (F.col("__rx1") <= F.col("__x_lo")) & (
+        F.col("__rx2") >= F.col("__x_hi")
+    )
+    for k in keys:
+        cond = cond & (slabs[k] == r[k])
+    cover = slabs.join(r, cond).select(
+        *[slabs[k] for k in keys], "__x_lo", "__x_hi", "__ry1", "__ry2"
+    )
+    wy = Window.partitionBy(*keys, "__x_lo").orderBy("__ry1", "__ry2")
+    run_max = F.max("__ry2").over(
+        wy.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cover = cover.withColumn(
+        "__new", (run_max.isNull() | (F.col("__ry1") > run_max)).cast("int")
+    ).withColumn(
+        "__run",
+        F.sum("__new").over(wy.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = cover.groupBy(*keys, "__x_lo", "__x_hi", "__run").agg(
+        F.min("__ry1").alias("__lo"), F.max("__ry2").alias("__hi")
+    )
+    from .stable import stable_sum
+
+    piece = (F.col("__x_hi") - F.col("__x_lo")) * (
+        F.col("__hi") - F.col("__lo")
+    )
+    union = merged.groupBy(*keys).agg(
+        stable_sum(piece, 6).alias("union_area")
+    )
+    totals = r.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rects"),
+        stable_sum(
+            (F.col("__rx2") - F.col("__rx1"))
+            * (F.col("__ry2") - F.col("__ry1")),
+            6,
+        ).alias("sum_rect_area"),
+    )
+    if keys:
+        return totals.join(union, keys).select(
+            *keys, "n_rects", "sum_rect_area", "union_area"
+        )
+    return totals.crossJoin(F.broadcast(union)).select(
+        "n_rects", "sum_rect_area", "union_area"
+    )

@@ -22,8 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.geo import bbox_contains, clip_to_polygon, proximity_join
-from ..functions.stable import sql_stable_avg
+from ..functions.geo import (
+    bbox_contains,
+    clip_to_polygon,
+    clip_to_union,
+    proximity_join,
+    rect_union_area,
+)
+from ..functions.stable import sql_stable_avg, sql_stable_sum
 from ..operators.classify import classify_with_thresholds
 from ..operators.composites import grid_resample, mean_composite, max_composite
 from ..operators.windows import minmax_normalize
@@ -336,6 +342,132 @@ register(
                    count(*) AS n_features
             FROM read_parquet('{_AMEN}')
             GROUP BY source
+        """,
+        tags=("geo", "A6", "aggregation"),
+    )
+)
+
+
+def _geo_clip_dissolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 full form — clip to the DISSOLVED union of two overlapping
+    district features (``punjab.geometry()``,
+    DataDownloader_SNPP_VIIRS_V1.py:36): inside ANY member, each member
+    even-odd with its own holes. The fixture districts overlap on a box
+    that contains pixel centers, so this provably differs from
+    flattening the rings into one even-odd test (which would toggle the
+    shared area off) — the semantic content of a dissolve."""
+    px = _pixels(spark)
+    regions = load_fixture(spark, "regions").filter(
+        F.col("region").isin("dist_west", "dist_east")
+    )
+    polys = [r["polygon"] for r in regions.select("polygon").collect()]
+    return (
+        clip_to_union(px, polys)
+        .groupBy("dataset")
+        .agg(F.count(F.lit(1)).alias("n_pixels_in_union"))
+    )
+
+
+register(
+    Query(
+        name="geo_clip_dissolved",
+        spark=_geo_clip_dissolved,
+        # The districts are axis-aligned rectangles whose boundary
+        # coordinates never coincide with pixel centers, so the
+        # dissolve's any-member test is closed-form OR-of-BETWEENs.
+        oracle=f"""
+            SELECT dataset, count(*) AS n_pixels_in_union
+            FROM read_parquet('{_PX}')
+            WHERE (lon BETWEEN 77.035 AND 77.315
+                   AND lat BETWEEN 28.335 AND 28.615)
+               OR (lon BETWEEN 77.235 AND 77.475
+                   AND lat BETWEEN 28.455 AND 28.775)
+            GROUP BY dataset
+        """,
+        tags=("geo", "A6", "J1", "P6"),
+    )
+)
+
+
+def _geo_region_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 full form, metric side — the exact dissolved-union area of
+    every region footprint (``geometry().area()`` over the GAUL
+    dissolve): vertical slab decomposition + sorted-interval sweep,
+    pure Catalyst expressions (see ``rect_union_area``). The fixture
+    set exercises nesting (four Delhi shapes inside the NCR bbox),
+    touching (Punjab meets Delhi along lat 29.0) and partial overlap
+    (the two districts)."""
+    regions = load_fixture(spark, "regions")
+    return rect_union_area(
+        regions, x1="min_lon", y1="min_lat", x2="max_lon", y2="max_lat"
+    )
+
+
+_REG = fixture_path("regions")
+
+register(
+    Query(
+        name="geo_region_union_area",
+        spark=_geo_region_union_area,
+        # Same slab decomposition in SQL: distinct x-edges -> lead()
+        # slabs -> spanning-rectangle join -> running-max interval
+        # merge -> decimal-summed area, mirroring every float op.
+        oracle=f"""
+            WITH r AS (
+                SELECT min_lon AS rx1, min_lat AS ry1,
+                       max_lon AS rx2, max_lat AS ry2
+                FROM read_parquet('{_REG}')
+            ),
+            xs AS (
+                SELECT DISTINCT x FROM (
+                    SELECT rx1 AS x FROM r
+                    UNION ALL SELECT rx2 FROM r
+                )
+            ),
+            slabs AS (
+                SELECT x AS x_lo, lead(x) OVER (ORDER BY x) AS x_hi
+                FROM xs
+            ),
+            cover AS (
+                SELECT s.x_lo, s.x_hi, r.ry1, r.ry2
+                FROM slabs s JOIN r
+                  ON r.rx1 <= s.x_lo AND r.rx2 >= s.x_hi
+                WHERE s.x_hi IS NOT NULL
+            ),
+            marked AS (
+                SELECT x_lo, x_hi, ry1, ry2,
+                       CASE WHEN ry1 > coalesce(
+                                max(ry2) OVER (
+                                    PARTITION BY x_lo ORDER BY ry1, ry2
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING),
+                                -1e308)
+                            THEN 1 ELSE 0 END AS newrun
+                FROM cover
+            ),
+            runs AS (
+                SELECT *, sum(newrun) OVER (
+                        PARTITION BY x_lo ORDER BY ry1, ry2
+                        ROWS UNBOUNDED PRECEDING) AS run
+                FROM marked
+            ),
+            merged AS (
+                SELECT x_lo, x_hi, run,
+                       min(ry1) AS lo, max(ry2) AS hi
+                FROM runs GROUP BY x_lo, x_hi, run
+            ),
+            tot AS (
+                SELECT count(*) AS n_rects,
+                       {sql_stable_sum('(rx2 - rx1) * (ry2 - ry1)', 6)}
+                           AS sum_rect_area
+                FROM r
+            ),
+            uni AS (
+                SELECT {sql_stable_sum('(x_hi - x_lo) * (hi - lo)', 6)}
+                           AS union_area
+                FROM merged
+            )
+            SELECT n_rects, sum_rect_area, union_area FROM tot, uni
         """,
         tags=("geo", "A6", "aggregation"),
     )

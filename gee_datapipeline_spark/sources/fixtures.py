@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 6  # v6: holed/multi-part clip region (+v5 DEFLATE rasters)
+FIXTURES_VERSION = 7  # v7: overlapping dissolve districts (+v6 holed/multi)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 

@@ -113,11 +113,29 @@ def regions_rows() -> list[tuple]:
         " 77.315 28.675, 77.555 28.675, 77.555 28.855, 77.315 28.855,"
         " 77.315 28.675"
     )
+    # Two OVERLAPPING district rectangles (the GAUL-ADM1 dissolve input:
+    # ``punjab.geometry()`` unions adjacent/overlapping district
+    # features, DataDownloader_SNPP_VIIRS_V1.py:32-36). Their overlap
+    # box (77.235..77.315 x 28.455..28.615) contains fixture pixel
+    # centers, so union semantics (inside ANY part) and even-odd
+    # semantics (XOR of parts) provably differ on this pair — the
+    # dissolve tests depend on that. Coordinates end in 5 at the
+    # thousandth for the same no-pixel-on-boundary guarantee as above.
+    dist_west = (
+        "77.035 28.335, 77.315 28.335, 77.315 28.615, 77.035 28.615,"
+        " 77.035 28.335"
+    )
+    dist_east = (
+        "77.235 28.455, 77.475 28.455, 77.475 28.775, 77.235 28.775,"
+        " 77.235 28.455"
+    )
     return [
         ("delhi_ncr", *DELHI_BBOX, None),
         ("punjab", *PUNJAB_BBOX, None),
         ("delhi_diamond", 76.95, 28.3, 77.55, 28.9, diamond),
         ("delhi_holed_multi", 76.995, 28.295, 77.555, 28.855, holed_multi),
+        ("dist_west", 77.035, 28.335, 77.315, 28.615, dist_west),
+        ("dist_east", 77.235, 28.455, 77.475, 28.775, dist_east),
     ]
 
 

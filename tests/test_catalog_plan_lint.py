@@ -58,6 +58,7 @@ EXECUTING_BUILDERS = {
 # Deliberate tiny-side broadcast nested-loops (probes × corpus,
 # scalar-threshold joins, spine ranges) — never fact × fact.
 BNLJ_WHITELIST = {
+    "geo_region_union_area",   # slab sweep: 2N footprint edges × N footprints
     "ann_bruteforce",
     "embedding_near_dup",
     "semantic_dedup",
@@ -103,6 +104,9 @@ BNLJ_WHITELIST = {
 # corpus (the r4 verdict audited these by hand; this rule makes the
 # audit mechanical).
 GLOBAL_WINDOW_WHITELIST = {
+    "geo_region_union_area",    # lead() over 2N footprint x-edges —
+                                # dimension-sized; grouped dissolves
+                                # partition this window by the group key
     "cumulative_unique_users",  # |distinct days| rows (calendar-bounded)
     "moving_average",           # bucket-offset prefix sum over the
                                 # per-bucket count table: ≤ idx-domain /

@@ -292,3 +292,107 @@ def test_proximity_join_distance_round(spark):
     got = proximity_join(px, pt, radius_km=10.0, distance_round=6).collect()
     assert len(got) == 1
     assert got[0].distance_km == round(got[0].distance_km, 6)
+
+
+# --------------------------------------------------- exact dissolve (A6)
+
+
+def test_clip_to_union_vs_flattened_even_odd(spark):
+    """Dissolve semantics: a point in BOTH overlapping districts is
+    inside the union, but flattening all rings into one even-odd test
+    toggles it off. clip_to_union must keep it."""
+    from gee_datapipeline_spark.functions.geo import clip_to_union
+
+    regions = make_regions(spark)
+    polys = {
+        r["region"]: r["polygon"]
+        for r in regions.filter(
+            F.col("region").isin("dist_west", "dist_east")
+        ).collect()
+    }
+    pts = spark.createDataFrame(
+        [
+            (1, 77.29, 28.48),   # in the overlap of both districts
+            (2, 77.10, 28.40),   # west only
+            (3, 77.40, 28.70),   # east only
+            (4, 76.90, 28.30),   # neither
+        ],
+        ["pid", "lon", "lat"],
+    )
+    got = sorted(
+        r.pid
+        for r in clip_to_union(pts, list(polys.values())).collect()
+    )
+    assert got == [1, 2, 3]
+    # flattened even-odd (the multi-ring clip) drops the overlap point
+    flat = ";".join(polys.values())
+    flat_ids = sorted(r.pid for r in clip_to_polygon(pts, flat).collect())
+    assert flat_ids == [2, 3]
+
+
+def test_rect_union_area_golden(spark):
+    """Hand-checked dissolve areas: overlap, nesting, disjoint,
+    touching — and the grouped form keeps groups independent."""
+    from gee_datapipeline_spark.functions.geo import rect_union_area
+
+    rows = [
+        # g1: two 2x2 squares overlapping on a 1x1 corner -> 7
+        ("g1", 0.0, 0.0, 2.0, 2.0),
+        ("g1", 1.0, 1.0, 3.0, 3.0),
+        # g2: nested -> outer area 16
+        ("g2", 0.0, 0.0, 4.0, 4.0),
+        ("g2", 1.0, 1.0, 2.0, 2.0),
+        # g3: disjoint 1x1 + 2x1 -> 3
+        ("g3", 0.0, 0.0, 1.0, 1.0),
+        ("g3", 5.0, 5.0, 7.0, 6.0),
+        # g4: touching edge-to-edge -> 2
+        ("g4", 0.0, 0.0, 1.0, 1.0),
+        ("g4", 1.0, 0.0, 2.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "x1", "y1", "x2", "y2"])
+    got = {
+        r.g: (r.n_rects, r.sum_rect_area, r.union_area)
+        for r in rect_union_area(df, group=["g"]).collect()
+    }
+    assert got == {
+        "g1": (2, 8.0, 7.0),
+        "g2": (2, 17.0, 16.0),
+        "g3": (2, 3.0, 3.0),
+        "g4": (2, 2.0, 2.0),
+    }
+    # ungrouped: one global row over g1's pair
+    one = rect_union_area(
+        df.filter(F.col("g") == "g1").drop("g")
+    ).collect()
+    assert [(r.n_rects, r.union_area) for r in one] == [(2, 7.0)]
+
+
+def test_rect_union_area_matches_cell_count(spark):
+    """Independent oracle: integer-coordinate rectangles -> union area
+    equals the count of covered unit cells (brute force)."""
+    import random
+
+    from gee_datapipeline_spark.functions.geo import rect_union_area
+
+    rng = random.Random(42)
+    rects = []
+    for _ in range(25):
+        x1, y1 = rng.randint(0, 12), rng.randint(0, 12)
+        rects.append(
+            (
+                float(x1),
+                float(y1),
+                float(x1 + rng.randint(1, 5)),
+                float(y1 + rng.randint(1, 5)),
+            )
+        )
+    covered = {
+        (i, j)
+        for x1, y1, x2, y2 in rects
+        for i in range(int(x1), int(x2))
+        for j in range(int(y1), int(y2))
+    }
+    df = spark.createDataFrame(rects, ["x1", "y1", "x2", "y2"])
+    row = rect_union_area(df).collect()[0]
+    assert row.n_rects == 25
+    assert row.union_area == float(len(covered))
