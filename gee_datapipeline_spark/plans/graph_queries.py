@@ -106,10 +106,23 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raised before any plan was built (empty-input sweep)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - DAMPING) / n
+    # Join-strategy choice, made once from the measured node count: the
+    # rank vector (and the per-destination mass table, both |V| rows)
+    # broadcast while |V| fits an executor (a 10⁷-node vector is
+    # ~160 MB) — then NO power step ever shuffles or sorts the edge
+    # list; it streams from the checkpoint through a broadcast-hash
+    # probe into a map-side partial aggregate. Beyond the threshold the
+    # same code degrades to the shuffle join, the correct plan when the
+    # rank vector itself is fact-sized. Arithmetic is unchanged either
+    # way (decimal sums are order-independent), so the oracle hash
+    # cannot move.
+    small_v = n <= 10_000_000
+    _b = F.broadcast if small_v else (lambda df: df)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(ITERATIONS):
+        rk = _b(ranks)
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(rk, e.src == rk.node)
             .groupBy("dst")
             .agg(
                 F.sum((F.col("rank") * F.col("frac")).cast(_DEC)).alias(
@@ -118,7 +131,7 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left_outer")
+            nodes.join(_b(contrib), nodes.node == contrib.dst, "left_outer")
             .select(
                 "node",
                 stable_round(
@@ -360,11 +373,23 @@ def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = und.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    # Same join-strategy choice as PageRank: the label table is |V|
+    # rows (≪ |E|); while it fits an executor, broadcast it so no LPA
+    # round shuffles or sorts the checkpointed edge table — the only
+    # per-round shuffle left is the (node, label) weighted aggregate,
+    # which is irreducible. und is checkpointed, so counting it is a
+    # metadata-cheap scan; |V| ≤ |und| makes the |E| threshold a safe
+    # proxy. Identical arithmetic either way (decimal sums + exact
+    # struct arg-max), so the oracle hash cannot move.
+    small_v = und.count() <= 10_000_000
+    _b = F.broadcast if small_v else (lambda df: df)
     for _ in range(LPA_ROUNDS):
         scores = (
             und.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("lbl")
+                _b(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("lbl")
+                    )
                 ),
                 "dst",
             )
