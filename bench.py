@@ -198,6 +198,12 @@ HEADLINE = [
     # deterministic eps-DP histogram release (one corpus fold each)
     "lexical_diversity",
     "dp_noisy_counts",
+    # r7 additions: exact dissolve (any-member clip + slab-sweep union
+    # area) and the zlib compressibility histogram (Arrow-batched UDF
+    # over the full documents scan — a real 100 TB scale path)
+    "geo_clip_dissolved",
+    "geo_region_union_area",
+    "compression_ratio_quality",
 ]
 
 

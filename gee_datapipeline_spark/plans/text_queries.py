@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import text as X
-from ..functions.stable import sql_stable_avg, stable_avg, stable_round
+from ..functions.stable import (
+    sql_stable_avg,
+    sql_stable_round,
+    stable_avg,
+    stable_round,
+)
 from .registry import Query, register
 
 
@@ -838,11 +843,11 @@ register(
 )
 
 
-register(
-    Query(
-        name="ngram_jaccard_pairs",
-        spark=_ngram_jaccard_pairs,
-        oracle=rf"""
+def _ngram_jaccard_oracle(threshold: float) -> str:
+    """Exact word-3-gram Jaccard pair oracle, parameterized on the
+    acceptance threshold (0.05 for the candidate query, the LSH
+    operating point for the recall gate)."""
+    return rf"""
             WITH toks AS (
                 SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                 FROM documents
@@ -867,9 +872,85 @@ register(
             JOIN counts ca ON ca.doc_id = doc_a
             JOIN counts cb ON cb.doc_id = doc_b
             WHERE floor((n_common / CAST(ca.n_sh + cb.n_sh - n_common AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-                  >= {JACCARD_THRESHOLD}
-        """,
+                  >= {threshold}
+        """
+
+
+register(
+    Query(
+        name="ngram_jaccard_pairs",
+        spark=_ngram_jaccard_pairs,
+        oracle=_ngram_jaccard_oracle(JACCARD_THRESHOLD),
         tags=("dedup", "join"),
+    )
+)
+
+
+# --------------------------------------------- MinHash-LSH recall gate
+
+# The LSH operating threshold (minhash_lsh_pairs filters its Jaccard
+# ESTIMATE at 0.3); recall is measured against exact pairs at the same
+# point, so the number reflects both banding misses and estimator
+# variance — what a user tuning bands/rows actually needs to watch.
+MINHASH_RECALL_TAU = 0.3
+
+
+def _minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH scale path against exact word-3-gram
+    Jaccard at the LSH operating threshold, as a gate row the driver
+    watches round-over-round (the dedup twin of ``ann_lsh_recall``).
+    Composition of two fully oracle-checked pipelines, so the recall
+    number itself value-hashes in DuckDB."""
+    exact = (
+        _ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= MINHASH_RECALL_TAU)
+        .select("doc_a", "doc_b")
+    )
+    approx = _minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(approx, ["doc_a", "doc_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            # stable_round, not engine round: a ratio of counts can sit
+            # exactly on a 4-dp midpoint, where Spark and DuckDB break
+            # ties differently (the sf0.1-sweep divergence class).
+            stable_round(
+                F.col("n_hit") / F.nullif(F.col("n_true"), F.lit(0)), 4
+            ).alias("recall"),
+        )
+    )
+
+
+register(
+    Query(
+        name="minhash_lsh_recall",
+        spark=_minhash_lsh_recall,
+        oracle=f"""
+            WITH exact AS (
+                SELECT doc_a, doc_b
+                FROM ({_ngram_jaccard_oracle(MINHASH_RECALL_TAU)})
+            ),
+            approx AS (
+                SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+            ),
+            agg AS (
+                SELECT
+                    (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true,
+                    (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                      WHERE EXISTS (SELECT 1 FROM approx a
+                                    WHERE a.doc_a = e.doc_a
+                                      AND a.doc_b = e.doc_b)) AS n_hit
+            )
+            SELECT n_true, n_hit,
+                   {sql_stable_round(
+                       'n_hit / CAST(nullif(n_true, 0) AS DOUBLE)', 4
+                   )} AS recall
+            FROM agg
+        """,
+        tags=("dedup", "lsh", "recall"),
     )
 )
 

@@ -77,6 +77,7 @@ BNLJ_WHITELIST = {
     "simhash_pairs",
     "ann_lsh",
     "ann_lsh_recall",
+    "minhash_lsh_recall",  # two 1-row gate aggregates crossed
     "pq_codes",
     "ann_pq",  # codebook (16 rows) + per-probe LUT broadcasts
     "lang_source_mi",  # 1-row n-total + 32-cell marginal broadcasts

@@ -395,3 +395,18 @@ def test_winnowing_disjoint_docs_share_nothing(spark):
     f1 = {r["fp"] for r in rows if r["doc_id"] == 1}
     f2 = {r["fp"] for r in rows if r["doc_id"] == 2}
     assert f1 and f2 and not (f1 & f2)
+
+
+def test_minhash_lsh_recall_floor(spark):
+    """The recall gate (LSH candidates vs exact Jaccard at the 0.3
+    operating point) must stay >= 0.9 on the gate corpus — the dedup
+    twin of the ANN recall floor. Measured 1.0 at sf0.001/sf0.01."""
+    from conftest import SF_SMOKE
+
+    from gee_datapipeline_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+
+    row = QUERIES["minhash_lsh_recall"].spark(spark, SF_SMOKE).collect()[0]
+    assert row.n_true > 0, "gate corpus lost its near-dup pairs"
+    assert row.recall >= 0.9, f"MinHash-LSH recall {row.recall} too low"
