@@ -715,3 +715,62 @@ def test_read_rasters_unknown_crs_identity_fallback(spark, tmp_path):
         (400500.0, 100500.0),
         (401500.0, 100500.0),
     }
+
+
+def test_geotiff_roundtrip_fuzz():
+    """Hypothesis sweep over the encode/decode matrix: random shapes
+    (incl. 1-pixel edges and non-tile-aligned dims), NaN patches,
+    nodata sentinels, strip/tile layouts, DEFLATE on/off, tagged and
+    untagged CRS — every combination must roundtrip bit-exactly.
+    Budget rides SPARK_GRAFT_FUZZ_EXAMPLES like the other harnesses."""
+    import os
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    budget = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0")) or 25
+
+    @settings(max_examples=budget, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        nan_frac=st.sampled_from([0.0, 0.1, 0.9]),
+        nodata=st.sampled_from([None, -9999.0]),
+        tile=st.sampled_from([None, 16, 32]),
+        compress=st.sampled_from([None, "deflate"]),
+        epsg=st.sampled_from([None, 4326, 32643]),
+    )
+    def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg):
+        rng = np.random.default_rng(seed)
+        vals = rng.uniform(-1e6, 1e6, size=(h, w))
+        vals[rng.random((h, w)) < nan_frac] = np.nan
+        blob = encode_geotiff(
+            vals, 76.85, 28.2, 0.009,
+            nodata=nodata, epsg=epsg, compress=compress, tile=tile,
+        )
+        got, min_x, min_y, cell, crs = decode_geotiff(blob)
+        assert got.shape == (h, w)
+        # bit-exact incl. NaN placement
+        assert np.array_equal(
+            got.view("u8"), np.asarray(vals, "<f8").view("u8")
+        ) or (
+            # nodata substitution maps NaN -> nodata -> NaN: values
+            # equal where finite, NaN where NaN
+            np.array_equal(np.isnan(got), np.isnan(vals))
+            and np.array_equal(got[~np.isnan(got)], vals[~np.isnan(vals)])
+        )
+        # the transform roundtrips through the top-edge tiepoint
+        # (min_y + h*cell - h*cell), so min_y can wobble an ulp — the
+        # same representation rasterio/GDAL use; values stay bit-exact
+        assert (min_x, cell) == (76.85, 0.009)
+        assert abs(min_y - 28.2) < 1e-9
+        assert crs == f"EPSG:{epsg or 4326}"
+
+    _case()
