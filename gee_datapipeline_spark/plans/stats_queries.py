@@ -877,7 +877,9 @@ _SQL_CELL_H = " + ".join(
 )
 
 
-def _dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dp_noisy_counts(
+    spark: SparkSession, sf_dir: str, salt: str = ""
+) -> DataFrame:
     """Laplace-shaped noisy release of the lang×source document
     histogram: Laplace(1/ε)-distributed pseudo-noise on each cell
     count, then small cells suppressed below a post-noise threshold —
@@ -895,6 +897,14 @@ def _dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     randomness, e.g. seeding from a secret salt kept out of the
     released artifact, with ε accounting across re-runs.
 
+    The ``salt`` parameter IS that secretly-keyed path: a non-empty
+    salt is folded into the md5 seed, so the noise stays idempotent
+    across backfills (same salt → same release) but is no longer
+    recomputable by anyone without the salt. The registered gate entry
+    uses the unsalted form so the oracle can mirror the hash; real
+    deployments pass a salt from a secret store and do ε accounting
+    per distinct release.
+
     The determinism is what makes the oracle gate possible: the cell's
     md5 yields a 60-bit uniform u ∈ (0,1] (the Efraimidis–Spirakis
     idiom from ``weighted_sample_wor``), noise =
@@ -911,8 +921,13 @@ def _dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("c")
     )
+    key = (
+        F.concat_ws("|", F.lit(salt), "lang", "source")
+        if salt
+        else F.concat_ws("|", "lang", "source")
+    )
     h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", "lang", "source")), 1, 15),
+        F.substring(F.md5(key), 1, 15),
         16,
         10,
     ).cast("long")

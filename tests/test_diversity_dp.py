@@ -115,3 +115,32 @@ def test_dp_noise_is_deterministic_across_runs(spark):
         map(tuple, QUERIES["dp_noisy_counts"].spark(spark, SF_SMOKE).collect())
     )
     assert a == b
+
+
+def test_dp_salt_changes_noise_but_stays_idempotent(spark):
+    """A secret salt must change every cell's noise (it is no longer
+    recomputable from public keys) while staying idempotent for a
+    fixed salt; the unsalted default is bit-identical to the gate
+    entry (oracle parity unchanged)."""
+    from gee_datapipeline_spark.plans.stats_queries import _dp_noisy_counts
+
+    base = {
+        (r.lang, r.source): r.noisy_count
+        for r in _dp_noisy_counts(spark, SF_SMOKE).collect()
+    }
+    gate = {
+        (r.lang, r.source): r.noisy_count
+        for r in QUERIES["dp_noisy_counts"].spark(spark, SF_SMOKE).collect()
+    }
+    assert base == gate
+    s1 = {
+        (r.lang, r.source): r.noisy_count
+        for r in _dp_noisy_counts(spark, SF_SMOKE, salt="k1").collect()
+    }
+    s2 = {
+        (r.lang, r.source): r.noisy_count
+        for r in _dp_noisy_counts(spark, SF_SMOKE, salt="k1").collect()
+    }
+    assert s1 == s2
+    shared = set(base) & set(s1)
+    assert shared and all(base[k] != s1[k] for k in shared)
