@@ -32,7 +32,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 7  # v7: overlapping dissolve districts (+v6 holed/multi)
+FIXTURES_VERSION = 8  # v8: LZW raster layouts (+v7 dissolve districts)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -62,7 +62,8 @@ UTM_RASTER_PARAMS = dict(
 # uncompressed tiles, deflate tiles) — w/h deliberately NOT multiples
 # of the 16-px tile edge so edge-tile cropping is inside the gate.
 DEFLATE_RASTER_PARAMS = dict(
-    dates=("2025-01-15", "2025-02-15", "2025-03-15"),
+    dates=("2025-01-15", "2025-02-15", "2025-03-15", "2025-04-15",
+           "2025-05-15"),
     w=21, h=19, seed=17, cell=0.01, nan_frac=0.1,
 )
 
@@ -382,13 +383,14 @@ def deflate_raster_fixture(
     dates: tuple[str, ...], w: int, h: int, seed: int, cell: float,
     nan_frac: float,
 ) -> tuple[dict[str, bytes], list[tuple]]:
-    """DEFLATE-compressed / tiled GeoTIFF payloads + expected pixel
-    rows — the layouts real-world GEE exports use (GDAL
-    ``COMPRESS=DEFLATE``, ``TILED=YES``; fix_transparency.py:11-12
-    reads them via rasterio). One file per layout: deflate strips,
-    uncompressed 16×16 tiles, deflate 16×16 tiles — the twin rows are
-    identical in construction to ``raster_fixture``'s, so the decode
-    of every layout is a bit-exact differential against DuckDB."""
+    """Compressed / tiled GeoTIFF payloads + expected pixel rows —
+    the layouts real-world GEE exports use (GDAL ``COMPRESS=DEFLATE``
+    / ``COMPRESS=LZW``, ``TILED=YES``; fix_transparency.py:11-12 reads
+    them via rasterio). One file per layout: deflate strips,
+    uncompressed 16×16 tiles, deflate tiles, LZW strips, LZW tiles —
+    the twin rows are identical in construction to
+    ``raster_fixture``'s, so the decode of every layout is a bit-exact
+    differential against DuckDB."""
     import numpy as np
 
     from .synthetic import DELHI_BBOX
@@ -399,6 +401,8 @@ def deflate_raster_fixture(
         ("deflate", dict(compress="deflate")),
         ("tiled", dict(tile=16)),
         ("deflate_tiled", dict(compress="deflate", tile=16)),
+        ("lzw", dict(compress="lzw")),
+        ("lzw_tiled", dict(compress="lzw", tile=16)),
     )
     files: dict[str, bytes] = {}
     rows: list[tuple] = []

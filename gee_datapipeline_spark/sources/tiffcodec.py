@@ -1,4 +1,4 @@
-"""Pure-Python GeoTIFF codec (strips + tiles, none/DEFLATE).
+"""Pure-Python GeoTIFF codec (strips + tiles, none/LZW/DEFLATE).
 
 The reference reads materialized GeoTIFFs with rasterio
 (``rasterio.open(path); src.read(1)`` — DataDownloader_V1.py:39,57;
@@ -13,7 +13,8 @@ exports use is implemented here with ``struct`` + ``zlib`` + NumPy —
 making the S3 ingest path real with no injected decoder.
 
 Surface:
-- decode: II/MM byte order; compression 1 (none), 8/32946
+- decode: II/MM byte order; compression 1 (none), 5 (LZW, TIFF 6.0
+  §13 early-change variant), 8/32946
   (zlib/AdobeDeflate); predictor 1 (none), 2 (horizontal differencing,
   integer samples), 3 (floating-point byte-plane, TIFF TechNote 3);
   strip (273/278/279) AND tile (322/323/324/325) layouts; one sample
@@ -21,9 +22,9 @@ Surface:
   ModelPixelScale (33550) + ModelTiepoint (33922) georeferencing;
   GDAL_NODATA (42113) → NaN.
 - encode: little-endian, single-band float64, top-left tiepoint, with
-  optional ``compress="deflate"`` and/or ``tile=<edge>`` layouts — the
-  shapes GDAL writes for the reference's exports and for
-  ``-co COMPRESS=DEFLATE -co TILED=YES`` ones.
+  optional ``compress="deflate"`` / ``compress="lzw"`` and/or
+  ``tile=<edge>`` layouts — the shapes GDAL writes for the reference's
+  exports and for ``-co COMPRESS={DEFLATE,LZW} -co TILED=YES`` ones.
 
 Orientation contract (matches ``raster.read_rasters``): decoded arrays
 have row 0 at the SOUTH edge — ``lat = min_lat + (y + 0.5) * cell`` —
@@ -65,6 +66,106 @@ _GEOKEY_GT_MODEL = 1024       # 1 = projected, 2 = geographic
 _GEOKEY_GEOGRAPHIC_CS = 2048  # GeographicTypeGeoKey (EPSG geographic)
 _GEOKEY_PROJECTED_CS = 3072   # ProjectedCSTypeGeoKey (EPSG projected)
 _GEOKEY_USER_DEFINED = 32767
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW (MSB-first codes, ClearCode 256, EOI 257,
+    early code-width change): the other compression GDAL routinely
+    writes (``-co COMPRESS=LZW``). Pure Python; segments are
+    strip/tile-sized so the per-call cost is bounded."""
+    out = bytearray()
+    table: list[bytes] = []
+    prev = b""
+    nbits = 9
+    acc = bit = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bit < nbits:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate, like libtiff
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bit += 8
+        code = (acc >> (bit - nbits)) & ((1 << nbits) - 1)
+        bit -= nbits
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits = 9
+            prev = b""
+            continue
+        if not table:
+            raise ValueError("LZW stream does not start with ClearCode")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change: width grows when the NEXT add fills 2^nbits - 1
+        if len(table) >= (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (the exact dual of ``_lzw_decode``:
+    MSB-first, early change, table reset at 4094 entries)."""
+    out = bytearray()
+    acc = bit = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, bit
+        acc = (acc << width) | code
+        bit += width
+        while bit >= 8:
+            out.append((acc >> (bit - 8)) & 0xFF)
+            bit -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nbits = 9
+    emit(_LZW_CLEAR, nbits)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = len(table) + 2  # +2 for CLEAR/EOI slots
+        # The decoder's table is one entry BEHIND (it reconstructs this
+        # add only while processing the NEXT code), so with the TIFF
+        # early-change rule (decoder widens when ITS table hits
+        # 2^nbits - 1) the encoder widens when its virtual table hits
+        # 2^nbits. Reset at 4094 entries, where libtiff's writer does.
+        vlen = len(table) + 2
+        if vlen >= 4094:
+            emit(_LZW_CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            nbits = 9
+        elif vlen >= (1 << nbits):
+            nbits += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], nbits)
+    # the flush code adds no entry, so the decoder CATCHES UP to the
+    # encoder's table size while processing it — if that size sits
+    # exactly on 2^nbits - 1 the decoder widens before reading EOI and
+    # the encoder must match (the endgame case of the early-change rule)
+    if len(table) + 2 >= (1 << nbits) - 1 and nbits < 12:
+        nbits += 1
+    emit(_LZW_EOI, nbits)
+    if bit:
+        out.append((acc << (8 - bit)) & 0xFF)
+    return bytes(out)
 
 
 def _parse_geokeys(shorts: list) -> str:
@@ -164,10 +265,10 @@ def decode_geotiff(data: bytes):
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 8, 32946):
+    if comp not in (1, 5, 8, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp}; codec reads "
-            "uncompressed or DEFLATE (8/32946) segments only"
+            "uncompressed, LZW (5) or DEFLATE (8/32946) segments only"
         )
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2, 3):
@@ -191,6 +292,8 @@ def decode_geotiff(data: bytes):
         raw = data[off : off + cnt]
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = _lzw_decode(raw)
         raw = raw[: rows * width * itemsize]
         if predictor == 3:
             b = np.frombuffer(raw, dtype=np.uint8).reshape(
@@ -274,7 +377,7 @@ def encode_geotiff(
     ``COMPRESS=DEFLATE``); ``tile=<edge>`` writes a tiled layout (GDAL
     ``TILED=YES``; edge must be a multiple of 16 per TIFF 6.0 §15) —
     edge tiles are padded with ``nodata`` (or NaN)."""
-    if compress not in (None, "deflate"):
+    if compress not in (None, "deflate", "lzw"):
         raise ValueError(f"unsupported compress={compress!r}")
     if tile is not None and (tile <= 0 or tile % 16):
         raise ValueError("tile edge must be a positive multiple of 16")
@@ -286,11 +389,15 @@ def encode_geotiff(
     if nodata is not None:
         top_down = np.where(np.isnan(top_down), nodata, top_down)
     top_down = np.ascontiguousarray(top_down)
-    comp_id = 8 if compress == "deflate" else 1
+    comp_id = {None: 1, "deflate": 8, "lzw": 5}[compress]
 
     def pack(seg: np.ndarray) -> bytes:
         raw = seg.tobytes()
-        return zlib.compress(raw) if compress == "deflate" else raw
+        if compress == "deflate":
+            return zlib.compress(raw)
+        if compress == "lzw":
+            return _lzw_encode(raw)
+        return raw
 
     segments: list[bytes] = []
     if tile is not None:

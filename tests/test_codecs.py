@@ -744,7 +744,7 @@ def test_geotiff_roundtrip_fuzz():
         nan_frac=st.sampled_from([0.0, 0.1, 0.9]),
         nodata=st.sampled_from([None, -9999.0]),
         tile=st.sampled_from([None, 16, 32]),
-        compress=st.sampled_from([None, "deflate"]),
+        compress=st.sampled_from([None, "deflate", "lzw"]),
         epsg=st.sampled_from([None, 4326, 32643]),
     )
     def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg):
@@ -774,3 +774,55 @@ def test_geotiff_roundtrip_fuzz():
         assert crs == f"EPSG:{epsg or 4326}"
 
     _case()
+
+
+def test_lzw_hand_vector():
+    """Decoder vs a hand-derived TIFF-LZW stream (MSB-first 9-bit
+    codes, computed on paper for [7,7,7,8,8,7]):
+    CLEAR,7,258,8,8,7,EOI -> 80 01 E0 40 80 40 1E 02. Catches
+    bit-order / framing bugs a self-roundtrip cannot."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    blob = bytes([0x80, 0x01, 0xE0, 0x40, 0x80, 0x40, 0x1E, 0x02])
+    assert _lzw_decode(blob) == bytes([7, 7, 7, 8, 8, 7])
+    # the encoder reproduces the identical canonical stream
+    assert _lzw_encode(bytes([7, 7, 7, 8, 8, 7])) == blob
+
+
+def test_lzw_width_boundaries_exhaustive():
+    """Roundtrip a dense sweep of input lengths that land the code
+    table exactly on / around every early-change boundary (511, 1023,
+    2047) and across the 4094-entry reset — the off-by-one minefield
+    of TIFF's early-change rule, including the endgame case where the
+    decoder catches up at the flush code."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # all-distinct-pairs generator: one table add per byte
+    def cyc(n, stride=1):
+        return bytes((i * stride + (i * i % 251)) % 256 for i in range(n))
+
+    lengths = (
+        list(range(240, 280))      # around the 511 boundary (253 adds)
+        + list(range(750, 790))    # around 1023
+        + list(range(1780, 1820))  # around 2047
+        + [5000, 20000, 100000]    # multiple resets
+    )
+    for n in lengths:
+        for stride in (1, 7):
+            raw = cyc(n, stride)
+            assert _lzw_decode(_lzw_encode(raw)) == raw, (n, stride)
+    # highly repetitive data (few adds, long matches) + random bytes
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 3, 1000, 65536):
+        rep = (b"\x07\x07\x08" * (n // 3 + 1))[:n]
+        assert _lzw_decode(_lzw_encode(rep)) == rep
+        rnd = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(rnd)) == rnd
