@@ -826,3 +826,47 @@ def test_lzw_width_boundaries_exhaustive():
         assert _lzw_decode(_lzw_encode(rep)) == rep
         rnd = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
         assert _lzw_decode(_lzw_encode(rnd)) == rnd
+
+
+def test_geotiff_lzw_predictor3_decode():
+    """GDAL's default float layout for LZW/DEFLATE files: PREDICTOR=3
+    + COMPRESS=LZW composed — byte-plane differencing under an LZW
+    segment, the exact shape `gdal_translate -co COMPRESS=LZW -co
+    PREDICTOR=3` writes. Exercises the lzw_decode → predictor-undo
+    composition inside one strip."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _lzw_encode,
+        decode_geotiff,
+    )
+
+    rng = np.random.default_rng(5)
+    fvals = rng.uniform(-100, 100, size=(6, 9)).astype("<f4")
+    h, w = fvals.shape
+    rowbytes = np.frombuffer(
+        fvals.astype(">f4").tobytes(), dtype=np.uint8
+    ).reshape(h, w, 4)
+    planes = rowbytes.transpose(0, 2, 1).reshape(h, w * 4)
+    d = planes.astype(np.int16)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    seg = _lzw_encode(d.astype(np.uint8).tobytes())
+    out, *_ = decode_geotiff(_build_tiff(seg, w, h, 32, 3, 5, 3))
+    assert np.allclose(out[::-1], fvals.astype(np.float64))
+
+
+def test_geotiff_lzw_predictor2_decode():
+    """PREDICTOR=2 + COMPRESS=LZW on int16 samples — the integer twin
+    of the float composition above."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _lzw_encode,
+        decode_geotiff,
+    )
+
+    rng = np.random.default_rng(6)
+    vals = rng.integers(-500, 500, size=(8, 5)).astype("<i2")
+    diff = vals.copy()
+    diff[:, 1:] = (
+        vals.view("<u2")[:, 1:] - vals.view("<u2")[:, :-1]
+    ).view("<i2")
+    tif = _build_tiff(_lzw_encode(diff.tobytes()), 5, 8, 16, 2, 5, 2)
+    out, *_ = decode_geotiff(tif)
+    assert np.array_equal(out[::-1], vals.astype(np.float64))
