@@ -1,4 +1,4 @@
-"""Pure-Python GeoTIFF codec (strips + tiles, none/LZW/DEFLATE).
+"""Pure-Python GeoTIFF codec (strips + tiles, none/LZW/DEFLATE/PackBits).
 
 The reference reads materialized GeoTIFFs with rasterio
 (``rasterio.open(path); src.read(1)`` — DataDownloader_V1.py:39,57;
@@ -14,17 +14,18 @@ making the S3 ingest path real with no injected decoder.
 
 Surface:
 - decode: II/MM byte order; compression 1 (none), 5 (LZW, TIFF 6.0
-  §13 early-change variant), 8/32946
-  (zlib/AdobeDeflate); predictor 1 (none), 2 (horizontal differencing,
+  §13 early-change variant), 8/32946 (zlib/AdobeDeflate), 32773
+  (PackBits); predictor 1 (none), 2 (horizontal differencing,
   integer samples), 3 (floating-point byte-plane, TIFF TechNote 3);
   strip (273/278/279) AND tile (322/323/324/325) layouts; one sample
   per pixel; sample formats uint/int/float at 8/16/32/64 bits;
   ModelPixelScale (33550) + ModelTiepoint (33922) georeferencing;
   GDAL_NODATA (42113) → NaN.
 - encode: little-endian, single-band float64, top-left tiepoint, with
-  optional ``compress="deflate"`` / ``compress="lzw"`` and/or
-  ``tile=<edge>`` layouts — the shapes GDAL writes for the reference's
-  exports and for ``-co COMPRESS={DEFLATE,LZW} -co TILED=YES`` ones.
+  optional ``compress="deflate"`` / ``"lzw"`` / ``"packbits"``
+  and/or ``tile=<edge>`` layouts — the shapes GDAL writes for the
+  reference's exports and for ``-co COMPRESS={DEFLATE,LZW,PACKBITS}
+  -co TILED=YES`` ones.
 
 Orientation contract (matches ``raster.read_rasters``): decoded arrays
 have row 0 at the SOUTH edge — ``lat = min_lat + (y + 0.5) * cell`` —
@@ -168,6 +169,62 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (compression 32773, Apple TN1023 RLE): n < 128 →
+    copy n+1 literals; n > 128 → repeat next byte 257-n times; 128 is
+    a no-op. Rows are packed separately on encode, but the stream
+    concatenation decodes linearly, so one pass per segment suffices —
+    stop at the segment's expected byte count like libtiff does."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while len(out) < expected and i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """One scanline → PackBits (runs of ≥3 become replicate packets;
+    literals chunked at 128 bytes)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+
+    def runlen(at: int) -> int:
+        r = 1
+        while at + r < n and row[at + r] == row[at] and r < 128:
+            r += 1
+        return r
+
+    while i < n:
+        run = runlen(i)
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = runlen(i)
+            if run >= 3:
+                break
+            i += run
+        if i - start > 128:
+            i = start + 128
+        lit = row[start:i]
+        out.append(len(lit) - 1)
+        out += lit
+    return bytes(out)
+
+
 def _parse_geokeys(shorts: list) -> str:
     """GeoKeyDirectory SHORT array → ``EPSG:<code>`` (projected key
     wins over geographic, mirroring how rasterio reports ``src.crs``);
@@ -265,10 +322,11 @@ def decode_geotiff(data: bytes):
     w = tags[_TAG_WIDTH][0]
     h = tags[_TAG_HEIGHT][0]
     comp = tags.get(_TAG_COMPRESSION, [1])[0]
-    if comp not in (1, 5, 8, 32946):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(
             f"unsupported TIFF compression {comp}; codec reads "
-            "uncompressed, LZW (5) or DEFLATE (8/32946) segments only"
+            "uncompressed, LZW (5), DEFLATE (8/32946) or PackBits "
+            "(32773) segments only"
         )
     predictor = tags.get(_TAG_PREDICTOR, [1])[0]
     if predictor not in (1, 2, 3):
@@ -294,6 +352,8 @@ def decode_geotiff(data: bytes):
             raw = zlib.decompress(raw)
         elif comp == 5:
             raw = _lzw_decode(raw)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, rows * width * itemsize)
         raw = raw[: rows * width * itemsize]
         if predictor == 3:
             b = np.frombuffer(raw, dtype=np.uint8).reshape(
@@ -377,7 +437,7 @@ def encode_geotiff(
     ``COMPRESS=DEFLATE``); ``tile=<edge>`` writes a tiled layout (GDAL
     ``TILED=YES``; edge must be a multiple of 16 per TIFF 6.0 §15) —
     edge tiles are padded with ``nodata`` (or NaN)."""
-    if compress not in (None, "deflate", "lzw"):
+    if compress not in (None, "deflate", "lzw", "packbits"):
         raise ValueError(f"unsupported compress={compress!r}")
     if tile is not None and (tile <= 0 or tile % 16):
         raise ValueError("tile edge must be a positive multiple of 16")
@@ -389,7 +449,9 @@ def encode_geotiff(
     if nodata is not None:
         top_down = np.where(np.isnan(top_down), nodata, top_down)
     top_down = np.ascontiguousarray(top_down)
-    comp_id = {None: 1, "deflate": 8, "lzw": 5}[compress]
+    comp_id = {None: 1, "deflate": 8, "lzw": 5, "packbits": 32773}[
+        compress
+    ]
 
     def pack(seg: np.ndarray) -> bytes:
         raw = seg.tobytes()
@@ -397,6 +459,12 @@ def encode_geotiff(
             return zlib.compress(raw)
         if compress == "lzw":
             return _lzw_encode(raw)
+        if compress == "packbits":
+            rb = seg.shape[1] * seg.dtype.itemsize
+            return b"".join(
+                _packbits_encode_row(raw[r * rb : (r + 1) * rb])
+                for r in range(seg.shape[0])
+            )
         return raw
 
     segments: list[bytes] = []

@@ -744,7 +744,7 @@ def test_geotiff_roundtrip_fuzz():
         nan_frac=st.sampled_from([0.0, 0.1, 0.9]),
         nodata=st.sampled_from([None, -9999.0]),
         tile=st.sampled_from([None, 16, 32]),
-        compress=st.sampled_from([None, "deflate", "lzw"]),
+        compress=st.sampled_from([None, "deflate", "lzw", "packbits"]),
         epsg=st.sampled_from([None, 4326, 32643]),
     )
     def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg):
@@ -870,3 +870,45 @@ def test_geotiff_lzw_predictor2_decode():
     tif = _build_tiff(_lzw_encode(diff.tobytes()), 5, 8, 16, 2, 5, 2)
     out, *_ = decode_geotiff(tif)
     assert np.array_equal(out[::-1], vals.astype(np.float64))
+
+
+def test_packbits_tn1023_vector():
+    """Decoder vs the canonical Apple TN1023 worked example; encoder
+    reproduces a stream that decodes to the same bytes."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _packbits_decode,
+        _packbits_encode_row,
+    )
+
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+    assert len(want) == 24
+    assert _packbits_decode(packed, 24) == want
+    out = _packbits_encode_row(want)
+    assert _packbits_decode(out, 24) == want
+
+
+def test_packbits_row_roundtrip_edges():
+    """Runs >128, 128-literal chunking, alternating bytes, empty and
+    1-byte rows all roundtrip."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        _packbits_decode,
+        _packbits_encode_row,
+    )
+
+    cases = [
+        b"",
+        b"\x07",
+        b"\xab" * 1000,
+        bytes(range(256)) * 3,
+        b"\x01\x02" * 300,
+        b"\x00" * 2 + b"\x01" * 3 + b"\x02" * 2,
+    ]
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cases += [rng.integers(0, 4, n, dtype=np.uint8).tobytes()
+              for n in (13, 129, 257, 4096)]
+    for raw in cases:
+        enc = _packbits_encode_row(raw)
+        assert _packbits_decode(enc, len(raw)) == raw, raw[:20]
