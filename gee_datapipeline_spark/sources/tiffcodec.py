@@ -425,10 +425,13 @@ def encode_geotiff(
     epsg: int | None = None,
     compress: str | None = None,
     tile: int | None = None,
+    dtype: str = "f8",
 ) -> bytes:
     """2-D array [row 0 = south] → little-endian GeoTIFF.
 
-    float64 samples; NaN cells are written as ``nodata`` (default NaN
+    float64 samples by default; ``dtype="f4"`` writes Float32 — the
+    sample type real GEE exports use (half the bytes, values rounded
+    to float32). NaN cells are written as ``nodata`` (default NaN
     itself, recorded in GDAL_NODATA so decode restores NaN). ``epsg``
     writes a GeoKeyDirectory (4326 as a geographic key, anything else
     as a projected key, in which case min_lon/min_lat/cell are that
@@ -441,7 +444,9 @@ def encode_geotiff(
         raise ValueError(f"unsupported compress={compress!r}")
     if tile is not None and (tile <= 0 or tile % 16):
         raise ValueError("tile edge must be a positive multiple of 16")
-    vals = np.asarray(values, dtype="<f8")
+    if dtype not in ("f4", "f8"):
+        raise ValueError(f"unsupported dtype={dtype!r} (f4 or f8)")
+    vals = np.asarray(values, dtype=f"<{dtype}")
     if vals.ndim != 2:
         raise ValueError("encode_geotiff wants a 2-D array")
     h, w = vals.shape
@@ -471,7 +476,9 @@ def encode_geotiff(
     if tile is not None:
         pad = np.float64("nan") if nodata is None else float(nodata)
         down, across = -(-h // tile), -(-w // tile)
-        padded = np.full((down * tile, across * tile), pad, dtype="<f8")
+        padded = np.full(
+            (down * tile, across * tile), pad, dtype=f"<{dtype}"
+        )
         padded[:h, :w] = top_down
         for ty in range(down):
             for tx in range(across):
@@ -540,7 +547,7 @@ def encode_geotiff(
     entries = [
         (_TAG_WIDTH, 4, 1, w),
         (_TAG_HEIGHT, 4, 1, h),
-        (_TAG_BITS, 3, 1, 64),
+        (_TAG_BITS, 3, 1, vals.dtype.itemsize * 8),
         (_TAG_COMPRESSION, 3, 1, comp_id),
         (262, 3, 1, 1),  # photometric: BlackIsZero
         (_TAG_SAMPLES_PER_PIXEL, 3, 1, 1),

@@ -745,18 +745,22 @@ def test_geotiff_roundtrip_fuzz():
         nodata=st.sampled_from([None, -9999.0]),
         tile=st.sampled_from([None, 16, 32]),
         compress=st.sampled_from([None, "deflate", "lzw", "packbits"]),
+        dtype=st.sampled_from(["f8", "f4"]),
         epsg=st.sampled_from([None, 4326, 32643]),
     )
-    def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg):
+    def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg, dtype):
         rng = np.random.default_rng(seed)
         vals = rng.uniform(-1e6, 1e6, size=(h, w))
         vals[rng.random((h, w)) < nan_frac] = np.nan
         blob = encode_geotiff(
             vals, 76.85, 28.2, 0.009,
             nodata=nodata, epsg=epsg, compress=compress, tile=tile,
+            dtype=dtype,
         )
         got, min_x, min_y, cell, crs = decode_geotiff(blob)
         assert got.shape == (h, w)
+        if dtype == "f4":
+            vals = vals.astype("<f4").astype(np.float64)
         # bit-exact incl. NaN placement
         assert np.array_equal(
             got.view("u8"), np.asarray(vals, "<f8").view("u8")
