@@ -35,35 +35,65 @@ DECIMAL_FINE = "decimal(38,12)"
 FAST_SUMS = os.environ.get("SPARK_GRAFT_FAST_SUMS", "") == "1"
 
 
+def _floor_round(c: Column, scale: int) -> Column:
+    """Floor-form half-up round (see :func:`stable_round`): the engine
+    ``round()`` pair diverges when the double sits within an ulp of a
+    decimal midpoint — Spark rounds the shortest-decimal string, DuckDB
+    the numeric — and an EXACT decimal aggregate cast to double lands
+    on midpoints routinely (a 6-dp sum ending in …5000 is one in every
+    few thousand; the r7 150-example star soak caught a trade-network
+    edge weight at 162184.955000 splitting the engines). The floor form
+    is the identical IEEE expression on both sides, so ties cannot
+    split."""
+    f = float(10**scale)
+    return F.floor(c * f + F.lit(0.5)) / f
+
+
 def stable_sum(col: Column | str, scale: int = 2, dec: str = DECIMAL) -> Column:
-    """Order-independent SUM of a double expression, rounded to `scale`.
+    """Order-independent SUM of a double expression, rounded to `scale`
+    in the midpoint-safe floor form.
 
     Under ``SPARK_GRAFT_FAST_SUMS=1`` the decimal routing is skipped
     (plain double sum — see FAST_SUMS for the contract given up)."""
     c = F.col(col) if isinstance(col, str) else col
     if FAST_SUMS:
         return F.round(F.sum(c), scale)
-    return F.round(F.sum(c.cast(dec)).cast("double"), scale)
+    return _floor_round(F.sum(c.cast(dec)).cast("double"), scale)
 
 
 def stable_avg(col: Column | str, scale: int = 6, dec: str = DECIMAL) -> Column:
-    """Order-independent AVG: exact decimal sum / count, divided in double."""
+    """Order-independent AVG: exact decimal sum / count, divided in
+    double, rounded in the midpoint-safe floor form."""
     c = F.col(col) if isinstance(col, str) else col
     if FAST_SUMS:
         return F.round(F.sum(c) / F.count(c), scale)
-    return F.round(F.sum(c.cast(dec)).cast("double") / F.count(c), scale)
+    return _floor_round(
+        F.sum(c.cast(dec)).cast("double") / F.count(c), scale
+    )
 
 
 def sql_stable_sum(expr: str, scale: int = 2, dec: str = DECIMAL) -> str:
-    """DuckDB-side mirror of :func:`stable_sum`."""
-    return f"round(cast(sum(cast(({expr}) as {dec})) as double), {scale})"
+    """Mirror of :func:`stable_sum` in portable SQL (several queries run
+    the same string in BOTH engines). The terminal double cast matters:
+    Spark parses ``100.0`` as DECIMAL, so ``floor(..)/100.0`` would be
+    a DECIMAL there while DuckDB yields DOUBLE — the cast reunifies the
+    output type, and IEEE division-then-cast equals DuckDB's double
+    division bit for bit (both are the nearest double to the exact
+    quotient)."""
+    f = 10**scale
+    return (
+        f"cast(floor(cast(sum(cast(({expr}) as {dec})) as double)"
+        f" * {f}.0 + 0.5) / {f}.0 as double)"
+    )
 
 
 def sql_stable_avg(expr: str, scale: int = 6, dec: str = DECIMAL) -> str:
-    """DuckDB-side mirror of :func:`stable_avg`."""
+    """DuckDB-side mirror of :func:`stable_avg` (same portable-SQL and
+    terminal-cast notes as :func:`sql_stable_sum`)."""
+    f = 10**scale
     return (
-        f"round(cast(sum(cast(({expr}) as {dec})) as double)"
-        f" / count({expr}), {scale})"
+        f"cast(floor(cast(sum(cast(({expr}) as {dec})) as double)"
+        f" / count({expr}) * {f}.0 + 0.5) / {f}.0 as double)"
     )
 
 

@@ -941,6 +941,8 @@ def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("i") == F.col("k"), F.lit(0.4))
         .otherwise(F.lit(0.2) / (F.col("k") - 2).cast("double"))
     )
+    from ..functions.stable import stable_round
+
     dec = "decimal(38,12)"
     return (
         ranked.select(
@@ -950,8 +952,12 @@ def _attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("campaign")
         .agg(
-            F.round(F.sum("w").cast("double"), 6).alias("credited_conversions"),
-            F.round(F.sum("wv").cast("double"), 2).alias("credited_value"),
+            stable_round(F.sum("w").cast("double"), 6).alias(
+                "credited_conversions"
+            ),
+            stable_round(F.sum("wv").cast("double"), 2).alias(
+                "credited_value"
+            ),
         )
     )
 
@@ -993,10 +999,12 @@ register(
                 FROM ranked
             )
             SELECT campaign,
-                   round(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   floor(CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0
                        AS credited_conversions,
-                   round(CAST(sum(CAST(w * value AS DECIMAL(38,12)))
-                              AS DOUBLE), 2) AS credited_value
+                   floor(CAST(sum(CAST(w * value AS DECIMAL(38,12)))
+                              AS DOUBLE) * 100.0 + 0.5) / 100.0
+                       AS credited_value
             FROM weighted GROUP BY 1
         """,
         tags=("events", "attribution", "window"),

@@ -52,7 +52,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2).alias("src"),
             (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
-        .agg(F.round(F.sum(rev).cast("double"), 2).alias("weight"))
+        # floor-form round: the decimal sum lands on 2-dp midpoints
+        # (…9550 endings) routinely; engine round() splits engines there
+        .agg(stable_round(F.sum(rev).cast("double"), 2).alias("weight"))
     )
 
 
@@ -77,9 +79,9 @@ def _pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iterative-graph layout.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     out_w = edges.groupBy("src").agg(
-        F.round(F.sum(F.col("weight").cast(_DEC)).cast("double"), 2).alias(
-            "out_weight"
-        )
+        stable_round(
+            F.sum(F.col("weight").cast(_DEC)).cast("double"), 2
+        ).alias("out_weight")
     )
     # The normalized-fraction table appears once per power step in the
     # unrolled DAG — materialize it too, or every iteration re-runs the
@@ -175,16 +177,18 @@ def _pagerank_oracle() -> str:
     return f"""
         WITH edges AS (
             SELECT l_suppkey * 2 AS src, o_custkey * 2 + 1 AS dst,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                       AS DECIMAL(30,6))) AS DOUBLE), 2)
+                   floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,6))) AS DOUBLE)
+                         * 100.0 + 0.5) / 100.0
                        AS weight
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2
         ),
         out_w AS (
             SELECT src,
-                   round(CAST(sum(CAST(weight AS DECIMAL(38,12)))
-                              AS DOUBLE), 2) AS out_weight
+                   floor(CAST(sum(CAST(weight AS DECIMAL(38,12)))
+                              AS DOUBLE) * 100.0 + 0.5) / 100.0
+                       AS out_weight
             FROM edges GROUP BY 1
         ),
         e AS (
@@ -433,9 +437,9 @@ def _lpa_oracle() -> str:
             WITH edges AS (
                 SELECT l_suppkey * 2 AS src,
                        o_custkey * 2 + 1 AS dst,
-                       round(CAST(sum(CAST(l_extendedprice
+                       floor(CAST(sum(CAST(l_extendedprice
                              * (1 - l_discount) AS DECIMAL(30,6)))
-                             AS DOUBLE), 2) AS weight
+                             AS DOUBLE) * 100.0 + 0.5) / 100.0 AS weight
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 GROUP BY 1, 2
             ),

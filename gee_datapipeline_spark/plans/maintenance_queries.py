@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.stable import sql_stable_sum, stable_sum
+from ..functions.stable import sql_stable_sum, stable_round, stable_sum
 from .registry import Query, register
 
 # 60-bit row hash from the md5 hex prefix: fits a signed 64-bit long
@@ -121,7 +121,9 @@ def _incremental_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionAll(delta)
         .groupBy("ship_month")
         .agg(
-            F.round(F.sum("rev_partial").cast("double"), 2).alias("revenue"),
+            stable_round(
+                F.sum("rev_partial").cast("double"), 2
+            ).alias("revenue"),
             F.sum("n_items").alias("n_items"),
         )
     )
@@ -627,7 +629,7 @@ def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("qty_delta").cast("double"), 2).alias(
+            stable_round(F.sum("qty_delta").cast("double"), 2).alias(
                 "qty_delta"
             ),
         )
@@ -660,7 +662,8 @@ register(
                              THEN 'unchanged'
                         ELSE 'changed' END AS status,
                    count(*) AS n_parts,
-                   round(CAST(sum(qty_new - qty_old) AS DOUBLE), 2)
+                   floor(CAST(sum(qty_new - qty_old) AS DOUBLE)
+                         * 100.0 + 0.5) / 100.0
                        AS qty_delta
             FROM per_part GROUP BY 1
         """,

@@ -643,10 +643,12 @@ def _market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(target_vol).cast("double"), 2).alias(
+            stable_round(F.sum(target_vol).cast("double"), 2).alias(
                 "nation_volume"
             ),
-            F.round(F.sum(vol).cast("double"), 2).alias("total_volume"),
+            stable_round(F.sum(vol).cast("double"), 2).alias(
+                "total_volume"
+            ),
             stable_round(
                 F.sum(target_vol).cast("double")
                 / F.sum(vol).cast("double"),
@@ -669,13 +671,15 @@ register(
                 WHERE r_regionkey = 0
             )
             SELECT year(o_orderdate) AS o_year,
-                   round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                   floor(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
                                   THEN CAST(l_extendedprice * (1 - l_discount)
                                             AS DECIMAL(30,6))
                                   ELSE CAST(0.0 AS DECIMAL(30,6)) END)
-                              AS DOUBLE), 2) AS nation_volume,
-                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                                       AS DECIMAL(30,6))) AS DOUBLE), 2)
+                              AS DOUBLE) * 100.0 + 0.5) / 100.0
+                       AS nation_volume,
+                   floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(30,6))) AS DOUBLE)
+                         * 100.0 + 0.5) / 100.0
                        AS total_volume,
                    floor(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
                                   THEN CAST(l_extendedprice * (1 - l_discount)

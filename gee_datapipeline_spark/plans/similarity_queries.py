@@ -927,7 +927,9 @@ def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["k_id"].cast("string"),
             ),
         ).alias("pq_code"),
-        F.round(F.sum(F.col("b.dist")).cast("double"), 6).alias("quant_err"),
+        stable_round(
+            F.sum(F.col("b.dist")).cast("double"), 6
+        ).alias("quant_err"),
     )
 
 
@@ -965,7 +967,8 @@ register(
             )
             SELECT vec_id,
                    array_to_string(list(k_id ORDER BY m), '-') AS pq_code,
-                   round(CAST(sum(dist) AS DOUBLE), 6) AS quant_err
+                   floor(CAST(sum(dist) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS quant_err
             FROM best
             GROUP BY 1
         """,
@@ -1107,7 +1110,9 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "neighbor_id",
-            F.round(F.col("adc").cast("double"), 6).alias("adc_dist"),
+            stable_round(F.col("adc").cast("double"), 6).alias(
+                "adc_dist"
+            ),
             "rk",
         )
     )
@@ -1166,7 +1171,8 @@ register(
                 GROUP BY 1, 2
             )
             SELECT q_id, neighbor_id,
-                   round(CAST(adc AS DOUBLE), 6) AS adc_dist, rk
+                   floor(CAST(adc AS DOUBLE) * 1000000.0 + 0.5)
+                       / 1000000.0 AS adc_dist, rk
             FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY q_id
@@ -1240,7 +1246,7 @@ def _pca_scatter_upper_gram(e: DataFrame, m: DataFrame,
         else F.sum("p")
     )
     return tile_rows.groupBy("i", "j").agg(
-        F.round(p_sum.cast("double") / F.lit(1e12), 6).alias("s")
+        stable_round(p_sum.cast("double") / F.lit(1e12), 6).alias("s")
     )
 
 
@@ -1276,7 +1282,9 @@ def _pca_scatter_upper_explode(e: DataFrame, m: DataFrame) -> DataFrame:
         .select("x.i", "x.j", "x.p")
     )
     return pairs.groupBy("i", "j").agg(
-        F.round(F.sum("p").cast("double") / F.lit(1e12), 6).alias("s")
+        stable_round(
+            F.sum("p").cast("double") / F.lit(1e12), 6
+        ).alias("s")
     )
 
 
@@ -1454,7 +1462,9 @@ def _pca_oracle() -> str:
               ON a.vec_id = b.vec_id AND a.i <= b.i
         ),
         s_up AS MATERIALIZED (
-            SELECT i, j, round(CAST(sum(p) AS DOUBLE) / 1e12, 6) AS s
+            SELECT i, j,
+                   floor(CAST(sum(p) AS DOUBLE) / 1e12
+                         * 1000000.0 + 0.5) / 1000000.0 AS s
             FROM pairs GROUP BY 1, 2
         ),
         sfull AS MATERIALIZED (
