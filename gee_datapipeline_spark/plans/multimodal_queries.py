@@ -82,7 +82,7 @@ _IMAGE_FEATURES_ORACLE = """
     SELECT
         'image' AS kind,
         count(*) AS n_media,
-        sum(n_bytes) AS total_bytes,
+        CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         round(cast(sum(cast(mean_luma as decimal(30,6))) as double)
               / count(mean_luma), 4) AS avg_luma,
         count(DISTINCT h) AS n_distinct_payloads
