@@ -202,11 +202,14 @@ def _parse_rings(poly) -> list[np.ndarray]:
     if isinstance(poly, dict):
         gtype = poly.get("type")
         coords = poly.get("coordinates", [])
+        # Real-world GeoJSON (some GAUL exports) carries 3-element
+        # [lon, lat, z] positions; keep only lon/lat so the (n,3)
+        # shape can't break ray casting or bbox unpacking.
         if gtype == "Polygon":
-            rings = [np.asarray(r, dtype=np.float64) for r in coords]
+            rings = [np.asarray(r, dtype=np.float64)[:, :2] for r in coords]
         elif gtype == "MultiPolygon":
             rings = [
-                np.asarray(r, dtype=np.float64)
+                np.asarray(r, dtype=np.float64)[:, :2]
                 for part in coords
                 for r in part
             ]

@@ -51,7 +51,8 @@ def _floor_round(c: Column, scale: int) -> Column:
 
 def stable_sum(col: Column | str, scale: int = 2, dec: str = DECIMAL) -> Column:
     """Order-independent SUM of a double expression, rounded to `scale`
-    in the midpoint-safe floor form.
+    in the midpoint-safe floor form. Negative sums round halves toward
+    +inf — see :func:`stable_round` for the signed-tie convention.
 
     Under ``SPARK_GRAFT_FAST_SUMS=1`` the decimal routing is skipped
     (plain double sum — see FAST_SUMS for the contract given up)."""
@@ -105,8 +106,16 @@ def stable_round(col: Column | str, scale: int = 6) -> Column:
     shortest-decimal string) and DuckDB's (numeric) can break a tie
     differently. Ratios of integers with power-of-two denominators
     (token counts!) hit exact midpoints often enough that the sf0.1
-    parity sweep caught real mismatches. Not for negatives (floor-based
-    half-up rounds toward +inf) — all users are ratios/ranks ≥ 0."""
+    parity sweep caught real mismatches.
+
+    Negative inputs: the floor form rounds halves toward +inf for every
+    sign (``-2.345`` at scale 2 → ``-2.34``, where HALF_UP would give
+    ``-2.35``). That is the DELIBERATE engine convention — signed
+    aggregates (snapshot-diff deltas, attribution credits) route
+    through this and their DuckDB oracles mirror the identical floor
+    expression, so cross-engine parity holds for any sign; only the
+    tie-break direction differs from textbook HALF_UP. Callers that
+    need sign-symmetric ties must not use this helper."""
     c = F.col(col) if isinstance(col, str) else col
     f = float(10**scale)
     return F.floor(c * f + F.lit(0.5)) / f

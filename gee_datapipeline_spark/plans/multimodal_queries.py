@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import sql_stable_avg
 from .registry import Query, register
 
 
@@ -66,7 +67,7 @@ def _multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # string with strpos('0123456789abcdef', ...) arithmetic. GROUP BY the
 # constant kind so an empty documents table yields zero rows (matching
 # Spark's groupBy), not one all-NULL aggregate row.
-_IMAGE_FEATURES_ORACLE = """
+_IMAGE_FEATURES_ORACLE = f"""
     WITH luma AS (
         SELECT
             sha256(text) AS h,
@@ -83,8 +84,7 @@ _IMAGE_FEATURES_ORACLE = """
         'image' AS kind,
         count(*) AS n_media,
         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-        round(cast(sum(cast(mean_luma as decimal(30,6))) as double)
-              / count(mean_luma), 4) AS avg_luma,
+        {sql_stable_avg('mean_luma', 4)} AS avg_luma,
         count(DISTINCT h) AS n_distinct_payloads
     FROM luma
     GROUP BY kind

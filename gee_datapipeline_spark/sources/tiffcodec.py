@@ -452,7 +452,19 @@ def encode_geotiff(
     h, w = vals.shape
     top_down = vals[::-1]
     if nodata is not None:
-        top_down = np.where(np.isnan(top_down), nodata, top_down)
+        # A nodata outside the target dtype's range (doubles like
+        # -1e300 appear as GDAL sentinels) would silently promote the
+        # strip payload to float64 under NumPy value-based promotion
+        # while the BitsPerSample tag still says 32 — corrupt file.
+        # Validate, then pin the dtype after substitution.
+        if not np.isfinite(np.asarray(nodata, dtype=f"<{dtype}")):
+            if np.isfinite(nodata):
+                raise ValueError(
+                    f"nodata={nodata!r} is not representable in {dtype}"
+                )
+        top_down = np.where(np.isnan(top_down), nodata, top_down).astype(
+            vals.dtype, copy=False
+        )
     top_down = np.ascontiguousarray(top_down)
     comp_id = {None: 1, "deflate": 8, "lzw": 5, "packbits": 32773}[
         compress

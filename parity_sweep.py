@@ -78,6 +78,10 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    only = os.environ.get("PARITY_ONLY", "")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        qs = {k: v for k, v in qs.items() if k in wanted}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -133,6 +137,10 @@ def main() -> None:
         }
     }
     out.update(results)
+    # A filtered run must never clobber the committed full artifact.
+    global OUT
+    if only:
+        OUT = OUT.replace(".json", "_PARTIAL.json")
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
