@@ -204,6 +204,12 @@ HEADLINE = [
     "geo_clip_dissolved",
     "geo_region_union_area",
     "compression_ratio_quality",
+    # r8 additions: point-to-LINE proximity (segment-distance bucketed
+    # join over road polylines), the real-OSM-file point variant, and
+    # multi-band GeoTIFF ingest (file_per_band=False export shape)
+    "geo_proximity_roads",
+    "geo_proximity_roads_real",
+    "raster_ingest_multiband_tif",
 ]
 
 

@@ -152,6 +152,208 @@ def proximity_join(
     ).drop("__cell")
 
 
+# km per degree of latitude on the mean-radius sphere (and per degree
+# of longitude at the equator): R * pi / 180. Shared by the planar
+# point-to-segment distance and its DuckDB oracle mirror, which embeds
+# the same repr() so both engines compute with the identical double.
+KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
+
+
+def line_vertices(features: DataFrame) -> DataFrame:
+    """Explode LineString features into one row per vertex.
+
+    The GeoJSON reader (``sources.geojson``) keeps a representative
+    point per feature plus the raw coordinate JSON in
+    ``props['__coordinates']``; this recovers the full polyline as
+    ``(…feature cols…, seq, vlon, vlat)`` with ``from_json`` +
+    ``posexplode`` — all JVM-side, no Python. Non-LineString rows are
+    dropped (Points have no polyline; Polygons go through
+    ``clip_to_polygon``)."""
+    coords = F.from_json(
+        F.col("props")["__coordinates"], "array<array<double>>"
+    )
+    exploded = features.filter(F.col("geom_type") == "LineString").select(
+        "source",
+        "feature_id",
+        "props",
+        F.posexplode(coords).alias("seq", "__v"),
+    )
+    return exploded.select(
+        "source",
+        "feature_id",
+        "props",
+        "seq",
+        F.col("__v")[0].alias("vlon"),
+        F.col("__v")[1].alias("vlat"),
+    )
+
+
+def line_segments(vertices: DataFrame) -> DataFrame:
+    """Consecutive-vertex segments from a vertex table: ``seq`` leads to
+    ``seq+1`` per feature → ``(feature_id, seq, lon1, lat1, lon2,
+    lat2)``. A window ``lead`` — one shuffle on feature_id, no join."""
+    w = Window.partitionBy("feature_id").orderBy("seq")
+    return (
+        vertices.select(
+            "feature_id",
+            "seq",
+            F.col("vlon").alias("lon1"),
+            F.col("vlat").alias("lat1"),
+            F.lead("vlon").over(w).alias("lon2"),
+            F.lead("vlat").over(w).alias("lat2"),
+        )
+        .filter(F.col("lon2").isNotNull())
+    )
+
+
+def point_to_segment_km(
+    plon: Column, plat: Column,
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+) -> Column:
+    """Planar point-to-segment distance in km (local equirectangular
+    projection anchored at the SEGMENT midpoint latitude, so the
+    projection is a property of the segment, not the query point —
+    both engines of a differential test see identical inputs).
+
+    Exactness envelope: for city-scale segments (≲0.1°) the
+    equirectangular error against the geodesic is well under the 1 km
+    grid the reference exports at. Every step is deterministic IEEE
+    double math, mirrored token-for-token in
+    ``sql_point_to_segment_km``."""
+    ky = F.lit(KM_PER_DEG)
+    kx = ky * F.cos(F.radians((lat1 + lat2) / F.lit(2.0)))
+    ax = (lon1 - plon) * kx
+    ay = (lat1 - plat) * ky
+    bx = (lon2 - plon) * kx
+    by = (lat2 - plat) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(1.0), -(ax * dx + ay * dy) / len2),
+        )
+    )
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return F.sqrt(cx * cx + cy * cy)
+
+
+def sql_point_to_segment_km(
+    plon: str, plat: str,
+    lon1: str, lat1: str, lon2: str, lat2: str,
+) -> str:
+    """DuckDB mirror of :func:`point_to_segment_km` — same operations in
+    the same order on the same repr'd constant, so the result doubles
+    are bit-identical."""
+    kx = f"({KM_PER_DEG!r} * cos(radians(({lat1} + {lat2}) / 2.0)))"
+    ax = f"(({lon1} - {plon}) * {kx})"
+    ay = f"(({lat1} - {plat}) * {KM_PER_DEG!r})"
+    bx = f"(({lon2} - {plon}) * {kx})"
+    by = f"(({lat2} - {plat}) * {KM_PER_DEG!r})"
+    dx = f"({bx} - {ax})"
+    dy = f"({by} - {ay})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t = (
+        f"(CASE WHEN {len2} = 0.0 THEN 0.0 ELSE "
+        f"greatest(0.0, least(1.0, -({ax} * {dx} + {ay} * {dy}) / {len2}))"
+        f" END)"
+    )
+    cx = f"({ax} + {t} * {dx})"
+    cy = f"({ay} + {t} * {dy})"
+    return f"sqrt({cx} * {cx} + {cy} * {cy})"
+
+
+def proximity_join_lines(
+    pixels: DataFrame,
+    segments: DataFrame,
+    radius_km: float,
+    pixel_lon: str = "lon",
+    pixel_lat: str = "lat",
+    broadcast_segments: bool = True,
+    lat_cap_deg: float = 66.0,
+    distance_round: int | None = None,
+) -> DataFrame:
+    """J2-line — pixels within ``radius_km`` of any polyline segment
+    (point-to-LINE proximity; the road-corridor form of the advocacy
+    question, README.md:2 'fires near roads').
+
+    Grid-bucketed like :func:`proximity_join`, generalized from a 3x3
+    point neighborhood to the COVERING CELL RANGE of each segment's
+    bbox plus a 1-cell halo: with cells sized >= radius per axis, any
+    pixel within the radius of some point of the segment shares a cell
+    with that range, so the exact distance test only runs on co-located
+    pairs — never a cross join. A segment explodes to
+    O(len_deg/cell + 2)^2 cells (city-scale roads: a handful); pixels
+    hash to exactly one cell.
+
+    Output: pixel columns + ``pt_feature_id`` + ``distance_km`` — the
+    MINIMUM distance over all of that feature's segments, one row per
+    (pixel, feature) pair within radius (multi-cell and multi-segment
+    duplicates collapse in the min-aggregate).
+
+    Scale: the exploded segment side stays dimension-sized for road
+    networks (|segments| x ~9 cells) and broadcasts; the pixel/fact
+    side shuffles ZERO times (map-side hash probe). With
+    ``broadcast_segments=False`` both sides shuffle on the cell id —
+    the fallback when the road network itself is fact-sized."""
+    cell_lat_deg = max(radius_km / 111.32, 1e-4)
+    cell_lon_deg = max(
+        radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
+    )
+    cols = int(math.ceil(360.0 / cell_lon_deg))
+
+    def cx_of(lon: Column) -> Column:
+        return F.floor((lon + 180.0) / cell_lon_deg).cast("long")
+
+    def cy_of(lat: Column) -> Column:
+        return F.floor((lat + 90.0) / cell_lat_deg).cast("long")
+
+    px = pixels.withColumn(
+        "__cell",
+        cy_of(F.col(pixel_lat)) * F.lit(cols) + cx_of(F.col(pixel_lon)),
+    )
+    lo1, la1 = F.col("lon1"), F.col("lat1")
+    lo2, la2 = F.col("lon2"), F.col("lat2")
+    seg = (
+        segments.withColumn(
+            "__cx", F.explode(F.sequence(
+                F.least(cx_of(lo1), cx_of(lo2)) - 1,
+                F.greatest(cx_of(lo1), cx_of(lo2)) + 1,
+            ))
+        )
+        .withColumn(
+            "__cy", F.explode(F.sequence(
+                F.least(cy_of(la1), cy_of(la2)) - 1,
+                F.greatest(cy_of(la1), cy_of(la2)) + 1,
+            ))
+        )
+        .select(
+            (F.col("__cy") * F.lit(cols) + F.col("__cx")).alias("__cell"),
+            F.col("feature_id").alias("pt_feature_id"),
+            "lon1", "lat1", "lon2", "lat2",
+        )
+    )
+    if broadcast_segments:
+        seg = F.broadcast(seg)
+    dist = point_to_segment_km(
+        F.col(pixel_lon), F.col(pixel_lat), lo1, la1, lo2, la2
+    )
+    pair_cols = [c for c in pixels.columns] + ["pt_feature_id"]
+    joined = (
+        px.join(seg, on="__cell", how="inner")
+        .withColumn("__d", dist)
+        .groupBy(*pair_cols)
+        .agg(F.min("__d").alias("distance_km"))
+    )
+    if distance_round is not None:
+        joined = joined.withColumn(
+            "distance_km", F.round("distance_km", distance_round)
+        )
+    return joined.filter(F.col("distance_km") <= radius_km)
+
+
 def z_order_key(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton (Z-order) interleave of two grid indices — the sort key
     that keeps 2-D-adjacent pixels adjacent in file order, so row-group

@@ -26,8 +26,12 @@ from ..functions.geo import (
     bbox_contains,
     clip_to_polygon,
     clip_to_union,
+    line_segments,
+    line_vertices,
     proximity_join,
+    proximity_join_lines,
     rect_union_area,
+    sql_point_to_segment_km,
 )
 from ..functions.stable import sql_stable_avg, sql_stable_sum
 from ..operators.classify import classify_with_thresholds
@@ -35,10 +39,12 @@ from ..operators.composites import grid_resample, mean_composite, max_composite
 from ..operators.windows import minmax_normalize
 from ..sources.fixtures import (
     FIXTURES_DIR,
+    REAL_MOTORWAY_GEOJSON,
     ensure_geo_fixtures,
     fixture_path,
     load_fixture,
 )
+from ..sources.geojson import read_geojson
 from ..sources.synthetic import DELHI_BBOX
 from .registry import Query, register
 
@@ -593,6 +599,45 @@ register(
 )
 
 
+def _raster_ingest_multiband_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 multi-band — ingest of SamplesPerPixel=3 chunky GeoTIFFs
+    (the ``file_per_band=False`` export shape,
+    DataDownloader_V1.py:149 option surface): per-pixel interleaved
+    samples de-interleave to a first-class ``band`` column inside the
+    ingest UDTF, across both plain-strip and deflate+tiled layouts
+    (edge tiles crop in SAMPLE units). Bit-exact differential vs the
+    parquet twin written from the pre-encode cubes."""
+    from ..sources.fixtures import FIXTURES_DIR, ensure_geo_fixtures
+    from ..sources.raster import read_rasters
+
+    ensure_geo_fixtures()
+    df = read_rasters(
+        spark, str(FIXTURES_DIR / "rasters_multiband" / "*.tif")
+    )
+    return df.select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "band",
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+
+
+register(
+    Query(
+        name="raster_ingest_multiband_tif",
+        spark=_raster_ingest_multiband_tif,
+        oracle=f"""
+            SELECT file, band, x, y, lon, lat, value
+            FROM read_parquet('{fixture_path("raster_multiband_pixels")}')
+        """,
+        tags=("geo", "S3", "S5", "multiband"),
+    )
+)
+
+
 def _raster_ingest_utm_tif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + F8 — ingest of a PROJECTED (UTM-zone-43-tagged) GeoTIFF:
     binaryFile scan → GeoKeyDirectory parse → inverse-Krüger
@@ -1002,5 +1047,140 @@ register(
             GROUP BY 1
         """,
         tags=("geo", "layout", "zorder"),
+    )
+)
+
+
+_ROADV = fixture_path("road_vertices")
+_MOTOR = fixture_path("motorway_points")
+_ROADS_GEOJSON = str(FIXTURES_DIR / "roads.geojson")
+
+
+def _geo_proximity_roads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-line — point-to-LINE proximity: max observed value within
+    5 km of each road POLYLINE (the 'fires near roads' half of the
+    advocacy question, README.md:2), not of one representative vertex.
+
+    End-to-end through the real ingest path: the roads are a GeoJSON
+    FeatureCollection of LineStrings parsed by ``sources.geojson``
+    (full coordinates in ``props['__coordinates']``), exploded to
+    vertices (JVM ``from_json``+``posexplode``), paired into segments
+    (window ``lead``), then grid-bucket joined against the pixel grid
+    with exact planar point-to-segment distance. The oracle rebuilds
+    the identical segments from the vertex-parquet twin and brute-force
+    cross-joins — equality of the two is also the bucketing's
+    no-dropped-pairs proof at gate scale."""
+    px = _pixels(spark).filter(F.col("value").isNotNull())
+    roads = read_geojson(spark, _ROADS_GEOJSON, source="roads")
+    segs = line_segments(line_vertices(roads))
+    near = proximity_join_lines(
+        px.select("dataset", "ts", "x", "y", "lon", "lat", "value"),
+        segs,
+        radius_km=5.0,
+        distance_round=6,
+    )
+    return near.groupBy("pt_feature_id", "dataset").agg(
+        F.max("value").alias("max_value_5km"),
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.min("distance_km").alias("min_distance_km"),
+    )
+
+
+register(
+    Query(
+        name="geo_proximity_roads",
+        spark=_geo_proximity_roads,
+        oracle=f"""
+            WITH v AS (
+                SELECT feature_id, seq, lon, lat
+                FROM read_parquet('{_ROADV}')
+            ),
+            seg AS (
+                SELECT a.feature_id,
+                       a.lon AS lon1, a.lat AS lat1,
+                       b.lon AS lon2, b.lat AS lat2
+                FROM v a JOIN v b
+                  ON a.feature_id = b.feature_id AND b.seq = a.seq + 1
+            ),
+            px AS (
+                SELECT dataset, ts, x, y, lon, lat, value
+                FROM read_parquet('{_PX}') WHERE value IS NOT NULL
+            ),
+            pairs AS (
+                SELECT px.dataset, px.ts, px.x, px.y, px.value,
+                       seg.feature_id AS pt_feature_id,
+                       round(min({sql_point_to_segment_km(
+                           'px.lon', 'px.lat',
+                           'seg.lon1', 'seg.lat1',
+                           'seg.lon2', 'seg.lat2')}), 6) AS distance_km
+                FROM px CROSS JOIN seg
+                GROUP BY px.dataset, px.ts, px.x, px.y, px.lon, px.lat,
+                         px.value, seg.feature_id
+            )
+            SELECT pt_feature_id, dataset, max(value) AS max_value_5km,
+                   count(*) AS n_pixels,
+                   min(distance_km) AS min_distance_km
+            FROM pairs WHERE distance_km <= 5.0
+            GROUP BY pt_feature_id, dataset
+        """,
+        tags=("geo", "J2", "lines"),
+    )
+)
+
+
+def _geo_proximity_roads_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 on the REAL OSM motorway export: every feature in
+    ``AminitiesGeoJSON/*.geojson`` is a Point (``"@geometry": "center"``
+    — way centroids; motorway.geojson feature 0), so point-to-point
+    proximity IS the correct operator for these files, with the
+    polyline form covered by ``geo_proximity_roads``. Spark parses the
+    original GeoJSON through ``sources.geojson``; the oracle reads a
+    plain-Python-parsed parquet twin — two independent parsers of the
+    same 2,332-feature file differentially checked."""
+    px = _pixels(spark).filter(F.col("value").isNotNull())
+    roads = read_geojson(spark, REAL_MOTORWAY_GEOJSON, source="motorway")
+    near = proximity_join(
+        px.select("dataset", "lon", "lat", "value"),
+        roads.filter(F.col("geom_type") == "Point").select(
+            "feature_id", "lon", "lat"
+        ),
+        radius_km=2.0,
+        distance_round=6,
+    )
+    return near.groupBy("dataset").agg(
+        F.max("value").alias("max_value_2km"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("pt_feature_id").alias("n_roads_hit"),
+    )
+
+
+register(
+    Query(
+        name="geo_proximity_roads_real",
+        spark=_geo_proximity_roads_real,
+        oracle=f"""
+            WITH px AS (
+                SELECT dataset, lon, lat, value
+                FROM read_parquet('{_PX}') WHERE value IS NOT NULL
+            ),
+            pt AS (
+                SELECT feature_id, lon AS alon, lat AS alat
+                FROM read_parquet('{_MOTOR}')
+            ),
+            pairs AS (
+                SELECT px.dataset, px.value, pt.feature_id
+                FROM px CROSS JOIN pt
+                WHERE round(2 * 6371.0088 * asin(sqrt(
+                          pow(sin((radians(alat) - radians(lat)) / 2), 2)
+                          + cos(radians(lat)) * cos(radians(alat))
+                            * pow(sin((radians(alon) - radians(lon)) / 2), 2)
+                      )), 6) <= 2.0
+            )
+            SELECT dataset, max(value) AS max_value_2km,
+                   count(*) AS n_pairs,
+                   count(DISTINCT feature_id) AS n_roads_hit
+            FROM pairs GROUP BY dataset
+        """,
+        tags=("geo", "J2", "real-data"),
     )
 )

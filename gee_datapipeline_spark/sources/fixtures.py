@@ -28,11 +28,13 @@ from .synthetic import (
     amenities_rows,
     pixels_rows,
     regions_rows,
+    road_vertex_rows,
+    roads_geojson,
     thresholds_rows,
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 8  # v8: LZW raster layouts (+v7 dissolve districts)
+FIXTURES_VERSION = 9  # v9: road LineStrings (+v8 LZW raster layouts)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -42,6 +44,12 @@ PIXEL_PARAMS = dict(
     months=2, grid=10, datasets=("no2", "co"), seed=42, null_frac=0.05
 )
 AMENITY_PARAMS = dict(n=20, seed=7)
+ROAD_PARAMS = dict(n_roads=14, seed=13)
+# Real-file twin: the OSM motorway centroid export, parsed by plain
+# Python json into a parquet the oracle reads — the Spark side parses
+# the ORIGINAL GeoJSON through sources.geojson, so the gate checks two
+# independent parsers against each other (the raster-twin pattern).
+REAL_MOTORWAY_GEOJSON = "/root/reference/AminitiesGeoJSON/motorway.geojson"
 MEDIA_PARAMS = dict(n=60)
 DHASH_PARAMS = dict(n=48, variant=2)
 RASTER_PARAMS = dict(
@@ -65,6 +73,14 @@ DEFLATE_RASTER_PARAMS = dict(
     dates=("2025-01-15", "2025-02-15", "2025-03-15", "2025-04-15",
            "2025-05-15"),
     w=21, h=19, seed=17, cell=0.01, nan_frac=0.1,
+)
+
+# Multi-band fixture (SamplesPerPixel=3, chunky): w/h again not
+# multiples of the tile edge so edge-tile cropping composes with the
+# per-pixel sample interleave in the gate.
+MULTIBAND_RASTER_PARAMS = dict(
+    dates=("2025-01-15", "2025-02-15"),
+    w=21, h=19, n_bands=3, seed=23, cell=0.01, nan_frac=0.1,
 )
 
 _PIXELS_ARROW = pa.schema(
@@ -104,6 +120,37 @@ _AMENITIES_ARROW = pa.schema(
         ("lon", pa.float64()),
         ("lat", pa.float64()),
         ("props", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+
+_RASTER_MB_ARROW = pa.schema(
+    [
+        ("file", pa.string()),
+        ("band", pa.int32()),
+        ("x", pa.int32()),
+        ("y", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("value", pa.float64()),
+    ]
+)
+
+_ROAD_VERTICES_ARROW = pa.schema(
+    [
+        ("feature_id", pa.string()),
+        ("road_class", pa.string()),
+        ("seq", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+    ]
+)
+
+_REAL_POINTS_ARROW = pa.schema(
+    [
+        ("feature_id", pa.string()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
     ]
 )
 
@@ -428,6 +475,51 @@ def deflate_raster_fixture(
     return files, rows
 
 
+def multiband_raster_fixture(
+    dates: tuple[str, ...], w: int, h: int, n_bands: int, seed: int,
+    cell: float, nan_frac: float,
+) -> tuple[dict[str, bytes], list[tuple]]:
+    """Multi-band (SamplesPerPixel > 1, chunky) GeoTIFF payloads +
+    expected ``(file, band, x, y, lon, lat, value)`` rows — the shape
+    ``geemap.ee_export_image(..., file_per_band=False)`` emits when
+    more than one band survives the select (DataDownloader_V1.py:149
+    option surface). One plain-strip file and one deflate+tiled file,
+    so the multi-band sample interleave is gated through both segment
+    layouts."""
+    import numpy as np
+
+    from .synthetic import DELHI_BBOX
+    from .tiffcodec import encode_geotiff
+
+    min_lon, min_lat = DELHI_BBOX[0], DELHI_BBOX[1]
+    layouts = (("plain", {}), ("deflate_tiled", dict(compress="deflate",
+                                                     tile=16)))
+    files: dict[str, bytes] = {}
+    rows: list[tuple] = []
+    for d, (tag, kw) in zip(dates, layouts):
+        rng = np.random.default_rng(seed + int(d.replace("-", "")))
+        cube = rng.uniform(0.0, 300.0, size=(n_bands, h, w))
+        cube[rng.random(cube.shape) < nan_frac] = np.nan
+        name = f"multi_{tag}_{d}.tif"
+        files[name] = encode_geotiff(cube, min_lon, min_lat, cell, **kw)
+        for b in range(n_bands):
+            for y in range(h):
+                for x in range(w):
+                    v = cube[b, y, x]
+                    rows.append(
+                        (
+                            name,
+                            b,
+                            x,
+                            y,
+                            min_lon + (float(x) + 0.5) * cell,
+                            min_lat + (float(y) + 0.5) * cell,
+                            None if np.isnan(v) else float(v),
+                        )
+                    )
+    return files, rows
+
+
 def _write_delimited(base: Path) -> None:
     """Text-format twins of the pixel fixture, written by plain Python
     so both engines read IDENTICAL bytes: ``points.csv`` is the
@@ -471,6 +563,7 @@ def _manifest() -> dict:
         "pixels": {k: list(v) if isinstance(v, tuple) else v
                    for k, v in PIXEL_PARAMS.items()},
         "amenities": dict(AMENITY_PARAMS),
+        "roads": dict(ROAD_PARAMS),
         "media": dict(MEDIA_PARAMS),
         "dhash_media": dict(DHASH_PARAMS),
         "rasters": {k: list(v) if isinstance(v, tuple) else v
@@ -479,6 +572,8 @@ def _manifest() -> dict:
                         for k, v in UTM_RASTER_PARAMS.items()},
         "deflate_rasters": {k: list(v) if isinstance(v, tuple) else v
                             for k, v in DEFLATE_RASTER_PARAMS.items()},
+        "multiband_rasters": {k: list(v) if isinstance(v, tuple) else v
+                              for k, v in MULTIBAND_RASTER_PARAMS.items()},
     }
 
 
@@ -489,8 +584,9 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     wanted = _manifest()
     names = ("pixels", "regions", "thresholds", "amenities", "media",
              "dhash_media", "raster_pixels", "raster_utm_pixels",
-             "raster_deflate_pixels")
-    extra = ("points.csv", "logs.jsonl")
+             "raster_deflate_pixels", "raster_multiband_pixels",
+             "road_vertices", "motorway_points")
+    extra = ("points.csv", "logs.jsonl", "roads.geojson")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
     ) and all((base / n).exists() for n in extra):
@@ -542,6 +638,15 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
         _rows_to_table(dfl_rows, _RASTER_PX_ARROW),
         base / "raster_deflate_pixels.parquet",
     )
+    mb_files, mb_rows = multiband_raster_fixture(**MULTIBAND_RASTER_PARAMS)
+    mb_dir = base / "rasters_multiband"
+    mb_dir.mkdir(parents=True, exist_ok=True)
+    for name, payload in mb_files.items():
+        (mb_dir / name).write_bytes(payload)
+    pq.write_table(
+        _rows_to_table(mb_rows, _RASTER_MB_ARROW),
+        base / "raster_multiband_pixels.parquet",
+    )
     utm_files, utm_rows = utm_raster_fixture(**UTM_RASTER_PARAMS)
     utm_dir = base / "rasters_utm"
     utm_dir.mkdir(parents=True, exist_ok=True)
@@ -551,9 +656,37 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
         _rows_to_table(utm_rows, _RASTER_PX_ARROW),
         base / "raster_utm_pixels.parquet",
     )
+    pq.write_table(
+        _rows_to_table(road_vertex_rows(**ROAD_PARAMS), _ROAD_VERTICES_ARROW),
+        base / "road_vertices.parquet",
+    )
+    (base / "roads.geojson").write_text(roads_geojson(**ROAD_PARAMS))
+    pq.write_table(
+        _rows_to_table(_real_motorway_points(), _REAL_POINTS_ARROW),
+        base / "motorway_points.parquet",
+    )
     _write_delimited(base)
     manifest_path.write_text(json.dumps(wanted, indent=2))
     return base
+
+
+def _real_motorway_points() -> list[tuple]:
+    """Plain-Python parse of the real motorway centroid export (every
+    feature is a Point — OSM ``"@geometry": "center"``). Independent of
+    the Spark GeoJSON reader under test; ``json.load`` floats are the
+    same IEEE doubles Spark's variant parser yields, so the twin is
+    bit-exact."""
+    with open(REAL_MOTORWAY_GEOJSON) as fh:
+        doc = json.load(fh)
+    return [
+        (
+            f.get("id") or f["properties"]["@id"],
+            float(f["geometry"]["coordinates"][0]),
+            float(f["geometry"]["coordinates"][1]),
+        )
+        for f in doc["features"]
+        if f["geometry"]["type"] == "Point"
+    ]
 
 
 def fixture_path(name: str) -> str:

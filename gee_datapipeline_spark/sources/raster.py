@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 PIXEL_ROWS_SCHEMA = (
-    "path string, x int, y int, lon double, lat double, value double"
+    "path string, band int, x int, y int, "
+    "lon double, lat double, value double"
 )
 
 # FAKETIF layout: magic(7s) | width(i) | height(i) | min_lon(d) | min_lat(d)
@@ -100,9 +101,12 @@ def read_rasters(
         for pdf in batches:
             for _, r in pdf.iterrows():
                 vals, min_x, min_y, cell, crs = decode(bytes(r["content"]))
-                h, w = vals.shape
+                # single-band decoders return (h, w); multi-band
+                # (SamplesPerPixel > 1, the file_per_band=False export
+                # shape) returns (bands, h, w) — normalize to a cube
+                cube = vals[np.newaxis] if vals.ndim == 2 else vals
+                nb, h, w = cube.shape
                 ys, xs = np.mgrid[0:h, 0:w]
-                flat = vals.ravel()
                 # pixel centers in the raster's own CRS, like
                 # rasterio.transform.xy (fix_transparency.py:68)
                 px = min_x + (xs.ravel() + 0.5) * cell
@@ -114,13 +118,18 @@ def read_rasters(
                 # handle (fix_transparency.py:71-74)
                 inv = to_lonlat_fn(crs)
                 lon, lat = (px, py) if inv is None else inv(px, py)
+                flat = cube.reshape(nb, -1).ravel()
+                n_px = h * w
                 out = pd.DataFrame(
                     {
                         "path": r["path"],
-                        "x": xs.ravel().astype("int32"),
-                        "y": ys.ravel().astype("int32"),
-                        "lon": lon,
-                        "lat": lat,
+                        "band": np.repeat(
+                            np.arange(nb, dtype="int32"), n_px
+                        ),
+                        "x": np.tile(xs.ravel().astype("int32"), nb),
+                        "y": np.tile(ys.ravel().astype("int32"), nb),
+                        "lon": np.tile(lon, nb),
+                        "lat": np.tile(lat, nb),
                         "value": flat,
                     }
                 )

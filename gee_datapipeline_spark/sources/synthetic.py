@@ -173,3 +173,73 @@ def make_amenities(spark: SparkSession, n: int = 25, seed: int = 7) -> DataFrame
     from ..model import FEATURES_SCHEMA
 
     return spark.createDataFrame(amenities_rows(n, seed), FEATURES_SCHEMA)
+
+
+def roads_rows(
+    n_roads: int = 14, seed: int = 13
+) -> list[tuple[str, str, list[tuple[float, float]]]]:
+    """Synthetic road LineStrings inside the Delhi bbox — the geometry
+    class the real OSM exports were CENTROIDED away from (every
+    ``AminitiesGeoJSON/*.geojson`` feature carries
+    ``"@geometry": "center"``, i.e. way centers exported as Points;
+    motorway.geojson feature 0 shows the shape). These model the
+    pre-centroid ways so the point-to-LINE proximity operator (J2-line)
+    has true polylines to run against.
+
+    Returns ``(feature_id, road_class, vertices)`` with 4–16 vertices
+    per road, each a random-walk polyline. Pure function of its
+    parameters — the fixture writer materializes the SAME rows as a
+    GeoJSON FeatureCollection (Spark ingest path) and as an exploded
+    vertex parquet (DuckDB oracle path)."""
+    rng = np.random.default_rng(seed)
+    min_lon, min_lat, max_lon, max_lat = DELHI_BBOX
+    classes = ("motorway", "highway", "primary", "secondary")
+    roads = []
+    for i in range(n_roads):
+        n_verts = int(rng.integers(4, 17))
+        lon = float(rng.uniform(min_lon + 0.05, max_lon - 0.05))
+        lat = float(rng.uniform(min_lat + 0.05, max_lat - 0.05))
+        heading = float(rng.uniform(0, 2 * np.pi))
+        verts = [(lon, lat)]
+        for _ in range(n_verts - 1):
+            heading += float(rng.normal(0.0, 0.5))
+            step = float(rng.uniform(0.01, 0.05))
+            lon = min(max(lon + step * np.cos(heading), min_lon), max_lon)
+            lat = min(max(lat + step * np.sin(heading), min_lat), max_lat)
+            verts.append((float(lon), float(lat)))
+        roads.append((f"way/road{i}", classes[i % len(classes)], verts))
+    return roads
+
+
+def road_vertex_rows(
+    n_roads: int = 14, seed: int = 13
+) -> list[tuple[str, str, int, float, float]]:
+    """The same roads exploded to one row per vertex
+    ``(feature_id, road_class, seq, lon, lat)`` — the oracle-side twin
+    (segments reconstruct as ``seq`` joined to ``seq+1``)."""
+    return [
+        (fid, cls, seq, lon, lat)
+        for fid, cls, verts in roads_rows(n_roads, seed)
+        for seq, (lon, lat) in enumerate(verts)
+    ]
+
+
+def roads_geojson(n_roads: int = 14, seed: int = 13) -> str:
+    """The same roads serialized as a GeoJSON FeatureCollection (the
+    ingest-path twin — ``repr`` floats round-trip bit-exactly through
+    JSON, so both materializations carry identical doubles)."""
+    import json
+
+    feats = [
+        {
+            "type": "Feature",
+            "id": fid,
+            "properties": {"@id": fid, "highway": cls},
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [[lon, lat] for lon, lat in verts],
+            },
+        }
+        for fid, cls, verts in roads_rows(n_roads, seed)
+    ]
+    return json.dumps({"type": "FeatureCollection", "features": feats})

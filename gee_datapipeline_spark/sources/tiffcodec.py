@@ -52,6 +52,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTES = 279
+_TAG_PLANAR_CONFIG = 284  # 1 = chunky (interleaved), 2 = planar
 _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
@@ -273,17 +274,30 @@ def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, list]:
     return tags
 
 
-def _undo_predictor(seg: np.ndarray, predictor: int, dtype: np.dtype):
+def _undo_predictor(
+    seg: np.ndarray, predictor: int, dtype: np.dtype, spp: int = 1
+):
     """Invert TIFF predictor on one decoded segment (rows × width,
     native-order samples). Predictor 2 is horizontal differencing on
-    the integer sample ring (modular cumsum); predictor 3 (TechNote 3)
-    is byte-level differencing over big-endian byte planes — undone by
-    a uint8 cumsum, then de-interleaving the planes back into samples.
-    Predictors apply per row, so whole segments vectorize in one shot."""
+    the integer sample ring (modular cumsum) — with SamplesPerPixel > 1
+    the difference stride is ``spp`` (TIFF 6.0 §14: per-channel
+    differencing on chunky rows), i.e. a per-channel cumsum; predictor
+    3 (TechNote 3) is byte-level differencing over big-endian byte
+    planes — undone by a uint8 cumsum, then de-interleaving the planes
+    back into samples (the plane width is the full sample row, so it is
+    spp-agnostic). Predictors apply per row, so whole segments
+    vectorize in one shot."""
     if predictor == 2:
         if dtype.kind == "f":
             raise ValueError("predictor 2 is undefined for float samples")
         u = seg.view(np.dtype(f"u{dtype.itemsize}"))
+        if spp > 1:
+            ch = u.reshape(u.shape[0], -1, spp)
+            return (
+                np.cumsum(ch, axis=1, dtype=u.dtype)
+                .reshape(u.shape)
+                .view(seg.dtype)
+            )
         return np.cumsum(u, axis=1, dtype=u.dtype).view(seg.dtype)
     # predictor 3: seg arrives as raw uint8 rows × (width·itemsize)
     b = np.cumsum(seg, axis=1, dtype=np.uint8)
@@ -332,10 +346,23 @@ def decode_geotiff(data: bytes):
     if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
-    if spp != 1:
-        raise ValueError("codec reads single-band rasters only")
-    bits = tags.get(_TAG_BITS, [1])[0]
-    fmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
+    planar = tags.get(_TAG_PLANAR_CONFIG, [1])[0]
+    if spp > 1 and planar != 1:
+        raise ValueError(
+            f"PlanarConfiguration {planar} (planar band storage) not "
+            "supported; multi-band rasters must be chunky (1) — "
+            "samples interleaved per pixel, the layout GDAL writes by "
+            "default"
+        )
+    bits_all = tags.get(_TAG_BITS, [1])
+    fmt_all = tags.get(_TAG_SAMPLE_FORMAT, [1])
+    if len(set(bits_all)) != 1 or len(set(fmt_all)) != 1:
+        raise ValueError(
+            "mixed per-band sample types not supported "
+            f"(bits={bits_all}, formats={fmt_all})"
+        )
+    bits = bits_all[0]
+    fmt = fmt_all[0]
     kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
     if kind is None or bits not in (8, 16, 32, 64) or (
         kind == "f" and bits < 32
@@ -345,8 +372,10 @@ def decode_geotiff(data: bytes):
     native = dtype.newbyteorder("=")
     itemsize = dtype.itemsize
 
-    def segment(off: int, cnt: int, rows: int, width: int) -> np.ndarray:
-        """One strip/tile → rows × width native-order sample array."""
+    def segment(off: int, cnt: int, rows: int, width_px: int) -> np.ndarray:
+        """One strip/tile → rows × (width_px·spp) native-order sample
+        array (chunky layout: the samples of one pixel are adjacent)."""
+        width = width_px * spp
         raw = data[off : off + cnt]
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
@@ -365,7 +394,7 @@ def decode_geotiff(data: bytes):
             .reshape(rows, width)
             .astype(native)
         )
-        return _undo_predictor(a, 2, native) if predictor == 2 else a
+        return _undo_predictor(a, 2, native, spp) if predictor == 2 else a
 
     if _TAG_TILE_OFFSETS in tags:
         tw = tags[_TAG_TILE_WIDTH][0]
@@ -373,13 +402,14 @@ def decode_geotiff(data: bytes):
         across = -(-w // tw)
         offsets = tags[_TAG_TILE_OFFSETS]
         counts = tags[_TAG_TILE_BYTES]
-        full = np.zeros((-(-h // tl) * tl, across * tw), dtype=native)
+        full = np.zeros((-(-h // tl) * tl, across * tw * spp), dtype=native)
         for idx, (o, c) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(idx, across)
-            full[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = (
-                segment(o, c, tl, tw)
-            )
-        vals = full[:h, :w].astype(np.float64)
+            full[
+                ty * tl : (ty + 1) * tl,
+                tx * tw * spp : (tx + 1) * tw * spp,
+            ] = segment(o, c, tl, tw)
+        vals = full[:h, : w * spp].astype(np.float64)
     else:
         offsets = tags[_TAG_STRIP_OFFSETS]
         counts = tags[_TAG_STRIP_BYTES]
@@ -413,6 +443,14 @@ def decode_geotiff(data: bytes):
         raise ValueError("anisotropic pixels not supported (sx != sy)")
     crs = _parse_geokeys(tags.get(_TAG_GEO_KEYS, []))
     # TIFF rows are top-down; our contract is row 0 = south
+    if spp > 1:
+        # chunky rows de-interleave to (bands, h, w); single-band keeps
+        # the historical 2-D contract so existing decoders/callers are
+        # untouched
+        cube = np.ascontiguousarray(
+            vals.reshape(h, w, spp)[::-1].transpose(2, 0, 1)
+        )
+        return cube, min_lon, min_lat, sx, crs
     return vals[::-1].copy(), min_lon, min_lat, sx, crs
 
 
@@ -447,21 +485,34 @@ def encode_geotiff(
     if dtype not in ("f4", "f8"):
         raise ValueError(f"unsupported dtype={dtype!r} (f4 or f8)")
     vals = np.asarray(values, dtype=f"<{dtype}")
-    if vals.ndim != 2:
-        raise ValueError("encode_geotiff wants a 2-D array")
-    h, w = vals.shape
-    top_down = vals[::-1]
+    if vals.ndim == 2:
+        spp = 1
+        h, w = vals.shape
+        top_down = vals[::-1]
+    elif vals.ndim == 3:
+        # (bands, h, w) → chunky interleave (PlanarConfiguration 1):
+        # the multi-band shape geemap's file_per_band=False exports
+        # take (DataDownloader_V1.py:149 option surface)
+        spp, h, w = vals.shape
+        top_down = np.ascontiguousarray(
+            vals.transpose(1, 2, 0)[::-1].reshape(h, w * spp)
+        )
+    else:
+        raise ValueError(
+            "encode_geotiff wants a 2-D (h, w) or 3-D (bands, h, w) array"
+        )
     if nodata is not None:
         # A nodata outside the target dtype's range (doubles like
         # -1e300 appear as GDAL sentinels) would silently promote the
         # strip payload to float64 under NumPy value-based promotion
         # while the BitsPerSample tag still says 32 — corrupt file.
         # Validate, then pin the dtype after substitution.
-        if not np.isfinite(np.asarray(nodata, dtype=f"<{dtype}")):
-            if np.isfinite(nodata):
-                raise ValueError(
-                    f"nodata={nodata!r} is not representable in {dtype}"
-                )
+        with np.errstate(over="ignore"):
+            cast_nd = np.asarray(nodata, dtype=f"<{dtype}")
+        if not np.isfinite(cast_nd) and np.isfinite(nodata):
+            raise ValueError(
+                f"nodata={nodata!r} is not representable in {dtype}"
+            )
         top_down = np.where(np.isnan(top_down), nodata, top_down).astype(
             vals.dtype, copy=False
         )
@@ -488,10 +539,12 @@ def encode_geotiff(
     if tile is not None:
         pad = np.float64("nan") if nodata is None else float(nodata)
         down, across = -(-h // tile), -(-w // tile)
+        # tile columns are sliced in SAMPLE units (tile·spp) so chunky
+        # multi-band pixels never split across tiles
         padded = np.full(
-            (down * tile, across * tile), pad, dtype=f"<{dtype}"
+            (down * tile, across * tile * spp), pad, dtype=f"<{dtype}"
         )
-        padded[:h, :w] = top_down
+        padded[:h, : w * spp] = top_down
         for ty in range(down):
             for tx in range(across):
                 segments.append(
@@ -499,7 +552,7 @@ def encode_geotiff(
                         np.ascontiguousarray(
                             padded[
                                 ty * tile : (ty + 1) * tile,
-                                tx * tile : (tx + 1) * tile,
+                                tx * tile * spp : (tx + 1) * tile * spp,
                             ]
                         )
                     )
@@ -526,14 +579,26 @@ def encode_geotiff(
             cs_key[0], 0, 1, epsg,
         ]
     geo_s = struct.pack(f"<{len(geokeys)}H", *geokeys)
+    # Per-band SHORT arrays (BitsPerSample / SampleFormat must carry
+    # spp entries, TIFF 6.0 §6): 1–2 shorts pack inline in the 4-byte
+    # value slot; 3+ go to an external block.
+    bits_vals = [vals.dtype.itemsize * 8] * spp
+    fmt_vals = [3] * spp  # IEEE float
+    extra_s = b""
+    if 2 * spp > 4:
+        extra_s = struct.pack(f"<{spp}H", *bits_vals) + struct.pack(
+            f"<{spp}H", *fmt_vals
+        )
     # layout: header(8) | pixel data | doubles block | nodata ascii |
-    #         geokey shorts | segment offset/count arrays | IFD
+    #         geokey shorts | per-band shorts | segment offset/count
+    #         arrays | IFD
     data_off = 8
     scale_off = data_off + len(data)
     tie_off = scale_off + 3 * 8
     nodata_off = tie_off + 6 * 8
     geo_off = nodata_off + len(nodata_s)
-    seg_arr_off = geo_off + len(geo_s)
+    extra_off = geo_off + len(geo_s)
+    seg_arr_off = extra_off + len(extra_s)
 
     nseg = len(segments)
     seg_offsets: list[int] = []
@@ -556,18 +621,26 @@ def encode_geotiff(
         ) + struct.pack(f"<{nseg}I", *seg_counts)
         ifd_off = seg_arr_off + len(seg_arrays)
 
+    if 2 * spp > 4:
+        bits_entry = (_TAG_BITS, 3, spp, extra_off)
+        fmt_entry = (_TAG_SAMPLE_FORMAT, 3, spp, extra_off + 2 * spp)
+    else:
+        bits_entry = (_TAG_BITS, 3, spp, bits_vals)
+        fmt_entry = (_TAG_SAMPLE_FORMAT, 3, spp, fmt_vals)
     entries = [
         (_TAG_WIDTH, 4, 1, w),
         (_TAG_HEIGHT, 4, 1, h),
-        (_TAG_BITS, 3, 1, vals.dtype.itemsize * 8),
+        bits_entry,
         (_TAG_COMPRESSION, 3, 1, comp_id),
         (262, 3, 1, 1),  # photometric: BlackIsZero
-        (_TAG_SAMPLES_PER_PIXEL, 3, 1, 1),
-        (_TAG_SAMPLE_FORMAT, 3, 1, 3),  # IEEE float
+        (_TAG_SAMPLES_PER_PIXEL, 3, 1, spp),
+        fmt_entry,
         (_TAG_MODEL_PIXEL_SCALE, 12, 3, scale_off),
         (_TAG_MODEL_TIEPOINT, 12, 6, tie_off),
         (_TAG_GDAL_NODATA, 2, len(nodata_s), nodata_off),
     ]
+    if spp > 1:
+        entries.append((_TAG_PLANAR_CONFIG, 3, 1, 1))  # chunky
     if tile is not None:
         entries += [
             (_TAG_TILE_WIDTH, 4, 1, tile),
@@ -587,8 +660,12 @@ def encode_geotiff(
     for tag, ftype, count, value in sorted(entries):
         size = _TYPE_SIZE[ftype] * count
         if size <= 4:
+            seq = value if isinstance(value, (list, tuple)) else [value]
             inline = (
-                struct.pack("<" + _TYPE_FMT[ftype], value) + b"\x00" * 4
+                b"".join(
+                    struct.pack("<" + _TYPE_FMT[ftype], v) for v in seq
+                )
+                + b"\x00" * 4
             )[:4]
         else:
             inline = struct.pack("<I", value)
@@ -602,6 +679,7 @@ def encode_geotiff(
         + struct.pack("<6d", 0.0, 0.0, 0.0, min_lon, max_lat, 0.0)
         + nodata_s
         + geo_s
+        + extra_s
         + seg_arrays
         + ifd
     )

@@ -191,6 +191,24 @@ def test_geotiff_numeric_nodata():
     assert np.isnan(out[0, 1]) and out[1, 1] == 4.0
 
 
+def test_geotiff_f4_nodata_stays_f4():
+    """An f4 strip payload must stay 4 bytes/sample after nodata
+    substitution (NumPy value promotion must not widen it to f8 behind
+    a 32-bit BitsPerSample tag), and an unrepresentable double sentinel
+    must be rejected, not silently overflowed to inf."""
+    from gee_datapipeline_spark.sources.tiffcodec import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    vals = np.array([[1.0, np.nan], [3.0, 4.0]])
+    payload = encode_geotiff(vals, 0.0, 0.0, 1.0, dtype="f4", nodata=-9999.0)
+    out, *_ = decode_geotiff(payload)
+    assert out.shape == (2, 2) and np.isnan(out[0, 1]) and out[1, 1] == 4.0
+    with pytest.raises(ValueError, match="not representable"):
+        encode_geotiff(vals, 0.0, 0.0, 1.0, dtype="f4", nodata=-1e300)
+
+
 def test_geotiff_deflate_and_tiled_roundtrip():
     """DEFLATE strips, uncompressed tiles, and deflate tiles all
     roundtrip bit-exactly, including NaN cells and non-tile-aligned
@@ -229,10 +247,11 @@ _TIFF_TYPE = {3: ("H", 2), 4: ("I", 4), 12: ("d", 8)}
 
 
 def _build_tiff(seg: bytes, w: int, h: int, bits: int, fmt: int,
-                comp: int, predictor: int) -> bytes:
+                comp: int, predictor: int, spp: int = 1,
+                planar: int = 1) -> bytes:
     """Minimal hand-built single-strip little-endian TIFF — the decode
-    targets my encoder never writes (predictors, odd sample formats),
-    so predictor tests can't go through encode_geotiff."""
+    targets my encoder never writes (predictors, odd sample formats,
+    planar configs), so those tests can't go through encode_geotiff."""
     data_off = 8
     scale_off = data_off + len(seg)
     tie_off = scale_off + 24
@@ -240,8 +259,9 @@ def _build_tiff(seg: bytes, w: int, h: int, bits: int, fmt: int,
     entries = [
         (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, bits),
         (259, 3, 1, comp), (262, 3, 1, 1),
-        (273, 4, 1, data_off), (277, 3, 1, 1), (278, 4, 1, h),
-        (279, 4, 1, len(seg)), (317, 3, 1, predictor), (339, 3, 1, fmt),
+        (273, 4, 1, data_off), (277, 3, 1, spp), (278, 4, 1, h),
+        (279, 4, 1, len(seg)), (284, 3, 1, planar),
+        (317, 3, 1, predictor), (339, 3, 1, fmt),
         (33550, 12, 3, scale_off), (33922, 12, 6, tie_off),
     ]
     ifd = struct.pack("<H", len(entries))
@@ -740,6 +760,7 @@ def test_geotiff_roundtrip_fuzz():
     @given(
         h=st.integers(1, 40),
         w=st.integers(1, 40),
+        nb=st.sampled_from([1, 2, 3, 5]),
         seed=st.integers(0, 2**31 - 1),
         nan_frac=st.sampled_from([0.0, 0.1, 0.9]),
         nodata=st.sampled_from([None, -9999.0]),
@@ -748,17 +769,21 @@ def test_geotiff_roundtrip_fuzz():
         dtype=st.sampled_from(["f8", "f4"]),
         epsg=st.sampled_from([None, 4326, 32643]),
     )
-    def _case(h, w, seed, nan_frac, nodata, tile, compress, epsg, dtype):
+    def _case(h, w, nb, seed, nan_frac, nodata, tile, compress, epsg,
+              dtype):
         rng = np.random.default_rng(seed)
-        vals = rng.uniform(-1e6, 1e6, size=(h, w))
-        vals[rng.random((h, w)) < nan_frac] = np.nan
+        # nb=1 goes through the legacy 2-D path; nb>1 through the
+        # SamplesPerPixel>1 chunky interleave (both encode and decode)
+        shape = (h, w) if nb == 1 else (nb, h, w)
+        vals = rng.uniform(-1e6, 1e6, size=shape)
+        vals[rng.random(shape) < nan_frac] = np.nan
         blob = encode_geotiff(
             vals, 76.85, 28.2, 0.009,
             nodata=nodata, epsg=epsg, compress=compress, tile=tile,
             dtype=dtype,
         )
         got, min_x, min_y, cell, crs = decode_geotiff(blob)
-        assert got.shape == (h, w)
+        assert got.shape == shape
         if dtype == "f4":
             vals = vals.astype("<f4").astype(np.float64)
         # bit-exact incl. NaN placement
@@ -874,6 +899,42 @@ def test_geotiff_lzw_predictor2_decode():
     tif = _build_tiff(_lzw_encode(diff.tobytes()), 5, 8, 16, 2, 5, 2)
     out, *_ = decode_geotiff(tif)
     assert np.array_equal(out[::-1], vals.astype(np.float64))
+
+
+def test_geotiff_predictor2_multiband_decode():
+    """PREDICTOR=2 with SamplesPerPixel=2 — TIFF 6.0 §14 differencing
+    strides by the sample count on chunky rows (sample[i] minus
+    sample[i-spp], per channel), so an interleaved cumsum would corrupt
+    every band. Hand-differenced encode, exact decode."""
+    from gee_datapipeline_spark.sources.tiffcodec import decode_geotiff
+
+    rng = np.random.default_rng(9)
+    h, w, spp = 4, 6, 2
+    cube = rng.integers(-900, 900, size=(spp, h, w)).astype("<i4")
+    inter = (
+        np.ascontiguousarray(cube.transpose(1, 2, 0)).reshape(h, w * spp)
+    )
+    diff = inter.copy()
+    diff[:, spp:] = (
+        inter.view("<u4")[:, spp:] - inter.view("<u4")[:, :-spp]
+    ).view("<i4")
+    tif = _build_tiff(
+        zlib.compress(diff.tobytes()), w, h, 32, 2, 8, 2, spp=spp
+    )
+    out, *_ = decode_geotiff(tif)
+    assert out.shape == (spp, h, w)
+    assert np.array_equal(out[:, ::-1, :], cube.astype(np.float64))
+
+
+def test_geotiff_planar_config_2_rejected():
+    """PlanarConfiguration 2 (per-band planes) must fail loudly, not
+    silently mis-interleave."""
+    from gee_datapipeline_spark.sources.tiffcodec import decode_geotiff
+
+    seg = np.zeros((2, 3 * 2), dtype="<f8").tobytes()
+    tif = _build_tiff(seg, 3, 2, 64, 3, 1, 1, spp=2, planar=2)
+    with pytest.raises(ValueError, match="PlanarConfiguration 2"):
+        decode_geotiff(tif)
 
 
 def test_packbits_tn1023_vector():

@@ -396,3 +396,138 @@ def test_rect_union_area_matches_cell_count(spark):
     row = rect_union_area(df).collect()[0]
     assert row.n_rects == 25
     assert row.union_area == float(len(covered))
+
+
+# ---------------------------------------------------------------------------
+# J2-line: point-to-segment proximity over road LineStrings
+
+
+@pytest.fixture(scope="module")
+def road_segments(spark):
+    from gee_datapipeline_spark.functions.geo import (
+        line_segments,
+        line_vertices,
+    )
+    from gee_datapipeline_spark.sources.fixtures import (
+        FIXTURES_DIR,
+        ensure_geo_fixtures,
+    )
+    from gee_datapipeline_spark.sources.geojson import read_geojson
+
+    ensure_geo_fixtures()
+    roads = read_geojson(
+        spark, str(FIXTURES_DIR / "roads.geojson"), source="roads"
+    )
+    return line_segments(line_vertices(roads)).cache()
+
+
+def test_line_vertices_roundtrip(spark, road_segments):
+    """Vertex explode recovers every coordinate of every LineString
+    bit-exactly (repr floats survive the JSON round trip)."""
+    from gee_datapipeline_spark.sources.fixtures import ROAD_PARAMS
+    from gee_datapipeline_spark.sources.synthetic import roads_rows
+
+    want_segs = sum(len(v) - 1 for _, _, v in roads_rows(**ROAD_PARAMS))
+    rows = road_segments.collect()
+    assert len(rows) == want_segs
+    by_road = {}
+    for r in rows:
+        by_road.setdefault(r.feature_id, []).append(r)
+    for fid, cls, verts in roads_rows(**ROAD_PARAMS):
+        got = sorted(by_road[fid], key=lambda r: r.seq)
+        assert [(g.lon1, g.lat1) for g in got] == verts[:-1]
+        assert (got[-1].lon2, got[-1].lat2) == verts[-1]
+
+
+def test_point_to_segment_distance_geometry(spark):
+    """Closed-form checks of the planar distance: endpoint hit,
+    perpendicular foot inside the segment, clamped beyond an end."""
+    from gee_datapipeline_spark.functions.geo import (
+        KM_PER_DEG,
+        point_to_segment_km,
+    )
+
+    # Segment along the equator from (0,0) to (1,0): ky=kx (cos 0 = 1).
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0),    # on the start vertex -> 0
+            (0.5, 0.5),    # foot at (0.5, 0) -> 0.5 deg of lat
+            (2.0, 0.0),    # beyond the end -> clamp to (1,0), 1 deg
+        ],
+        ["plon", "plat"],
+    )
+    d = df.select(
+        point_to_segment_km(
+            F.col("plon"), F.col("plat"),
+            F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0),
+        ).alias("d")
+    ).collect()
+    assert d[0].d == pytest.approx(0.0, abs=1e-12)
+    assert d[1].d == pytest.approx(0.5 * KM_PER_DEG, rel=1e-12)
+    assert d[2].d == pytest.approx(1.0 * KM_PER_DEG, rel=1e-12)
+
+
+def test_proximity_join_lines_matches_bruteforce(spark, pixels, road_segments):
+    """J2-line — the covering-cell-range bucketing returns exactly the
+    brute-force pairs AND the identical min distance per pair."""
+    from gee_datapipeline_spark.functions.geo import (
+        point_to_segment_km,
+        proximity_join_lines,
+    )
+
+    px = pixels.filter(
+        (F.col("dataset") == "no2") & F.col("value").isNotNull()
+    ).select("x", "y", "lon", "lat").distinct()
+    radius = 5.0
+
+    fast = proximity_join_lines(px, road_segments, radius)
+    fast_pairs = {
+        (r.x, r.y, r.pt_feature_id): r.distance_km for r in fast.collect()
+    }
+
+    seg = road_segments.select(
+        F.col("feature_id").alias("fid"),
+        F.col("lon1").alias("slon1"), F.col("lat1").alias("slat1"),
+        F.col("lon2").alias("slon2"), F.col("lat2").alias("slat2"),
+    )
+    brute = (
+        px.crossJoin(seg)
+        .withColumn(
+            "d",
+            point_to_segment_km(
+                F.col("lon"), F.col("lat"),
+                F.col("slon1"), F.col("slat1"),
+                F.col("slon2"), F.col("slat2"),
+            ),
+        )
+        .groupBy("x", "y", "fid")
+        .agg(F.min("d").alias("d"))
+        .filter(F.col("d") <= radius)
+    )
+    brute_pairs = {(r.x, r.y, r.fid): r.d for r in brute.collect()}
+    assert fast_pairs.keys() == brute_pairs.keys()
+    assert len(fast_pairs) > 0
+    for k, d in brute_pairs.items():
+        assert fast_pairs[k] == d, k
+
+
+def test_parse_rings_drops_z_coordinate(spark):
+    """GAUL-style [lon, lat, z] positions must clip identically to
+    their 2-D twins (the z column is sliced off before ray casting)."""
+    geom2d = {
+        "type": "Polygon",
+        "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]],
+    }
+    geom3d = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0, 7.5], [4, 0, 7.5], [4, 4, 7.5], [0, 4, 7.5], [0, 0, 7.5]]
+        ],
+    }
+    pts = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 5.0, 5.0), (3, 0.5, 3.5)],
+        ["id", "lon", "lat"],
+    )
+    got2d = {r.id for r in clip_to_polygon(pts, geom2d).collect()}
+    got3d = {r.id for r in clip_to_polygon(pts, geom3d).collect()}
+    assert got2d == got3d == {1, 3}
