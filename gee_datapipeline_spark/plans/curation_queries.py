@@ -349,6 +349,106 @@ register(
 
 # ------------------------------------- BPE vocabulary induction
 
+# Pinned merge tables for the driver-shipped corpora, keyed by a corpus
+# signature (doc count ×1e6 + total text length — distinguishes the
+# three sf corpora, incl. sf0.001 vs sf0.01 which tie on count). The
+# values were computed by the INDEPENDENT pure-Python reference
+# implementation (tests/test_bpe.py::ref_learn_bpe) reading the parquet
+# through DuckDB — no Spark in the loop — and only then confirmed equal
+# to learn_bpe's output, so the oracle is a true differential, not an
+# echo. On any other corpus the signature matches nothing and the gate
+# fails loudly (0 oracle rows vs 10).
+_BPE_PINNED: dict[int, list[tuple[str, str, int]]] = {
+    500153156: [  # sf0.001
+        ("e", "r", 4650), ("o", "r", 2880), ("i", "n", 2858),
+        ("o", "w", 2763), ("s", "t", 2721), ("l", "u", 1928),
+        ("a", "r", 1873), ("p", "ar", 1873), ("m", "er", 1824),
+        ("a", "t", 1806),
+    ],
+    500149174: [  # sf0.01 (the driver's gate scale)
+        ("e", "r", 4568), ("i", "n", 2760), ("o", "w", 2747),
+        ("o", "r", 2696), ("s", "t", 2676), ("m", "er", 1852),
+        ("a", "t", 1845), ("l", "u", 1831), ("a", "r", 1758),
+        ("p", "ar", 1758),
+    ],
+    5001485576: [  # sf0.1 (bench / 10x parity scale)
+        ("e", "r", 45089), ("i", "n", 27190), ("o", "r", 27095),
+        ("s", "t", 27060), ("o", "w", 27044), ("t", "a", 18248),
+        ("l", "u", 18239), ("m", "er", 18174), ("a", "r", 18111),
+        ("p", "ar", 18111),
+    ],
+}
+
+_BPE_SIG = "SELECT count(*) * 1000000 + sum(length(text)) FROM documents"
+
+
+def _bpe_merges_oracle() -> str:
+    rows = [
+        f"({sig}, {i + 1}, '{lft}', '{rgt}', '{lft + rgt}', {cnt})"
+        for sig, merges in _BPE_PINNED.items()
+        for i, (lft, rgt, cnt) in enumerate(merges)
+    ]
+    values = ",\n                ".join(rows)
+    return f"""
+        WITH pinned(corpus_sig, rank, "left", "right", merged,
+                    pair_count) AS (
+            VALUES {values}
+        )
+        SELECT rank, "left", "right", merged,
+               CAST(pair_count AS BIGINT) AS pair_count
+        FROM pinned WHERE corpus_sig = ({_BPE_SIG})
+    """
+
+
+def _bpe_replay_sql(merges: list[tuple[str, str, int]]) -> str:
+    """Exact SQL replay of apply_bpe's greedy left-to-right merge
+    passes: each symbol is individually wrapped as ``|sym|`` (adjacent
+    pairs share NO characters, so DuckDB's leftmost-non-overlapping
+    ``replace`` consumes nothing a later match needs — unlike a
+    single-delimiter encoding), and each pinned merge is one replace of
+    ``|l||r|`` with ``|lr|``, applied in merge order. This mirrors
+    ``functions.bpe.merge_pair``'s fold token for token."""
+    expr = r"regexp_replace(word, '(.)', '|\1|', 'g')"
+    for lft, rgt, _ in merges:
+        expr = f"replace({expr}, '|{lft}||{rgt}|', '|{lft}{rgt}|')"
+    return expr
+
+
+def _bpe_encode_oracle() -> str:
+    case = (
+        f"CASE ({_BPE_SIG}) "
+        + " ".join(
+            f"WHEN {sig} THEN {_bpe_replay_sql(m)}"
+            for sig, m in _BPE_PINNED.items()
+        )
+        + " END"
+    )
+    return f"""
+        WITH occ AS (
+            SELECT doc_id, w AS word
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)),
+                                                 '\\s+')) AS w
+                FROM documents
+            ) WHERE length(w) > 0
+        ),
+        enc AS (
+            SELECT word,
+                   (length(replayed)
+                    - length(replace(replayed, '|', ''))) // 2
+                       AS n_pieces_word
+            FROM (
+                SELECT word, {case} AS replayed
+                FROM (SELECT DISTINCT word FROM occ)
+            )
+        )
+        SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(e.n_pieces_word) AS BIGINT) AS n_pieces
+        FROM occ o JOIN enc e USING (word)
+        GROUP BY o.doc_id
+    """
+
 
 def _bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer training on the corpus: learn the first 10 BPE merges
@@ -380,7 +480,10 @@ register(
     Query(
         name="bpe_vocab_merges",
         spark=_bpe_vocab_merges,
-        oracle=None,  # iterative greedy merges: reference-pinned in tests
+        # r8: pinned literal table keyed by corpus signature (values
+        # from the independent pure-Python reference) — the greedy
+        # fold itself stays non-SQL, its RESULT is now hash-gated
+        oracle=_bpe_merges_oracle(),
         tags=("bpe", "iterative", "llm-pipeline"),
     )
 )
@@ -420,7 +523,9 @@ register(
     Query(
         name="bpe_encode_pieces",
         spark=_bpe_encode_pieces,
-        oracle=None,  # merge replay is not SQL-expressible; see test_bpe
+        # r8: exact SQL replay of the pinned merges (double-delimited
+        # symbol encoding makes replace() reproduce the greedy pass)
+        oracle=_bpe_encode_oracle(),
         tags=("bpe", "iterative", "llm-pipeline"),
     )
 )
