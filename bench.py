@@ -210,6 +210,9 @@ HEADLINE = [
     "geo_proximity_roads",
     "geo_proximity_roads_real",
     "raster_ingest_multiband_tif",
+    # NRT road proximity: 3 micro-batches (one a replay) through the
+    # stream-static broadcast join + complete-mode max/min
+    "streaming_road_enrich",
 ]
 
 

@@ -265,7 +265,7 @@ def sql_point_to_segment_km(
     return f"sqrt({cx} * {cx} + {cy} * {cy})"
 
 
-def proximity_join_lines(
+def line_proximity_pairs(
     pixels: DataFrame,
     segments: DataFrame,
     radius_km: float,
@@ -273,31 +273,33 @@ def proximity_join_lines(
     pixel_lat: str = "lat",
     broadcast_segments: bool = True,
     lat_cap_deg: float = 66.0,
-    distance_round: int | None = None,
 ) -> DataFrame:
-    """J2-line — pixels within ``radius_km`` of any polyline segment
-    (point-to-LINE proximity; the road-corridor form of the advocacy
-    question, README.md:2 'fires near roads').
+    """Pair-level (pixel, segment) candidates of the point-to-line
+    proximity join: pixel columns + ``pt_feature_id`` +
+    ``distance_km`` (raw planar point-to-segment km), one row per
+    co-located segment — a pixel near k segments of the same feature
+    yields k rows. Candidate-complete within ``radius_km`` (the cell
+    bucketing below never drops a pair at that distance) but NOT
+    radius-filtered or per-feature deduplicated; consumers either
+    collapse pairs (``proximity_join_lines``) or must be
+    duplicate-tolerant (max/min aggregates — the streaming enrich).
 
-    Grid-bucketed like :func:`proximity_join`, generalized from a 3x3
-    point neighborhood to the COVERING CELL RANGE of each segment's
-    bbox plus a 1-cell halo: with cells sized >= radius per axis, any
-    pixel within the radius of some point of the segment shares a cell
-    with that range, so the exact distance test only runs on co-located
+    Bucketing: cells sized >= radius per axis; segments explode to the
+    COVERING CELL RANGE of their bbox plus a 1-cell halo, so any pixel
+    within the radius of some point of the segment shares a cell with
+    that range and the exact distance only evaluates on co-located
     pairs — never a cross join. A segment explodes to
     O(len_deg/cell + 2)^2 cells (city-scale roads: a handful); pixels
-    hash to exactly one cell.
-
-    Output: pixel columns + ``pt_feature_id`` + ``distance_km`` — the
-    MINIMUM distance over all of that feature's segments, one row per
-    (pixel, feature) pair within radius (multi-cell and multi-segment
-    duplicates collapse in the min-aggregate).
+    hash to exactly one cell, so a given (pixel, segment) pair joins
+    AT MOST ONCE (the exploded cells of one segment are distinct).
 
     Scale: the exploded segment side stays dimension-sized for road
     networks (|segments| x ~9 cells) and broadcasts; the pixel/fact
     side shuffles ZERO times (map-side hash probe). With
     ``broadcast_segments=False`` both sides shuffle on the cell id —
-    the fallback when the road network itself is fact-sized."""
+    the fallback when the road network itself is fact-sized. The join
+    is STATELESS, which is what makes it legal on an unbounded stream
+    (stream-static broadcast enrich)."""
     cell_lat_deg = max(radius_km / 111.32, 1e-4)
     cell_lon_deg = max(
         radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
@@ -340,12 +342,39 @@ def proximity_join_lines(
     dist = point_to_segment_km(
         F.col(pixel_lon), F.col(pixel_lat), lo1, la1, lo2, la2
     )
-    pair_cols = [c for c in pixels.columns] + ["pt_feature_id"]
-    joined = (
+    return (
         px.join(seg, on="__cell", how="inner")
-        .withColumn("__d", dist)
-        .groupBy(*pair_cols)
-        .agg(F.min("__d").alias("distance_km"))
+        .withColumn("distance_km", dist)
+        .select(*pixels.columns, "pt_feature_id", "distance_km")
+    )
+
+
+def proximity_join_lines(
+    pixels: DataFrame,
+    segments: DataFrame,
+    radius_km: float,
+    pixel_lon: str = "lon",
+    pixel_lat: str = "lat",
+    broadcast_segments: bool = True,
+    lat_cap_deg: float = 66.0,
+    distance_round: int | None = None,
+) -> DataFrame:
+    """J2-line — pixels within ``radius_km`` of any polyline segment
+    (point-to-LINE proximity; the road-corridor form of the advocacy
+    question, README.md:2 'fires near roads').
+
+    Output: pixel columns + ``pt_feature_id`` + ``distance_km`` — the
+    MINIMUM distance over all of that feature's segments, one row per
+    (pixel, feature) pair within radius (multi-segment duplicates from
+    :func:`line_proximity_pairs` collapse in the min-aggregate, with
+    map-side partial min before the single pair-keyed shuffle)."""
+    pairs = line_proximity_pairs(
+        pixels, segments, radius_km,
+        pixel_lon=pixel_lon, pixel_lat=pixel_lat,
+        broadcast_segments=broadcast_segments, lat_cap_deg=lat_cap_deg,
+    )
+    joined = pairs.groupBy(*pixels.columns, "pt_feature_id").agg(
+        F.min("distance_km").alias("distance_km")
     )
     if distance_round is not None:
         joined = joined.withColumn(

@@ -1184,3 +1184,110 @@ register(
         tags=("geo", "J2", "real-data"),
     )
 )
+
+
+def _streaming_road_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-to-LINE proximity with a FULL replay-vs-batch
+    oracle (the streaming_dedup pattern): the pixel fixture arrives as
+    THREE micro-batches — month 1, month 2, then month 1 AGAIN (an
+    at-least-once redelivery) — through the stream-static broadcast
+    road join and a complete-mode max/min aggregate. Because max and
+    min are idempotent under replay, the final table must equal the
+    plain batch answer over the two months, which IS SQL-expressible:
+    the oracle brute-force cross-joins the vertex-twin segments in
+    DuckDB. Equality simultaneously gates the streaming plumbing, the
+    replay tolerance, and the cell bucketing (no dropped border
+    pairs)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.jobs import (
+        enrich_stream_roads,
+        run_to_memory,
+        stream_from_dir,
+    )
+
+    px = _pixels(spark).filter(F.col("value").isNotNull()).select(
+        "dataset", F.month("date").alias("m"), "lon", "lat", "value"
+    )
+    roads = read_geojson(spark, _ROADS_GEOJSON, source="roads")
+    segs = line_segments(line_vertices(roads))
+    # The streaming analyzer rejects monotonically_increasing_id()
+    # anywhere in the plan (the GeoJSON reader's feature-id fallback
+    # carries one), so the dimension-sized segment table (|segments|
+    # rows, §0) is materialized once — exactly what a production job
+    # would do with its broadcast dimension anyway.
+    segs = spark.createDataFrame(segs.collect(), segs.schema)
+    root = tempfile.mkdtemp(prefix="gee_stream_roads_gate_")
+    try:
+        src = os.path.join(root, "src")
+        os.makedirs(src)
+        months = [r["m"] for r in px.select("m").distinct().collect()]
+        batches = sorted(months) + [min(months)]  # replay month 1
+        for i, m in enumerate(batches):
+            px.filter(F.col("m") == m).drop("m").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"b{i}"))
+        schema = T._parse_datatype_string(
+            "dataset string, lon double, lat double, value double"
+        )
+        name = f"gate_roads_{abs(hash(root)) % 10**9}"
+        q = run_to_memory(
+            enrich_stream_roads(
+                stream_from_dir(spark, src + "/*", schema), segs, 5.0
+            ),
+            name,
+            os.path.join(root, "ckpt"),
+            output_mode="complete",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.table(name).collect()
+        return spark.createDataFrame(rows, spark.table(name).schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="streaming_road_enrich",
+        spark=_streaming_road_enrich,
+        oracle=f"""
+            WITH v AS (
+                SELECT feature_id, seq, lon, lat
+                FROM read_parquet('{_ROADV}')
+            ),
+            seg AS (
+                SELECT a.feature_id,
+                       a.lon AS lon1, a.lat AS lat1,
+                       b.lon AS lon2, b.lat AS lat2
+                FROM v a JOIN v b
+                  ON a.feature_id = b.feature_id AND b.seq = a.seq + 1
+            ),
+            px AS (
+                SELECT dataset, lon, lat, value
+                FROM read_parquet('{_PX}') WHERE value IS NOT NULL
+            ),
+            pairs AS (
+                SELECT px.dataset, px.value,
+                       seg.feature_id AS pt_feature_id,
+                       round({sql_point_to_segment_km(
+                           'px.lon', 'px.lat',
+                           'seg.lon1', 'seg.lat1',
+                           'seg.lon2', 'seg.lat2')}, 6) AS d6
+                FROM px CROSS JOIN seg
+            )
+            SELECT pt_feature_id, dataset,
+                   max(value) AS max_value_5km,
+                   min(d6) AS min_distance_km
+            FROM pairs WHERE d6 <= 5.0
+            GROUP BY pt_feature_id, dataset
+        """,
+        tags=("geo", "J2", "lines", "streaming"),
+    )
+)

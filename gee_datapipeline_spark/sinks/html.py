@@ -83,6 +83,30 @@ _WRAPPER_TEMPLATE = """<!DOCTYPE html>
 """
 
 
+def render_wrapper_from_spine(
+    title: str,
+    spine,
+    frame_pattern: str,
+    date_col: str = "date",
+) -> str:
+    """S10 directly from the A9 date-spine RELATION: ``spine`` is a
+    DataFrame (e.g. ``operators.calendar.date_spine_from``'s output or
+    the observed side of ``date_spine_gaps``) and the slider's date
+    list is provably that query's result — not a caller-assembled
+    Python list that can drift from it. The collect is bounded by the
+    calendar (days in range), the same dimension-sized-collect contract
+    as the other presentation sinks."""
+    from pyspark.sql import functions as F
+
+    dates = [
+        r["d"]
+        for r in spine.select(
+            F.col(date_col).cast("string").alias("d")
+        ).distinct().collect()
+    ]
+    return render_wrapper(title, dates, frame_pattern)
+
+
 def render_wrapper(title: str, dates: list[str], frame_pattern: str) -> str:
     """The slider wrapper (S10): ``dates`` come from the date-spine query
     (A9); ``frame_pattern`` contains ``{date}``. Slider defaults to the

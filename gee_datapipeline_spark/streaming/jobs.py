@@ -195,6 +195,45 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def enrich_stream_roads(
+    stream: DataFrame,
+    segments: DataFrame,
+    radius_km: float,
+) -> DataFrame:
+    """NRT form of the point-to-LINE proximity join (J2-line): each
+    streamed detection is matched against the static road-segment
+    table and aggregated per (road, dataset) — "peak FRP within r km
+    of each road, live" (README.md:2's advocacy question as a
+    continuously-maintained result instead of a render-time overlay).
+
+    Two-stage shape, both stages stream-legal:
+    1. ``line_proximity_pairs`` — STATELESS stream-static broadcast
+       hash join on the covering-cell key (every executor holds the
+       exploded segment table once; no state store, no watermark
+       interaction; re-read per micro-batch so a road-network update
+       is picked up without restart, like :func:`enrich_stream`).
+    2. a complete-mode aggregate of max(value) / min(distance) per
+       (road, dataset). Both are DUPLICATE-TOLERANT (idempotent under
+       replay: max and min of a multiset don't change when members
+       repeat), so at-least-once delivery needs no dedup state — the
+       property that keeps this viable on an unbounded feed.
+
+    State bound: |roads| x |datasets| rows — dimension-sized forever,
+    regardless of stream volume."""
+    from ..functions.geo import line_proximity_pairs
+
+    pairs = line_proximity_pairs(stream, segments, radius_km)
+    return (
+        pairs.withColumn("d6", F.round("distance_km", 6))
+        .filter(F.col("d6") <= radius_km)
+        .groupBy("pt_feature_id", "dataset")
+        .agg(
+            F.max("value").alias(f"max_value_{int(radius_km)}km"),
+            F.min("d6").alias("min_distance_km"),
+        )
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     query_name: str,

@@ -289,6 +289,24 @@ def test_render_wrapper_slider_defaults_latest():
         render_wrapper("empty", [], "x/{date}")
 
 
+def test_render_wrapper_from_spine_is_the_spine_query(spark):
+    """S10 ⟷ A9 closure: the slider's date list IS the date-spine
+    relation's output — feed date_spine_from over a 3-day table and
+    every spine day (including the unobserved middle one) must appear,
+    latest selected."""
+    from gee_datapipeline_spark.operators.calendar import date_spine_from
+    from gee_datapipeline_spark.sinks.html import render_wrapper_from_spine
+
+    df = spark.createDataFrame(
+        [("2025-01-01",), ("2025-01-03",)], ["d"]
+    ).select(F.to_date("d").alias("d"))
+    spine = date_spine_from(df, F.col("d"))
+    html = render_wrapper_from_spine("w", spine, "maps/{date}/index.html")
+    assert 'max="2"' in html and 'value="2"' in html
+    assert "2025-01-03" in html.split("date-label")[1][:40]
+    assert "maps/2025-01-02/index.html" in html  # the gap day, from A9
+
+
 # -------------------- Lambert conformal conic + sinusoidal (F8, r5)
 
 

@@ -723,3 +723,84 @@ def test_cms_heavy_state_survives_restart(spark, stream_dirs):
         got = [final[s][rk] for rk in sorted(final[s])]
         assert got == [(t, -e) for e, t in want], f"source {s}"
         assert n_final[s] == sum(counts.values())
+
+
+def test_enrich_stream_roads_replay_equals_batch(spark, tmp_path):
+    """NRT point-to-LINE proximity: three micro-batches (the second a
+    verbatim REPLAY of the first) through the stream-static road join
+    + complete-mode max/min must equal the batch aggregate over the
+    deduplicated data — max/min idempotence is what makes the operator
+    at-least-once-safe without dedup state."""
+    from gee_datapipeline_spark.functions.geo import (
+        line_proximity_pairs,
+        line_segments,
+        line_vertices,
+    )
+    from gee_datapipeline_spark.sources.fixtures import (
+        FIXTURES_DIR,
+        ensure_geo_fixtures,
+    )
+    from gee_datapipeline_spark.sources.geojson import read_geojson
+    from gee_datapipeline_spark.streaming.jobs import (
+        enrich_stream_roads,
+        run_to_memory,
+        stream_from_dir,
+    )
+    from pyspark.sql import types as T
+
+    ensure_geo_fixtures()
+    roads = read_geojson(
+        spark, str(FIXTURES_DIR / "roads.geojson"), source="roads"
+    )
+    segs = line_segments(line_vertices(roads))
+    segs = spark.createDataFrame(segs.collect(), segs.schema)
+
+    px = (
+        spark.read.parquet(str(FIXTURES_DIR / "pixels.parquet"))
+        .filter(F.col("value").isNotNull())
+        .select("dataset", "lon", "lat", "value")
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for b in ("b0", "b1"):  # b1 = replayed delivery of b0
+        px.coalesce(1).write.mode("overwrite").parquet(str(src / b))
+    px.filter(F.col("dataset") == "no2").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+
+    schema = T._parse_datatype_string(
+        "dataset string, lon double, lat double, value double"
+    )
+    q = run_to_memory(
+        enrich_stream_roads(
+            stream_from_dir(spark, str(src) + "/*", schema), segs, 5.0
+        ),
+        "roads_replay_gate",
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.pt_feature_id, r.dataset): (r.max_value_5km, r.min_distance_km)
+        for r in spark.table("roads_replay_gate").collect()
+    }
+
+    want_df = (
+        line_proximity_pairs(px, segs, 5.0)
+        .withColumn("d6", F.round("distance_km", 6))
+        .filter(F.col("d6") <= 5.0)
+        .groupBy("pt_feature_id", "dataset")
+        .agg(
+            F.max("value").alias("mx"),
+            F.min("d6").alias("mn"),
+        )
+    )
+    want = {
+        (r.pt_feature_id, r.dataset): (r.mx, r.mn)
+        for r in want_df.collect()
+    }
+    assert got == want
+    assert len(got) > 0
