@@ -213,6 +213,8 @@ HEADLINE = [
     # NRT road proximity: 3 micro-batches (one a replay) through the
     # stream-static broadcast join + complete-mode max/min
     "streaming_road_enrich",
+    # multi-band stacked export -> band de-interleaved re-ingest
+    "geotiff_multiband_roundtrip",
 ]
 
 

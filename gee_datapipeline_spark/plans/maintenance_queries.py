@@ -314,6 +314,99 @@ register(
 )
 
 
+def _multiband_fixture_path() -> str:
+    from ..sources.fixtures import ensure_geo_fixtures, fixture_path
+
+    ensure_geo_fixtures()
+    return fixture_path("raster_multiband_pixels")
+
+
+def _geotiff_multiband_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 multi-band roundtrip (the ``file_per_band=False`` artifact,
+    DataDownloader_V1.py:149 option surface): the 3-band fixture twin
+    is exported as ONE stacked GeoTIFF per date
+    (``write_geotiffs_multiband`` — SamplesPerPixel=3, chunky,
+    deflate+tiled) and re-ingested through ``read_rasters``'s band
+    de-interleave; the per-(date, band) aggregate must equal the same
+    aggregate straight off the parquet twin. Gates the multi-band
+    encode, the sample-unit tile cropping, and the band-indexed
+    unpivot as one hash match."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.writers import write_geotiffs_multiband
+    from ..sources.fixtures import MULTIBAND_RASTER_PARAMS
+    from ..sources.raster import read_rasters
+
+    src = spark.read.parquet(_multiband_fixture_path())
+    px = src.select(
+        F.regexp_extract("file", r"([0-9-]+)\.tif$", 1).alias("date"),
+        "band",
+        "x",
+        "y",
+        "lon",
+        "lat",
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="gee_tif_mb_roundtrip_")
+    try:
+        write_geotiffs_multiband(
+            px, root, MULTIBAND_RASTER_PARAMS["cell"],
+            compress="deflate", tile=16,
+        ).collect()
+        back = read_rasters(spark, os.path.join(root, "*.tif"))
+        out = (
+            back.select(
+                F.regexp_extract(
+                    "path", r"([0-9-]+)\.tif$", 1
+                ).alias("date"),
+                "band",
+                "x",
+                "y",
+                "lon",
+                "lat",
+                "value",
+            )
+            .groupBy("date", "band")
+            .agg(
+                F.count(F.lit(1)).alias("n_px"),
+                F.count("value").alias("n_obs"),
+                F.round(stable_sum(F.col("value")), 6).alias("sum_v"),
+                (F.max("x") + 1).alias("w"),
+                (F.max("y") + 1).alias("h"),
+                F.round(F.min("lon"), 9).alias("min_lon"),
+                F.round(F.max("lat"), 9).alias("max_lat"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="geotiff_multiband_roundtrip",
+        spark=_geotiff_multiband_roundtrip,
+        oracle=f"""
+            SELECT regexp_extract(file, '([0-9-]+)\\.tif$', 1) AS date,
+                   band,
+                   count(*) AS n_px,
+                   count(value) AS n_obs,
+                   round({sql_stable_sum('value')}, 6) AS sum_v,
+                   max(x) + 1 AS w,
+                   max(y) + 1 AS h,
+                   round(min(lon), 9) AS min_lon,
+                   round(max(lat), 9) AS max_lat
+            FROM read_parquet('{_multiband_fixture_path()}')
+            GROUP BY 1, 2
+        """,
+        tags=("sink", "format", "geotiff", "multiband"),
+    )
+)
+
+
 # ----------------------------------------------- raw-SQL entry surface
 
 # The engine's SQL front door: exactly this text runs on BOTH engines

@@ -159,6 +159,78 @@ def write_geotiffs(
     )
 
 
+def write_geotiffs_multiband(
+    df: DataFrame,
+    out_dir: str,
+    cell_deg: float,
+    band_col: str = "band",
+    value_col: str = "value",
+    compress: str | None = None,
+    tile: int | None = None,
+) -> DataFrame:
+    """S6, multi-band form — one GeoTIFF per ``date`` with ALL bands
+    stacked as SamplesPerPixel (chunky interleave): the artifact
+    ``geemap.ee_export_image(..., file_per_band=False)`` produces when
+    several bands survive the select (DataDownloader_V1.py:149 option
+    surface). Band index = rank of the ``band_col`` value in sorted
+    order within the file; the manifest records the ordered band list
+    so the mapping is queryable.
+
+    Same execution shape and idempotence contract as
+    :func:`write_geotiffs` (executor-side encode per group, bounded by
+    the image guard, deterministic filenames)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.tiffcodec import encode_geotiff
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def enc(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        date = str(pdf["date"].iloc[0])
+        bands = sorted(pdf[band_col].unique().tolist())
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        w, h = int(xs.max()) + 1, int(ys.max()) + 1
+        if w * h * len(bands) > MAX_IMAGE_PIXELS:
+            raise ValueError(
+                f"raster {date} is {w}x{h}x{len(bands)}, over the "
+                f"{MAX_IMAGE_PIXELS}-sample image-sink guard"
+            )
+        cube = np.full((len(bands), h, w), np.nan)
+        rank = {b: i for i, b in enumerate(bands)}
+        bi = pdf[band_col].map(rank).to_numpy()
+        cube[bi, ys, xs] = pdf[value_col].to_numpy(dtype="float64")
+        lon = pdf["lon"].to_numpy()
+        lat = pdf["lat"].to_numpy()
+        min_lon = float(lon[0] - (xs[0] + 0.5) * cell_deg)
+        min_lat = float(lat[0] - (ys[0] + 0.5) * cell_deg)
+        path = os.path.join(out_dir, f"stack_{date}.tif")
+        payload = encode_geotiff(cube, min_lon, min_lat, cell_deg,
+                                 epsg=4326, compress=compress, tile=tile)
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        return pd.DataFrame(
+            {
+                "date": [date],
+                "path": [path],
+                "bands": [",".join(str(b) for b in bands)],
+                "n_bands": pd.Series([len(bands)], dtype="int32"),
+                "width": pd.Series([w], dtype="int32"),
+                "height": pd.Series([h], dtype="int32"),
+                "n_bytes": pd.Series([len(payload)], dtype="int64"),
+            }
+        )
+
+    return df.groupBy("date").applyInPandas(
+        enc,
+        "date string, path string, bands string, n_bands int, "
+        "width int, height int, n_bytes long",
+    )
+
+
 def rgba_rows(
     df: DataFrame,
     value_col: str = "norm_value",

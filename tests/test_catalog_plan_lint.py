@@ -46,6 +46,7 @@ EXECUTING_BUILDERS = {
     "raster_ingest_tif",       # reads fixture rasters at build time
     "raster_ingest_utm_tif",   # reads fixture rasters at build time
     "geotiff_roundtrip",       # writes + re-ingests GeoTIFFs at build time
+    "geotiff_multiband_roundtrip",  # same, multi-band stack
     "multimodal_resize_real",
     "multimodal_decode_real",
     "image_dhash_dedup",       # reads the dhash fixture at build time
