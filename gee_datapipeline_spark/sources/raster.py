@@ -107,10 +107,15 @@ def read_rasters(
                 cube = vals[np.newaxis] if vals.ndim == 2 else vals
                 nb, h, w = cube.shape
                 ys, xs = np.mgrid[0:h, 0:w]
+                # anisotropic decoders hand back (sx, sy); square grids
+                # keep the scalar contract
+                sx, sy = (
+                    cell if isinstance(cell, (tuple, list)) else (cell, cell)
+                )
                 # pixel centers in the raster's own CRS, like
                 # rasterio.transform.xy (fix_transparency.py:68)
-                px = min_x + (xs.ravel() + 0.5) * cell
-                py = min_y + (ys.ravel() + 0.5) * cell
+                px = min_x + (xs.ravel() + 0.5) * sx
+                py = min_y + (ys.ravel() + 0.5) * sy
                 # non-4326 rasters (UTM/LCC/sinusoidal-tagged GeoTIFFs)
                 # reproject to lon/lat at ingest — the reference's
                 # rasterio.warp.transform(src.crs, 'EPSG:4326') pass,

@@ -16,16 +16,20 @@ Surface:
 - decode: II/MM byte order; compression 1 (none), 5 (LZW, TIFF 6.0
   §13 early-change variant), 8/32946 (zlib/AdobeDeflate), 32773
   (PackBits); predictor 1 (none), 2 (horizontal differencing,
-  integer samples), 3 (floating-point byte-plane, TIFF TechNote 3);
-  strip (273/278/279) AND tile (322/323/324/325) layouts; one sample
-  per pixel; sample formats uint/int/float at 8/16/32/64 bits;
-  ModelPixelScale (33550) + ModelTiepoint (33922) georeferencing;
-  GDAL_NODATA (42113) → NaN.
-- encode: little-endian, single-band float64, top-left tiepoint, with
-  optional ``compress="deflate"`` / ``"lzw"`` / ``"packbits"``
-  and/or ``tile=<edge>`` layouts — the shapes GDAL writes for the
-  reference's exports and for ``-co COMPRESS={DEFLATE,LZW,PACKBITS}
-  -co TILED=YES`` ones.
+  integer samples, spp-strided), 3 (floating-point byte-plane, TIFF
+  TechNote 3); strip (273/278/279) AND tile (322/323/324/325)
+  layouts; SamplesPerPixel >= 1 with chunky PlanarConfiguration
+  (planar=2 rejected loudly) — multi-band files return a
+  (bands, h, w) cube, single-band keeps the 2-D contract; sample
+  formats uint/int/float at 8/16/32/64 bits; ModelPixelScale (33550,
+  anisotropic sx != sy returned as a (sx, sy) cell tuple) +
+  ModelTiepoint (33922) georeferencing; GDAL_NODATA (42113) → NaN.
+- encode: little-endian float64/float32, 2-D single-band or 3-D
+  (bands, h, w) chunky multi-band, square or (sx, sy) anisotropic
+  cells, top-left tiepoint, with optional ``compress="deflate"`` /
+  ``"lzw"`` / ``"packbits"`` and/or ``tile=<edge>`` layouts — the
+  shapes GDAL writes for the reference's exports and for
+  ``-co COMPRESS={DEFLATE,LZW,PACKBITS} -co TILED=YES`` ones.
 
 Orientation contract (matches ``raster.read_rasters``): decoded arrays
 have row 0 at the SOUTH edge — ``lat = min_lat + (y + 0.5) * cell`` —
@@ -439,8 +443,11 @@ def decode_geotiff(data: bytes):
     min_lon = x - i * sx
     max_lat = y + j * sy
     min_lat = max_lat - h * sy
-    if abs(sx - sy) > 1e-12:
-        raise ValueError("anisotropic pixels not supported (sx != sy)")
+    # Anisotropic pixels (sx != sy — GDAL exports aren't always
+    # square) surface as a (sx, sy) tuple in the cell slot; square
+    # grids keep the historical scalar so existing decoders/callers
+    # are untouched.
+    cell = sx if abs(sx - sy) <= 1e-12 else (sx, sy)
     crs = _parse_geokeys(tags.get(_TAG_GEO_KEYS, []))
     # TIFF rows are top-down; our contract is row 0 = south
     if spp > 1:
@@ -450,15 +457,15 @@ def decode_geotiff(data: bytes):
         cube = np.ascontiguousarray(
             vals.reshape(h, w, spp)[::-1].transpose(2, 0, 1)
         )
-        return cube, min_lon, min_lat, sx, crs
-    return vals[::-1].copy(), min_lon, min_lat, sx, crs
+        return cube, min_lon, min_lat, cell, crs
+    return vals[::-1].copy(), min_lon, min_lat, cell, crs
 
 
 def encode_geotiff(
     values: np.ndarray,
     min_lon: float,
     min_lat: float,
-    cell_deg: float,
+    cell_deg: float | tuple[float, float],
     nodata: float | None = None,
     epsg: int | None = None,
     compress: str | None = None,
@@ -484,6 +491,12 @@ def encode_geotiff(
         raise ValueError("tile edge must be a positive multiple of 16")
     if dtype not in ("f4", "f8"):
         raise ValueError(f"unsupported dtype={dtype!r} (f4 or f8)")
+    # anisotropic grids: (sx, sy) writes a non-square ModelPixelScale
+    sx, sy = (
+        (float(cell_deg[0]), float(cell_deg[1]))
+        if isinstance(cell_deg, (tuple, list))
+        else (float(cell_deg), float(cell_deg))
+    )
     vals = np.asarray(values, dtype=f"<{dtype}")
     if vals.ndim == 2:
         spp = 1
@@ -560,7 +573,7 @@ def encode_geotiff(
     else:
         segments.append(pack(top_down))
     data = b"".join(segments)
-    max_lat = min_lat + h * cell_deg
+    max_lat = min_lat + h * sy
 
     # space-padded to ≥5 bytes so the ASCII tag always takes the
     # offset form (inline packing below handles numerics only)
@@ -675,7 +688,7 @@ def encode_geotiff(
     return (
         struct.pack("<2sHI", b"II", 42, ifd_off)
         + data
-        + struct.pack("<3d", cell_deg, cell_deg, 0.0)
+        + struct.pack("<3d", sx, sy, 0.0)
         + struct.pack("<6d", 0.0, 0.0, 0.0, min_lon, max_lat, 0.0)
         + nodata_s
         + geo_s

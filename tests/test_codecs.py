@@ -977,3 +977,24 @@ def test_packbits_row_roundtrip_edges():
     for raw in cases:
         enc = _packbits_encode_row(raw)
         assert _packbits_decode(enc, len(raw)) == raw, raw[:20]
+
+
+def test_read_rasters_anisotropic_cells(spark, tmp_path):
+    """sx != sy GeoTIFFs (GDAL exports aren't always square) surface as
+    a (sx, sy) cell and the ingest centers use the per-axis scale."""
+    from gee_datapipeline_spark.sources.raster import read_rasters
+    from gee_datapipeline_spark.sources.tiffcodec import encode_geotiff
+
+    vals = np.arange(12, dtype="float64").reshape(3, 4)
+    (tmp_path / "a.tif").write_bytes(
+        encode_geotiff(vals, 70.0, 20.0, (0.25, 0.5))
+    )
+    rows = read_rasters(spark, str(tmp_path / "*.tif")).collect()
+    assert len(rows) == 12
+    got = {(r.x, r.y): (r.lon, r.lat, r.value) for r in rows}
+    for y in range(3):
+        for x in range(4):
+            lon, lat, v = got[(x, y)]
+            assert lon == 70.0 + (x + 0.5) * 0.25
+            assert lat == 20.0 + (y + 0.5) * 0.5
+            assert v == vals[y, x]
