@@ -215,6 +215,11 @@ HEADLINE = [
     "streaming_road_enrich",
     # multi-band stacked export -> band de-interleaved re-ingest
     "geotiff_multiband_roundtrip",
+    # skew-salted shuffles: hot-key join (8-way dim replication) and
+    # exact salted count-distinct — both bit-identical to the unsalted
+    # plans by oracle
+    "skew_salted_join",
+    "skew_salted_distinct",
 ]
 
 

@@ -165,40 +165,6 @@ def asof_join(
     )
 
 
-def salted_join(
-    left: DataFrame,
-    right: DataFrame,
-    on: Sequence[str],
-    salt_buckets: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-resistant equi-join: the left (fact) side gets a random-ish
-    but deterministic salt derived from a high-cardinality hash of the
-    whole row; the right side is replicated across all salt values.
-
-    Use when one join key dominates (a mega-city cell, an empty-string
-    band) and AQE's skew splitting isn't enough — the classic manual
-    salting pattern. Correctness: equal to the plain join (each left row
-    carries exactly one salt; every right row exists for every salt).
-    Cost: right side inflates x salt_buckets — only for dimension-sized
-    right sides.
-    """
-    keys = list(on)
-    salted_left = left.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)),
-    )
-    salts = F.explode(
-        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
-    ).alias("__salt")
-    salted_right = right.select("*", salts).withColumn(
-        "__salt", F.col("__salt").cast("bigint")
-    )
-    return salted_left.join(
-        salted_right, on=keys + ["__salt"], how=how
-    ).drop("__salt")
-
-
 def semi_join(left: DataFrame, right: DataFrame, cond, how: str = "left_semi"):
     """J1 — EXISTS-style pruning (clip semantics)."""
     return left.join(right, cond, how)

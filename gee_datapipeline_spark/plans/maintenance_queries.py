@@ -1186,3 +1186,115 @@ register(
         "corpus-sized stage is a distinct + per-source bottom-k",
     )
 )
+
+
+# --------------------------------------------- skew-salted shuffles
+
+
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via ``operators.skew.salted_join``: events keyed on
+    ``event_type`` (deliberately low-cardinality — a handful of types
+    over millions of rows, so an unsalted shuffle join sends each
+    type's entire row set to ONE reducer) joined to a per-type weight
+    dimension. The salt fans every type across 8 shuffle keys; the
+    dimension replicates 8×; the result is bit-identical to the plain
+    join — which is exactly what the oracle computes, so the gate IS
+    the semantics proof.
+
+    At 100 TB: use when the dimension exceeds the broadcast threshold
+    AND the fact key is hot — AQE's skew-join only re-splits sort-merge
+    partitions and cannot help a final single-reducer merge on a
+    low-cardinality key. Cost: the dimension shuffles n_salts× its
+    (small) size; the fact still shuffles once. Plan shape pinned in
+    tests/test_skew.py (join keys = type + salt, explode on the dim
+    side only, no cartesian)."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    joined = salted_join(
+        ev, dim, on=["event_type"], salt_src=["event_id"], n_salts=8
+    )
+    return joined.groupBy("event_type", "type_weight").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum(F.col("value") * F.col("type_weight"), 4).alias(
+            "weighted_value"
+        ),
+    )
+
+
+register(
+    Query(
+        name="skew_salted_join",
+        spark=_skew_salted_join,
+        oracle=f"""
+            WITH dim AS (
+                SELECT DISTINCT event_type,
+                       length(event_type) AS type_weight
+                FROM events
+            )
+            SELECT e.event_type,
+                   d.type_weight,
+                   count(*) AS n_events,
+                   {sql_stable_sum('e.value * d.type_weight', 4)}
+                       AS weighted_value
+            FROM events e
+            JOIN dim d USING (event_type)
+            GROUP BY 1, 2
+        """,
+        tags=("skew", "join", "scale"),
+        doc="skew-salted fact⋈dim equi-join (deterministic xxhash64 salt, "
+        "8-way dim replication) proven bit-identical to the unsalted join "
+        "by the oracle itself",
+    )
+)
+
+
+def _skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct-user counts via
+    ``operators.skew.salted_count_distinct``: the distinct set of the
+    hot key is split into 32 DISJOINT subsets by ``hash(user_id)``
+    (a value always lands in the same salt, so partial distinct counts
+    add exactly), then summed — no task ever holds more than
+    |users|/32 of any key's state. The unsalted
+    ``count(DISTINCT user_id)`` is the oracle, so the gate proves the
+    decomposition exact. ``n_events`` rides a separate algebraic
+    aggregate (skew-immune already: partial counts combine map-side)
+    and joins back on the dimension-sized type table."""
+    from ..operators.skew import salted_count_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
+    distincts = salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=32, out="n_distinct_users"
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return distincts.join(counts, "event_type")
+
+
+register(
+    Query(
+        name="skew_salted_distinct",
+        spark=_skew_salted_distinct,
+        oracle="""
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_distinct_users,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY 1
+        """,
+        tags=("skew", "aggregation", "scale"),
+        doc="skew-proof exact count-distinct: salt by hash(value) into "
+        "32 disjoint partial distinct sets, sum the partials; oracle is "
+        "the plain COUNT(DISTINCT)",
+    )
+)

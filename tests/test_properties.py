@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from conftest import SF_SMOKE
 
 from gee_datapipeline_spark.operators.classify import BUCKETS, classify_expr
-from gee_datapipeline_spark.operators.joins import salted_join
+from gee_datapipeline_spark.operators.skew import salted_join
 from gee_datapipeline_spark.operators.windows import minmax_normalize
 
 _SETTINGS = dict(
@@ -104,7 +104,7 @@ def test_salted_join_equals_plain_join(spark):
     }
     salted = {
         (r.key, r.lv, r.rv)
-        for r in salted_join(left, right, ["key"], salt_buckets=8).collect()
+        for r in salted_join(left, right, ["key"], n_salts=8).collect()
     }
     assert salted == plain and len(plain) == 53
 
