@@ -220,6 +220,11 @@ HEADLINE = [
     # plans by oracle
     "skew_salted_join",
     "skew_salted_distinct",
+    # maximal duplicated-span extraction (gaps-and-islands over dup
+    # windows) and the Poisson-bootstrap CI (x32 narrow inflation, one
+    # map-side-combinable aggregate)
+    "span_dedup_extract",
+    "bootstrap_ci",
 ]
 
 

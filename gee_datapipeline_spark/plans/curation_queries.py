@@ -133,6 +133,112 @@ register(
     )
 )
 
+# ------------------------------------------- maximal duplicated spans
+
+
+def _span_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of exact-substring dedup (Lee et al.): merge
+    adjacent cross-doc-duplicated ``SPAN_K``-token windows into MAXIMAL
+    spans ``[span_start, span_end)`` (token offsets) per document —
+    the intervals a curation pass would cut, not just a dup-fraction
+    profile like ``span_dedup``.
+
+    Islands of consecutive duplicated offsets are found with the
+    classic gaps-and-islands trick (``s - row_number()`` constant
+    within a run). The window is PARTITIONED BY doc_id — per-doc state
+    only, no global sort — and the rows entering it are just
+    (doc_id, offset) pairs for *duplicated* windows, a small fraction
+    of the corpus. As in ``span_dedup``, only 128-bit digests ride the
+    dup-detection shuffle; text never moves."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n") >= SPAN_K,
+                F.expr(
+                    f"transform(sequence(0, n - {SPAN_K}),"
+                    f" s -> struct(s, md5(concat_ws(' ',"
+                    f" slice(t, s + 1, {SPAN_K}))) as h))"
+                ),
+            ).otherwise(
+                F.expr("cast(array() as array<struct<s:int,h:string>>)")
+            )
+        ).alias("sh"),
+    ).select("doc_id", F.col("sh.s").alias("s"), F.col("sh.h").alias("h"))
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    dup = spans.join(dup_hashes, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    islands = dup.withColumn(
+        "island", F.col("s") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("s").cast("long").alias("span_start"),
+            (F.max("s") + F.lit(SPAN_K)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+register(
+    Query(
+        name="span_dedup_extract",
+        spark=_span_dedup_extract,
+        oracle=rf"""
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            spans AS (
+                SELECT doc_id, s,
+                       md5(array_to_string(t[s + 1 : s + {SPAN_K}], ' ')) AS h
+                FROM (
+                    SELECT doc_id, t, len(t) AS n,
+                           unnest(generate_series(0, len(t) - {SPAN_K})) AS s
+                    FROM toks
+                )
+            ),
+            dup_hashes AS (
+                SELECT h FROM spans
+                GROUP BY h HAVING count(DISTINCT doc_id) > 1
+            ),
+            dup AS (
+                SELECT doc_id, s FROM spans
+                WHERE h IN (SELECT h FROM dup_hashes)
+            ),
+            isl AS (
+                SELECT doc_id, s,
+                       s - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY s) AS island
+                FROM dup
+            )
+            SELECT doc_id,
+                   CAST(min(s) AS BIGINT) AS span_start,
+                   CAST(max(s) + {SPAN_K} AS BIGINT) AS span_end,
+                   count(*) AS n_windows
+            FROM isl
+            GROUP BY doc_id, island
+        """,
+        tags=("dedup", "curation"),
+        doc="maximal cross-doc duplicated token spans per document "
+        "(gaps-and-islands merge of duplicated stride-1 windows)",
+    )
+)
+
 # ------------------------------------------------------ Gopher quality
 
 GOPHER_MIN_WORDS = 50

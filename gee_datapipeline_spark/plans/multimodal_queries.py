@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -770,6 +771,125 @@ register(
              AND e.ts >= c.ts
              AND e.ts <= c.ts + INTERVAL 10 MINUTE
             WHERE c.event_type = 'click' AND e.event_type = 'error'
+        """,
+        tags=("streaming", "join"),
+    )
+)
+
+
+def _streaming_correlate_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with a FULL oracle: same feeds as
+    ``streaming_correlate``, but clicks with NO error inside the
+    horizon must ALSO emit (NULL-filled) — which only happens once the
+    watermark proves them unmatched. The gate appends a
+    watermark-advancing sentinel micro-batch to each side (event time
+    far past day-1 + horizon + watermark, keys -1/-2 so the sentinels
+    can never join anything real), forcing every pending outer row out
+    of the state store; sentinels are filtered from the result. The
+    total output must equal the batch LEFT JOIN — SQL-expressible, so
+    the driver value-hashes the whole semantics including the
+    unmatched tail."""
+    from ..streaming.jobs import (
+        correlate_streams,
+        run_to_memory,
+        stream_from_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
+    day = ev.filter(F.to_date("ts") == F.lit(first_day))
+
+    def feed(event_type: str) -> DataFrame:
+        return day.filter(F.col("event_type") == event_type).select(
+            "ts", "user_id", "value"
+        )
+
+    # watermark(2h) + horizon(10min) + margin past the day's last event
+    sentinel_ts = day.agg(
+        (F.max("ts") + F.expr("interval 4 hours")).alias("t")
+    ).first()["t"]
+
+    root = tempfile.mkdtemp(prefix="gee_stream_corr_outer_gate_")
+    try:
+        from pyspark.sql import types as T
+
+        schema = T._parse_datatype_string(
+            "ts timestamp, user_id long, value double"
+        )
+        sides = {}
+        for side, etype, skey in (("l", "click", -1), ("r", "error", -2)):
+            src = os.path.join(root, side)
+            os.makedirs(src)
+            feed(etype).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "b1")
+            )
+            spark.createDataFrame(
+                [(sentinel_ts, skey, 0.0)], schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, "b2")
+            )
+            # the file source orders micro-batches by modification
+            # time; the sentinel MUST arrive after the data batch or
+            # its watermark would mark the real rows late-and-dropped
+            now = time.time()
+            for sub, off in (("b1", 0.0), ("b2", 30.0)):
+                d = os.path.join(src, sub)
+                for f in os.listdir(d):
+                    os.utime(os.path.join(d, f), (now + off, now + off))
+            sides[side] = stream_from_dir(spark, src + "/*", schema)
+        name = f"gate_corr_outer_{abs(hash(root)) % 10**9}"
+        q = run_to_memory(
+            correlate_streams(
+                sides["l"], sides["r"], key="user_id", how="leftOuter"
+            ),
+            name,
+            os.path.join(root, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .filter(F.col("l_key") >= 0)
+            .select(
+                F.col("l_key").alias("user_id"),
+                F.date_format(
+                    "l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("click_ts"),
+                F.date_format(
+                    "r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("error_ts"),
+                F.round("l_value", 6).alias("click_value"),
+                F.round("r_value", 6).alias("error_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+register(
+    Query(
+        name="streaming_correlate_outer",
+        spark=_streaming_correlate_outer,
+        oracle="""
+            WITH day1 AS (
+                SELECT * FROM events
+                WHERE CAST(ts AS DATE) =
+                      (SELECT min(CAST(ts AS DATE)) FROM events)
+            )
+            SELECT c.user_id,
+                   strftime(CAST(c.ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   strftime(CAST(e.ts AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+                   round(c.value, 6) AS click_value,
+                   round(e.value, 6) AS error_value
+            FROM (SELECT * FROM day1 WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM day1 WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND e.ts >= c.ts
+             AND e.ts <= c.ts + INTERVAL 10 MINUTE
         """,
         tags=("streaming", "join"),
     )

@@ -992,3 +992,197 @@ register(
         "suppression; one map-side-combinable corpus fold",
     )
 )
+
+
+# --------------------------------------- Poisson bootstrap CI
+
+# Poisson(1) cumulative distribution, P(X <= k) for k = 0..9; draws
+# with u beyond the last entry clamp to 10. The literals are embedded
+# identically in the Spark expression and the DuckDB mirror, so the
+# inverse-CDF CASE ladder is the same IEEE comparison on both sides.
+_POIS1_CUM = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+    0.9999998885745216,
+]
+_BOOT_B = 32  # bootstrap replicates
+_BOOT_DENOM = float((1 << 60) + 1)  # u = (h+1)/DENOM ∈ (0,1], never 0
+
+
+def _sql_h60(mh: str) -> str:
+    """60-bit integer from the first 15 hex chars of an md5 column
+    (DuckDB mirror of Spark's ``conv(substring(md5, 1, 15), 16, 10)``;
+    the strpos ladder idiom from ``weighted_sample_wor``)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({mh}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+def _sql_pois1(u: str) -> str:
+    ladder = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS1_CUM)
+    )
+    return f"(CASE {ladder} ELSE {len(_POIS1_CUM)} END)"
+
+
+def _pois1(u) -> F.Column:
+    w = F.lit(len(_POIS1_CUM))
+    for k in range(len(_POIS1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CUM[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean revenue per
+    return flag (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams" — the resampling scheme that works on data too large
+    to index: each row independently contributes a Poisson(1) weight
+    to each of B replicates, so no sampling pass, no global indexing,
+    and the whole estimator is ONE map-side-combinable aggregate over
+    a B-fold narrow row inflation).
+
+    Randomness is a deterministic md5 of (replicate, row key) — the
+    ``dp_noisy_counts`` 60-bit-uniform idiom — so replicate weights
+    are identical in any engine / partitioning and the DuckDB mirror
+    hash-matches exactly. Replicate means use the exact-decimal
+    numerator over an integer weight sum; the CI bounds are order
+    statistics of the B replicate means (index = floor(0.025·n),
+    symmetric), which are exact doubles — no quantile interpolation
+    to diverge on.
+
+    Scale shape: explode ×B=32 of a 3-column projection, then a
+    hash aggregate on (flag, b) — partial aggregation collapses the
+    inflation map-side; the per-group state downstream is B rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .alias("rev"),
+    )
+    rep = li.select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_B - 1))
+        ).alias("b"),
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit("boot"),
+        F.col("b"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_BOOT_DENOM)
+    w = _pois1(u)
+    per_rep = (
+        rep.select("l_returnflag", "b", "rev", w.alias("w"))
+        .groupBy("l_returnflag", "b")
+        .agg(
+            F.sum(
+                F.col("rev").cast("decimal(38,12)") * F.col("w")
+            ).alias("num"),
+            F.sum("w").cast("long").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+        .select(
+            "l_returnflag",
+            stable_round(
+                F.col("num").cast("double") / F.col("den"), 6
+            ).alias("m"),
+        )
+    )
+    from ..functions.stable import stable_avg
+
+    idx = (F.floor(F.lit(0.025) * F.col("n_boot")) + 1).cast("int")
+    return (
+        per_rep.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_boot"),
+            stable_avg("m", scale=6, dec="decimal(38,12)").alias(
+                "boot_mean"
+            ),
+            F.sort_array(F.collect_list("m")).alias("ms"),
+        )
+        .select(
+            "l_returnflag",
+            "n_boot",
+            "boot_mean",
+            F.element_at("ms", idx).alias("ci_lo"),
+            F.element_at(
+                "ms", (F.col("n_boot") - idx + 1).cast("int")
+            ).alias("ci_hi"),
+        )
+    )
+
+
+register(
+    Query(
+        name="bootstrap_ci",
+        spark=_bootstrap_ci,
+        oracle=f"""
+            WITH rep AS (
+                SELECT l_returnflag,
+                       l_extendedprice * (1.0 - l_discount) AS rev,
+                       md5('boot|' || CAST(b AS VARCHAR) || '|'
+                           || CAST(l_orderkey AS VARCHAR) || '|'
+                           || CAST(l_linenumber AS VARCHAR)) AS mh,
+                       b
+                FROM lineitem,
+                     (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
+                          AS b)
+            ),
+            weighted AS (
+                SELECT l_returnflag, b, rev,
+                       {_sql_pois1(
+                           f"(CAST(({_sql_h60('mh')}) + 1 AS DOUBLE)"
+                           f" / {_BOOT_DENOM!r})"
+                       )} AS w
+                FROM rep
+            ),
+            per_rep AS (
+                SELECT l_returnflag,
+                       floor(CAST(sum(CAST(rev AS DECIMAL(38,12)) * w)
+                                  AS DOUBLE)
+                             / CAST(sum(w) AS BIGINT)
+                             * 1000000.0 + 0.5) / 1000000.0 AS m
+                FROM weighted
+                GROUP BY l_returnflag, b
+                HAVING sum(w) > 0
+            ),
+            packed AS (
+                SELECT l_returnflag,
+                       count(*) AS n_boot,
+                       cast(floor(cast(sum(cast(m as decimal(38,12)))
+                                       as double)
+                                  / count(m) * 1000000.0 + 0.5)
+                            / 1000000.0 as double) AS boot_mean,
+                       list_sort(list(m)) AS ms
+                FROM per_rep GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   n_boot,
+                   boot_mean,
+                   ms[CAST(floor(0.025 * n_boot) + 1 AS INTEGER)]
+                       AS ci_lo,
+                   ms[CAST(n_boot - floor(0.025 * n_boot)
+                           AS INTEGER)] AS ci_hi
+            FROM packed
+        """,
+        tags=("stats", "sampling"),
+        doc="Poisson-bootstrap CI for mean revenue per return flag "
+        "(deterministic md5-seeded Poisson(1) weights, B=32 "
+        "replicates, order-statistic bounds) — the one-pass "
+        "resampling shape for massive data",
+    )
+)

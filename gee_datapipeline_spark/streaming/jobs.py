@@ -275,8 +275,9 @@ def correlate_streams(
     key: str = "user_id",
     horizon: str = "10 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: correlate two live event feeds on a
+    """Stream-stream join: correlate two live event feeds on a
     shared key within a bounded event-time horizon (right event lands in
     [left.ts, left.ts + horizon]) — the click-to-error correlation the
     reference resolves offline (J4's as-of cousin), done at ingest.
@@ -287,7 +288,15 @@ def correlate_streams(
     against an unbounded feed. Inner-join matches emit as soon as both
     sides arrive (no watermark wait); the time bound is what lets Spark
     GC state, not what delays output. Columns are prefixed l_/r_ to
-    keep the joined schema collision-free."""
+    keep the joined schema collision-free.
+
+    ``how="leftOuter"`` adds the never-matched left rows (NULL-filled
+    right side). Unlike inner matches these CANNOT emit eagerly — a
+    left row is only provably unmatched once the watermark passes
+    ``l_ts + horizon``, so outer results trail the feed by
+    watermark + horizon (Spark emits them from expiring state). Same
+    bounded-state guarantee; the emission delay is inherent to outer
+    semantics over unbounded input, not an implementation artifact."""
     lp = left.select(
         F.col("ts").alias("l_ts"),
         F.col(key).alias("l_key"),
@@ -303,6 +312,7 @@ def correlate_streams(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"interval {horizon}")),
+        how,
     )
 
 

@@ -32,6 +32,7 @@ EXECUTING_BUILDERS = {
     "streaming_windowed_composite",
     "streaming_dedup",
     "streaming_correlate",
+    "streaming_correlate_outer",
     "streaming_road_enrich",   # runs a streaming query at build time
     "bpe_vocab_merges",
     "bpe_encode_pieces",

@@ -75,6 +75,12 @@ def _metrics(plan: str) -> dict:
 
 
 def test_plan_shapes_match_snapshot(spark):
+    # Snapshot semantics = COLD plans. Cached fixtures from earlier
+    # test files (e.g. test_geo's road-segment cache) share logical
+    # subtrees with catalog queries, and Spark's cache manager would
+    # splice InMemoryRelation into their plans — flipping exchange
+    # counts depending on test order.
+    spark.catalog.clearCache()
     got = {}
     for name in TRACKED:
         df = QUERIES[name].spark(spark, SF_SMOKE)
