@@ -225,6 +225,8 @@ HEADLINE = [
     # map-side-combinable aggregate)
     "span_dedup_extract",
     "bootstrap_ci",
+    # shot-boundary detection over real Y4M-decoded frames
+    "video_scene_cuts",
 ]
 
 

@@ -894,3 +894,65 @@ register(
         tags=("streaming", "join"),
     )
 )
+
+
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded video: frames are pulled
+    with the Y4M codec through ``sample_frames`` (the UDTF path), then
+    a per-video lag window flags frame-to-frame mean-luma jumps above
+    ``SCENE_CUT_THRESH`` — the shot-boundary primitive a multimodal
+    curation pipeline uses to segment video before captioning /
+    frame-sampling. The window is PARTITIONED per media_id (frames of
+    one video co-located by the decode explode; no global sort), and
+    the oracle reads the generator's closed-form cut counts: fills
+    step +31 mod 256, so every delta is 31 (no cut) or 225 (a wrap =
+    a cut), making max_jump itself closed-form. Truncated streams
+    (exp_video_ok=false) must contribute nothing."""
+    from pyspark.sql import Window
+
+    from ..functions.multimodal import sample_frames
+    from ..sources.fixtures import SCENE_CUT_THRESH
+
+    media = _media_fixture(spark).select(
+        "media_id",
+        "kind",
+        F.lit("video/x-yuv4mpeg").alias("mime"),
+        "payload",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=40, fake=False)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "jump", F.abs(F.col("mean_y") - F.lag("mean_y").over(w))
+    )
+    return deltas.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.when(F.col("jump") > F.lit(SCENE_CUT_THRESH), 1).otherwise(0)
+        ).alias("n_cuts"),
+        F.max("jump").alias("max_jump"),
+    )
+
+
+register(
+    Query(
+        name="video_scene_cuts",
+        spark=_video_scene_cuts,
+        oracle=f"""
+            SELECT media_id,
+                   exp_n_frames AS n_frames,
+                   exp_scene_cuts AS n_cuts,
+                   CASE WHEN exp_scene_cuts > 0 THEN 225.0
+                        ELSE 31.0 END AS max_jump
+            FROM read_parquet('{_media_fixture_path()}')
+            WHERE kind = 'video' AND exp_video_ok
+        """,
+        tags=("multimodal", "codec", "video"),
+        doc="shot-boundary detection: per-video lag window over REAL "
+        "Y4M-decoded frame lumas vs the fixture's closed-form cut "
+        "counts",
+    )
+)

@@ -34,7 +34,7 @@ from .synthetic import (
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 9  # v9: road LineStrings (+v8 LZW raster layouts)
+FIXTURES_VERSION = 10  # v10: media exp_scene_cuts (+v9 road LineStrings)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -177,8 +177,15 @@ _MEDIA_ARROW = pa.schema(
         ("exp_video_ok", pa.bool_()),
         ("exp_n_frames", pa.int64()),
         ("exp_frame_luma_sum", pa.float64()),
+        # scene cuts: frame-to-frame |Δ mean luma| > SCENE_CUT_THRESH.
+        # Fills step by +31 mod 256, so a delta is 31 (no cut) or 225
+        # (a wrap = a cut) — closed form from the fill sequence.
+        ("exp_scene_cuts", pa.int64()),
     ]
 )
+
+# Shared with plans.multimodal_queries: a luma jump above this is a cut.
+SCENE_CUT_THRESH = 100.0
 
 
 def media_rows(n: int = 60) -> list[tuple]:
@@ -208,7 +215,7 @@ def media_rows(n: int = 60) -> list[tuple]:
         width = height = 0
         luma = None
         sr, ns, dur, rms, zc = 0, 0, 0.0, 0.0, 0
-        nframes, luma_sum = 0, 0.0
+        nframes, luma_sum, scene_cuts = 0, 0.0, 0
         if m == 0:
             v = (i * 37) % 256
             payload = encode_png(np.full((h, w), v, dtype=np.uint8))
@@ -265,10 +272,15 @@ def media_rows(n: int = 60) -> list[tuple]:
                 video_ok = True
                 nframes = nf
                 luma_sum = float(sum(fills))
+                scene_cuts = sum(
+                    1
+                    for a, b in zip(fills, fills[1:])
+                    if abs(b - a) > SCENE_CUT_THRESH
+                )
         rows.append(
             (i, kind, mime, payload, img_ok, width, height, luma,
              audio_ok, sr, ns if m == 3 else 0, dur, rms, zc,
-             video_ok, nframes, luma_sum)
+             video_ok, nframes, luma_sum, scene_cuts)
         )
     return rows
 

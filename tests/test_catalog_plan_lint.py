@@ -52,6 +52,7 @@ EXECUTING_BUILDERS = {
     "multimodal_decode_real",
     "image_dhash_dedup",       # reads the dhash fixture at build time
     "multimodal_frames_real",
+    "video_scene_cuts",        # reads the media fixture at build time
     "audio_decode_real",
     "xml_roundtrip",           # collects + re-wraps rows at build time
     "bfs_reachability",        # eager-checkpoints each frontier round

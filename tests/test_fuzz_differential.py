@@ -132,6 +132,7 @@ BATTERY2 = [
     "ngram_jaccard_capped",
     "winnowing_fingerprints",
     "span_dedup",
+    "span_dedup_extract",
     "boilerplate_removal",
     "tfidf_top_terms",
     "vocab_top_terms",

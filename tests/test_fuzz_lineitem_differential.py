@@ -39,6 +39,7 @@ BATTERY = [
     "incremental_revenue",
     "interval_join_monthly",
     "contract_audit",
+    "bootstrap_ci",
 ]
 
 BASE_DATE = dt.datetime(1995, 1, 2)

@@ -172,3 +172,116 @@ def test_incremental_max_chunking_invariance(spark, tmp_path_factory, data):
     )
     want = {(r.cell_x, r.cell_y): (r.mv, r.n) for r in batch.collect()}
     assert final == want
+
+
+@st.composite
+def two_feeds(draw):
+    """Random click/error feeds over a 90-min span + random per-side
+    chunkings. The 2h watermark exceeds the span, so no row can be
+    late-dropped and outer rows flush only at the sentinel — chunking
+    must be a pure operational accident."""
+    def side(tag):
+        n = draw(st.integers(3, 12))
+        rows = sorted(
+            (
+                BASE
+                + dt.timedelta(
+                    minutes=draw(st.integers(0, 90)),
+                    seconds=draw(st.sampled_from([0, 30])),
+                ),
+                draw(st.integers(1, 3)),
+                float(draw(st.integers(1, 100))),
+            )
+            for _ in range(n)
+        )
+        n_cuts = draw(st.integers(0, 2))
+        cuts = sorted(
+            {draw(st.integers(1, n - 1)) for _ in range(n_cuts)} | {n}
+        )
+        chunks, lo = [], 0
+        for hi in cuts:
+            chunks.append(rows[lo:hi])
+            lo = hi
+        return rows, chunks
+
+    return side("l"), side("r")
+
+
+@settings(
+    max_examples=_FUZZ_EX or 4,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(two_feeds())
+def test_correlate_outer_chunking_invariance(spark, tmp_path_factory, data):
+    from pyspark.sql import types as T
+
+    from gee_datapipeline_spark.streaming.jobs import correlate_streams
+
+    (l_rows, l_chunks), (r_rows, r_chunks) = data
+    schema = T._parse_datatype_string(
+        "ts timestamp, user_id long, value double"
+    )
+    tmp = tmp_path_factory.mktemp("fuzzouter")
+    srcs = {"l": tmp / "l", "r": tmp / "r"}
+    for p in srcs.values():
+        p.mkdir()
+    q = run_to_memory(
+        correlate_streams(
+            stream_from_dir(spark, str(srcs["l"]) + "/*", schema),
+            stream_from_dir(spark, str(srcs["r"]) + "/*", schema),
+            key="user_id",
+            how="leftOuter",
+        ),
+        f"fz_outer_{tmp.name}",
+        str(tmp / "ckpt"),
+        output_mode="append",
+    )
+    try:
+        for side, chunks in (("l", l_chunks), ("r", r_chunks)):
+            for i, chunk in enumerate(chunks):
+                if not chunk:
+                    continue
+                spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{srcs[side]}/chunk{i}")
+                q.processAllAvailable()
+        # watermark-advancing sentinels flush the unmatched-left state
+        sentinel = BASE + dt.timedelta(hours=8)
+        for side, skey in (("l", -1), ("r", -2)):
+            spark.createDataFrame(
+                [(sentinel, skey, 0.0)], schema
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{srcs[side]}/sentinel"
+            )
+        q.processAllAvailable()
+        got = sorted(
+            (r.l_ts, r.l_key, r.l_value, r.r_ts, r.r_value)
+            for r in spark.sql(
+                f"SELECT * FROM fz_outer_{tmp.name} WHERE l_key >= 0"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    lb = spark.createDataFrame(l_rows, schema).select(
+        F.col("ts").alias("l_ts"),
+        F.col("user_id").alias("l_key"),
+        F.col("value").alias("l_value"),
+    )
+    rb = spark.createDataFrame(r_rows, schema).select(
+        F.col("ts").alias("r_ts"),
+        F.col("user_id").alias("r_key"),
+        F.col("value").alias("r_value"),
+    )
+    want = sorted(
+        (r.l_ts, r.l_key, r.l_value, r.r_ts, r.r_value)
+        for r in lb.join(
+            rb,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 10 minutes")),
+            "left",
+        ).collect()
+    )
+    assert got == want

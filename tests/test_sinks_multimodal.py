@@ -172,3 +172,49 @@ def test_write_geotiffs_roundtrip(spark, tmp_path_factory):
                 assert r.value == want  # bit-exact float64
             assert r.lon == 70.0 + (int(r.x) + 0.5) * cell
             assert r.lat == 20.0 + (int(r.y) + 0.5) * cell
+
+
+def test_video_scene_cuts_on_handbuilt_video(spark):
+    """Shot-boundary semantics on a video with KNOWN cuts: fills
+    [10, 10, 200, 200, 50] have |deltas| [0, 190, 0, 150] against
+    threshold 100 -> exactly 2 cuts, max jump 190."""
+    import numpy as np
+
+    from gee_datapipeline_spark.functions.multimodal import sample_frames
+    from gee_datapipeline_spark.functions.videocodec import encode_y4m
+    from gee_datapipeline_spark.sources.fixtures import SCENE_CUT_THRESH
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    fills = [10, 10, 200, 200, 50]
+    frames_np = np.stack(
+        [np.full((4, 6), v, dtype=np.uint8) for v in fills]
+    )
+    payload = encode_y4m(frames_np, fps=(25, 1), colorspace="mono")
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-yuv4mpeg", bytearray(payload),
+          None, None, None, {})],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int, duration_ms int, meta map<string,string>",
+    )
+    fr = sample_frames(media, every_ms=40, fake=False)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    row = (
+        fr.withColumn(
+            "jump", F.abs(F.col("mean_y") - F.lag("mean_y").over(w))
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(
+                    F.col("jump") > F.lit(SCENE_CUT_THRESH), 1
+                ).otherwise(0)
+            ).alias("n_cuts"),
+            F.max("jump").alias("max_jump"),
+        )
+        .collect()[0]
+    )
+    assert row.n_frames == 5
+    assert row.n_cuts == 2
+    assert row.max_jump == 190.0
