@@ -227,6 +227,8 @@ HEADLINE = [
     "bootstrap_ci",
     # shot-boundary detection over real Y4M-decoded frames
     "video_scene_cuts",
+    # Page's CUSUM: sequential recursion via per-group applyInPandas
+    "cusum_drift",
 ]
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.stable import sql_stable_round, stable_round
+from ..functions.stable import sql_stable_avg, sql_stable_round, stable_round
 from .registry import Query, register
 
 _DEC = "decimal(30,6)"
@@ -1184,5 +1184,132 @@ register(
         "(deterministic md5-seeded Poisson(1) weights, B=32 "
         "replicates, order-statistic bounds) — the one-pass "
         "resampling shape for massive data",
+    )
+)
+
+
+# --------------------------------------------- CUSUM drift detection
+
+_CUSUM_K = 2.0  # slack: deviations below target+K don't accumulate
+_CUSUM_H = 8.0  # alarm threshold on the cumulative sum
+
+
+def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's CUSUM drift detector over the per-type daily-mean series:
+    ``S_t = max(0, S_{t-1} + (x_t - (target + K)))``, alarm when
+    ``S_t > H`` — the classic change-point screen for a metric drifting
+    above its baseline (upper one-sided form).
+
+    CUSUM is inherently SEQUENTIAL (each step needs the previous), so
+    this is the one recursion class Catalyst windows can't express.
+    The scale-correct shape: the corpus folds to a per-(type, day)
+    aggregate first (map-side combinable), and only the tiny daily
+    series enters an ``applyInPandas`` per event_type — Arrow-batched,
+    one group per key, state = one float. 100 TB of events becomes
+    |types| × |days| rows before any Python runs.
+
+    Engine parity: daily means and the per-type target are 6-dp
+    floor-quantized (``stable_avg``); the recursion is written with
+    IDENTICAL association ``s + (x - (target + K))`` in the Python loop
+    and the DuckDB recursive CTE, so every S_t is the same IEEE double
+    on both sides and the gate hash-matches the alarms exactly."""
+    import pandas as pd
+
+    from ..functions.stable import stable_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(stable_avg("value", scale=6, dec="decimal(38,12)").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    target = daily.groupBy("event_type").agg(
+        stable_avg("x", scale=6, dec="decimal(38,12)").alias("target")
+    )
+    joined = daily.join(F.broadcast(target), "event_type")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("d")
+        tgt = float(pdf["target"].iloc[0])
+        s, smax, n_alarms, first_alarm = 0.0, 0.0, 0, None
+        for d, x in zip(pdf["d"], pdf["x"]):
+            s = max(0.0, s + (float(x) - (tgt + _CUSUM_K)))
+            smax = max(smax, s)
+            if s > _CUSUM_H:
+                n_alarms += 1
+                if first_alarm is None:
+                    first_alarm = str(pd.Timestamp(d).date())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(pdf)],
+                "n_alarms": [n_alarms],
+                "max_cusum": [
+                    math.floor(smax * 1000000.0 + 0.5) / 1000000.0
+                ],
+                "first_alarm_day": [first_alarm],
+            }
+        )
+
+    return joined.groupBy("event_type").applyInPandas(
+        cusum,
+        "event_type string, n_days long, n_alarms long, "
+        "max_cusum double, first_alarm_day string",
+    )
+
+
+register(
+    Query(
+        name="cusum_drift",
+        spark=_cusum_drift,
+        oracle=f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       {sql_stable_avg('value', 6, 'decimal(38,12)')} AS x
+                FROM events
+                GROUP BY 1, 2
+                HAVING count(value) > 0
+            ),
+            tgt AS (
+                SELECT event_type,
+                       {sql_stable_avg('x', 6, 'decimal(38,12)')} AS target
+                FROM daily GROUP BY 1
+            ),
+            seq AS (
+                SELECT daily.event_type, d, x, target,
+                       row_number() OVER (
+                           PARTITION BY daily.event_type ORDER BY d) AS rn
+                FROM daily JOIN tgt USING (event_type)
+            ),
+            c AS (
+                SELECT event_type, rn, d,
+                       greatest(0.0, 0.0 + (x - (target + {_CUSUM_K!r})))
+                           AS s
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s2.event_type, s2.rn, s2.d,
+                       greatest(0.0, c.s + (s2.x - (s2.target
+                                                    + {_CUSUM_K!r})))
+                FROM c JOIN seq s2
+                  ON s2.event_type = c.event_type AND s2.rn = c.rn + 1
+            )
+            SELECT event_type,
+                   count(*) AS n_days,
+                   CAST(coalesce(sum(CASE WHEN s > {_CUSUM_H!r}
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_alarms,
+                   floor(max(s) * 1000000.0 + 0.5) / 1000000.0
+                       AS max_cusum,
+                   CAST(min(CASE WHEN s > {_CUSUM_H!r} THEN d END)
+                        AS VARCHAR) AS first_alarm_day
+            FROM c
+            GROUP BY 1
+        """,
+        tags=("stats", "anomaly"),
+        doc="Page's one-sided CUSUM over per-type daily means "
+        "(sequential recursion via per-group applyInPandas; DuckDB "
+        "recursive-CTE mirror, identical IEEE association both sides)",
     )
 )

@@ -59,6 +59,7 @@ BATTERY = [
     "approx_percentiles",
     "mad_outliers",
     "rolling_zscore_anomaly",
+    "cusum_drift",
     # remaining events-table families: as-of correlation under ties,
     # CDC collapse, seasonality, OHLC cascade, gap interpolation, date
     # spines, JSON access, pixel-model composites and classification

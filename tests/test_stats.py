@@ -772,3 +772,61 @@ def test_linear_model_partition_invariant(spark):
     finally:
         sq.load_table = orig
     assert [tuple(r) for r in base] == [tuple(r) for r in alt]
+
+
+def test_cusum_drift_detects_level_shift(spark, tmp_path):
+    """Hand-built series with a KNOWN change point: 10 days at the
+    baseline then 10 days shifted up. With target ~= the grand mean,
+    pre-shift days drain the sum to 0 and post-shift days accumulate
+    (shift/2 - K) per day — the first alarm lands a computable number
+    of days after the change."""
+    import datetime as dt
+    import math
+    import os
+    import shutil
+
+    from gee_datapipeline_spark.plans.stats_queries import (
+        _CUSUM_H,
+        _CUSUM_K,
+        _cusum_drift,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    vals = [50.0] * 10 + [70.0] * 10  # +20 shift at day 10
+    for i, v in enumerate(vals):
+        # two identical events per day -> daily mean == v exactly
+        for j in range(2):
+            rows.append(
+                (i * 2 + j, base + dt.timedelta(days=i, hours=j),
+                 1, "shifted", v, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(out, part), str(tmp_path / "events.parquet"))
+
+    got = {r.event_type: r for r in _cusum_drift(spark, str(tmp_path)).collect()}
+    r = got["shifted"]
+    # pure-Python reference with the same quantization
+    target = 60.0  # mean of 10x50 + 10x70
+    s, smax, alarms, first = 0.0, 0.0, 0, None
+    for i, v in enumerate(vals):
+        s = max(0.0, s + (v - (target + _CUSUM_K)))
+        smax = max(smax, s)
+        if s > _CUSUM_H:
+            alarms += 1
+            if first is None:
+                first = str((base + dt.timedelta(days=i)).date())
+    assert r.n_days == 20
+    assert r.n_alarms == alarms > 0
+    assert r.max_cusum == math.floor(smax * 1e6 + 0.5) / 1e6
+    assert r.first_alarm_day == first
+    # the alarm must postdate the change point (no false positive in
+    # the baseline regime: pre-shift deviations are negative)
+    assert first >= str((base + dt.timedelta(days=10)).date())
