@@ -227,8 +227,10 @@ HEADLINE = [
     "bootstrap_ci",
     # shot-boundary detection over real Y4M-decoded frames
     "video_scene_cuts",
-    # Page's CUSUM: sequential recursion via per-group applyInPandas
+    # sequential recursions via per-group applyInPandas: Page's CUSUM
+    # and Holt smoothing with walk-forward backtest
     "cusum_drift",
+    "holt_forecast",
 ]
 
 

@@ -1313,3 +1313,122 @@ register(
         "recursive-CTE mirror, identical IEEE association both sides)",
     )
 )
+
+
+# ------------------------------------------ Holt forecast (backtested)
+
+_HOLT_ALPHA = 0.5   # level gain  (exact binary fraction)
+_HOLT_BETA = 0.25   # trend gain  (exact binary fraction)
+
+
+def _holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event type over the daily
+    mean series, with a walk-forward backtest: every step's one-ahead
+    forecast error |x_t − (l_{t−1} + b_{t−1})| feeds a MAE, and the
+    final (level, trend) yields the next-day forecast — the capacity /
+    volume-planning primitive over a metric stream.
+
+    Same scale + parity shape as ``cusum_drift``: corpus → per-(type,
+    day) aggregate map-side, the tiny series through one per-group
+    ``applyInPandas``; the recursion (level, trend, error sum) is
+    carried through a DuckDB recursive CTE with the IDENTICAL IEEE
+    association, so even the error accumulation order is pinned and
+    the gate hash-matches every output digit."""
+    import pandas as pd
+
+    from ..functions.stable import stable_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(stable_avg("value", scale=6, dec="decimal(38,12)").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values("d")
+        xs = [float(v) for v in pdf["x"]]
+        l, b, esum = xs[0], 0.0, 0.0
+        for x in xs[1:]:
+            f = l + b
+            esum = esum + abs(x - f)
+            l_new = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (l + b)
+            b = _HOLT_BETA * (l_new - l) + (1.0 - _HOLT_BETA) * b
+            l = l_new
+        q = lambda v: math.floor(v * 1000000.0 + 0.5) / 1000000.0
+        n = len(xs)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [n],
+                "level": [q(l)],
+                "trend": [q(b)],
+                "forecast_next": [q(l + b)],
+                "mae": [q(esum / (n - 1)) if n > 1 else None],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_next double, mae double",
+    )
+
+
+register(
+    Query(
+        name="holt_forecast",
+        spark=_holt_forecast,
+        oracle=f"""
+            WITH RECURSIVE daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d,
+                       {sql_stable_avg('value', 6, 'decimal(38,12)')} AS x
+                FROM events
+                GROUP BY 1, 2
+                HAVING count(value) > 0
+            ),
+            seq AS (
+                SELECT event_type, d, x,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY d) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM daily
+            ),
+            h AS (
+                SELECT event_type, rn, n, x AS l,
+                       CAST(0.0 AS DOUBLE) AS b,
+                       CAST(0.0 AS DOUBLE) AS esum
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.event_type, s.rn, s.n,
+                       {_HOLT_ALPHA!r} * s.x
+                           + (1.0 - {_HOLT_ALPHA!r}) * (h.l + h.b),
+                       {_HOLT_BETA!r} * (({_HOLT_ALPHA!r} * s.x
+                           + (1.0 - {_HOLT_ALPHA!r}) * (h.l + h.b)) - h.l)
+                           + (1.0 - {_HOLT_BETA!r}) * h.b,
+                       h.esum + abs(s.x - (h.l + h.b))
+                FROM h JOIN seq s
+                  ON s.event_type = h.event_type AND s.rn = h.rn + 1
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_days,
+                   floor(l * 1000000.0 + 0.5) / 1000000.0 AS level,
+                   floor(b * 1000000.0 + 0.5) / 1000000.0 AS trend,
+                   floor((l + b) * 1000000.0 + 0.5) / 1000000.0
+                       AS forecast_next,
+                   CASE WHEN n > 1
+                        THEN floor(esum / (n - 1) * 1000000.0 + 0.5)
+                             / 1000000.0
+                        END AS mae
+            FROM h
+            WHERE rn = n
+        """,
+        tags=("stats", "forecast"),
+        doc="Holt double-exponential smoothing + walk-forward MAE per "
+        "event type (sequential recursion via per-group applyInPandas; "
+        "recursive-CTE mirror carries level, trend AND the error sum "
+        "so the accumulation order is pinned)",
+    )
+)

@@ -60,6 +60,7 @@ BATTERY = [
     "mad_outliers",
     "rolling_zscore_anomaly",
     "cusum_drift",
+    "holt_forecast",
     # remaining events-table families: as-of correlation under ties,
     # CDC collapse, seasonality, OHLC cascade, gap interpolation, date
     # spines, JSON access, pixel-model composites and classification

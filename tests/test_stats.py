@@ -830,3 +830,54 @@ def test_cusum_drift_detects_level_shift(spark, tmp_path):
     # the alarm must postdate the change point (no false positive in
     # the baseline regime: pre-shift deviations are negative)
     assert first >= str((base + dt.timedelta(days=10)).date())
+
+
+def test_holt_forecast_converges_on_linear_series(spark, tmp_path):
+    """On an exactly linear series x_t = 10 + 2t the Holt trend must
+    converge toward the true slope and the one-ahead errors must
+    shrink — checked against a pure-Python mirror of the recursion."""
+    import datetime as dt
+    import math
+    import os
+    import shutil
+
+    from gee_datapipeline_spark.plans.stats_queries import (
+        _HOLT_ALPHA,
+        _HOLT_BETA,
+        _holt_forecast,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    vals = [10.0 + 2.0 * t for t in range(25)]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "linear", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(out, part), str(tmp_path / "events.parquet"))
+
+    r = _holt_forecast(spark, str(tmp_path)).collect()[0]
+
+    l, b, esum = vals[0], 0.0, 0.0
+    for x in vals[1:]:
+        esum = esum + abs(x - (l + b))
+        l_new = _HOLT_ALPHA * x + (1.0 - _HOLT_ALPHA) * (l + b)
+        b = _HOLT_BETA * (l_new - l) + (1.0 - _HOLT_BETA) * b
+        l = l_new
+    q = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+    assert r.n_days == 25
+    assert r.level == q(l)
+    assert r.trend == q(b)
+    assert r.forecast_next == q(l + b)
+    assert r.mae == q(esum / 24)
+    # convergence: the learned trend is close to the true slope and
+    # the next-day forecast is close to the true next value (60)
+    assert abs(r.trend - 2.0) < 0.1
+    assert abs(r.forecast_next - 60.0) < 0.5
