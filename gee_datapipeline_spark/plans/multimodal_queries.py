@@ -688,12 +688,18 @@ register(
 )
 
 
-def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream join with a FULL oracle: day-1 clicks and day-1
-    errors stream in as two independent feeds and are correlated per
-    user within a 10-minute horizon (streaming.jobs.correlate_streams).
-    An inner time-bounded join over a bounded replay must equal the
-    batch join — SQL-expressible, so the driver value-hashes it."""
+def _run_correlate_gate(
+    spark: SparkSession, sf_dir: str, how: str
+) -> DataFrame:
+    """Shared replay harness for the stream-stream correlate gates:
+    day-1 clicks and day-1 errors become two file-source feeds through
+    ``correlate_streams``. For ``leftOuter`` a watermark-advancing
+    sentinel micro-batch is appended to each side (event time far past
+    day-1 + horizon + watermark; keys -1/-2 so sentinels can never
+    join anything real) to force the unmatched-left rows out of the
+    expiring state; sentinels are filtered from the result."""
+    from pyspark.sql import types as T
+
     from ..streaming.jobs import (
         correlate_streams,
         run_to_memory,
@@ -709,24 +715,50 @@ def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", "user_id", "value"
         )
 
-    root = tempfile.mkdtemp(prefix="gee_stream_corr_gate_")
-    try:
-        from pyspark.sql import types as T
+    outer = how == "leftOuter"
+    # watermark(2h) + horizon(10min) + margin past the day's last event
+    sentinel_ts = (
+        day.agg((F.max("ts") + F.expr("interval 4 hours")).alias("t"))
+        .first()["t"]
+        if outer
+        else None
+    )
 
+    root = tempfile.mkdtemp(prefix=f"gee_stream_corr_{how}_gate_")
+    try:
         schema = T._parse_datatype_string(
             "ts timestamp, user_id long, value double"
         )
         sides = {}
-        for side, etype in (("l", "click"), ("r", "error")):
+        for side, etype, skey in (("l", "click", -1), ("r", "error", -2)):
             src = os.path.join(root, side)
             os.makedirs(src)
             feed(etype).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(src, "b1")
             )
+            if outer:
+                spark.createDataFrame(
+                    [(sentinel_ts, skey, 0.0)], schema
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(src, "b2")
+                )
+                # the file source orders micro-batches by modification
+                # time; the sentinel MUST arrive after the data batch
+                # or its watermark would mark the real rows
+                # late-and-dropped
+                now = time.time()
+                for sub, off in (("b1", 0.0), ("b2", 30.0)):
+                    d = os.path.join(src, sub)
+                    for f in os.listdir(d):
+                        os.utime(
+                            os.path.join(d, f), (now + off, now + off)
+                        )
             sides[side] = stream_from_dir(spark, src + "/*", schema)
-        name = f"gate_corr_{abs(hash(root)) % 10**9}"
+        name = f"gate_corr_{how}_{abs(hash(root)) % 10**9}"
         q = run_to_memory(
-            correlate_streams(sides["l"], sides["r"], key="user_id"),
+            correlate_streams(
+                sides["l"], sides["r"], key="user_id", how=how
+            ),
             name,
             os.path.join(root, "ckpt"),
         )
@@ -734,7 +766,10 @@ def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        return spark.table(name).select(
+        out = spark.table(name)
+        if outer:
+            out = out.filter(F.col("l_key") >= 0)
+        return out.select(
             F.col("l_key").alias("user_id"),
             F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
                 "click_ts"
@@ -747,6 +782,15 @@ def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _streaming_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join with a FULL oracle: day-1 clicks and day-1
+    errors stream in as two independent feeds and are correlated per
+    user within a 10-minute horizon (streaming.jobs.correlate_streams).
+    An inner time-bounded join over a bounded replay must equal the
+    batch join — SQL-expressible, so the driver value-hashes it."""
+    return _run_correlate_gate(spark, sf_dir, "inner")
 
 
 register(
@@ -781,91 +825,11 @@ def _streaming_correlate_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join with a FULL oracle: same feeds as
     ``streaming_correlate``, but clicks with NO error inside the
     horizon must ALSO emit (NULL-filled) — which only happens once the
-    watermark proves them unmatched. The gate appends a
-    watermark-advancing sentinel micro-batch to each side (event time
-    far past day-1 + horizon + watermark, keys -1/-2 so the sentinels
-    can never join anything real), forcing every pending outer row out
-    of the state store; sentinels are filtered from the result. The
-    total output must equal the batch LEFT JOIN — SQL-expressible, so
-    the driver value-hashes the whole semantics including the
-    unmatched tail."""
-    from ..streaming.jobs import (
-        correlate_streams,
-        run_to_memory,
-        stream_from_dir,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    first_day = ev.agg(F.min(F.to_date("ts")).alias("d")).first()["d"]
-    day = ev.filter(F.to_date("ts") == F.lit(first_day))
-
-    def feed(event_type: str) -> DataFrame:
-        return day.filter(F.col("event_type") == event_type).select(
-            "ts", "user_id", "value"
-        )
-
-    # watermark(2h) + horizon(10min) + margin past the day's last event
-    sentinel_ts = day.agg(
-        (F.max("ts") + F.expr("interval 4 hours")).alias("t")
-    ).first()["t"]
-
-    root = tempfile.mkdtemp(prefix="gee_stream_corr_outer_gate_")
-    try:
-        from pyspark.sql import types as T
-
-        schema = T._parse_datatype_string(
-            "ts timestamp, user_id long, value double"
-        )
-        sides = {}
-        for side, etype, skey in (("l", "click", -1), ("r", "error", -2)):
-            src = os.path.join(root, side)
-            os.makedirs(src)
-            feed(etype).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src, "b1")
-            )
-            spark.createDataFrame(
-                [(sentinel_ts, skey, 0.0)], schema
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(src, "b2")
-            )
-            # the file source orders micro-batches by modification
-            # time; the sentinel MUST arrive after the data batch or
-            # its watermark would mark the real rows late-and-dropped
-            now = time.time()
-            for sub, off in (("b1", 0.0), ("b2", 30.0)):
-                d = os.path.join(src, sub)
-                for f in os.listdir(d):
-                    os.utime(os.path.join(d, f), (now + off, now + off))
-            sides[side] = stream_from_dir(spark, src + "/*", schema)
-        name = f"gate_corr_outer_{abs(hash(root)) % 10**9}"
-        q = run_to_memory(
-            correlate_streams(
-                sides["l"], sides["r"], key="user_id", how="leftOuter"
-            ),
-            name,
-            os.path.join(root, "ckpt"),
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return (
-            spark.table(name)
-            .filter(F.col("l_key") >= 0)
-            .select(
-                F.col("l_key").alias("user_id"),
-                F.date_format(
-                    "l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
-                ).alias("click_ts"),
-                F.date_format(
-                    "r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"
-                ).alias("error_ts"),
-                F.round("l_value", 6).alias("click_value"),
-                F.round("r_value", 6).alias("error_value"),
-            )
-        )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    watermark proves them unmatched (see ``_run_correlate_gate`` for
+    the sentinel mechanics). The total output must equal the batch
+    LEFT JOIN — SQL-expressible, so the driver value-hashes the whole
+    semantics including the unmatched tail."""
+    return _run_correlate_gate(spark, sf_dir, "leftOuter")
 
 
 register(

@@ -867,14 +867,20 @@ _DP_EPS = 1.0  # ε for one release of the lang×source histogram
 _DP_TAU = 10.0  # post-noise suppression threshold (small-cell guard)
 _DP_DENOM = float((1 << 60) + 1)  # u = (h+1)/DENOM ∈ (0,1], never 0
 
-# 60-bit md5 integer of the cell key, as portable SQL (the A-ES
-# uniform-from-md5 idiom from weighted_sample_wor).
-_SQL_CELL_H = " + ".join(
-    f"(strpos('0123456789abcdef', "
-    f"substr(md5(concat_ws('|', lang, source)), {i + 1}, 1)) - 1)"
-    f" * {16 ** (14 - i)}"
-    for i in range(15)
-)
+
+def _sql_h60(mh: str) -> str:
+    """60-bit integer from the first 15 hex chars of an md5 expression
+    (DuckDB mirror of Spark's ``conv(substring(md5, 1, 15), 16, 10)``;
+    the A-ES uniform-from-md5 idiom from ``weighted_sample_wor``)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({mh}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+# 60-bit md5 integer of the cell key, as portable SQL.
+_SQL_CELL_H = _sql_h60("md5(concat_ws('|', lang, source))")
 
 
 def _dp_noisy_counts(
@@ -1013,18 +1019,7 @@ _POIS1_CUM = [
     0.9999998885745216,
 ]
 _BOOT_B = 32  # bootstrap replicates
-_BOOT_DENOM = float((1 << 60) + 1)  # u = (h+1)/DENOM ∈ (0,1], never 0
-
-
-def _sql_h60(mh: str) -> str:
-    """60-bit integer from the first 15 hex chars of an md5 column
-    (DuckDB mirror of Spark's ``conv(substring(md5, 1, 15), 16, 10)``;
-    the strpos ladder idiom from ``weighted_sample_wor``)."""
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({mh}, {i + 1}, 1)) - 1)"
-        f" * {16 ** (14 - i)}"
-        for i in range(15)
-    )
+# u = (h+1)/_DP_DENOM ∈ (0,1] — the same 60-bit idiom as the DP release
 
 
 def _sql_pois1(u: str) -> str:
@@ -1083,7 +1078,7 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber"),
     )
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    u = (h + F.lit(1)).cast("double") / F.lit(_BOOT_DENOM)
+    u = (h + F.lit(1)).cast("double") / F.lit(_DP_DENOM)
     w = _pois1(u)
     per_rep = (
         rep.select("l_returnflag", "b", "rev", w.alias("w"))
@@ -1142,13 +1137,15 @@ register(
                      (SELECT unnest(generate_series(0, {_BOOT_B - 1}))
                           AS b)
             ),
-            weighted AS (
+            seeded AS (
                 SELECT l_returnflag, b, rev,
-                       {_sql_pois1(
-                           f"(CAST(({_sql_h60('mh')}) + 1 AS DOUBLE)"
-                           f" / {_BOOT_DENOM!r})"
-                       )} AS w
+                       CAST(({_sql_h60('mh')}) + 1 AS DOUBLE)
+                           / {_DP_DENOM!r} AS u
                 FROM rep
+            ),
+            weighted AS (
+                SELECT l_returnflag, b, rev, {_sql_pois1('u')} AS w
+                FROM seeded
             ),
             per_rep AS (
                 SELECT l_returnflag,

@@ -19,7 +19,7 @@ from gee_datapipeline_spark.plans.curation_queries import (
 )
 from gee_datapipeline_spark.plans.stats_queries import (
     _BOOT_B,
-    _BOOT_DENOM,
+    _DP_DENOM,
     _POIS1_CUM,
     _bootstrap_ci,
 )
@@ -117,9 +117,12 @@ def test_span_extract_spans_are_maximal_on_testdata(spark):
     for spans in by_doc.values():
         spans.sort(key=lambda r: r.span_start)
         for a, b in zip(spans, spans[1:]):
-            # maximality: adjacent islands can't touch (a gap of at
-            # least one non-duplicated window separates them)
-            assert b.span_start - SPAN_K + 1 > a.span_end - SPAN_K + 1
+            # maximality: islands of duplicated OFFSETS can't touch —
+            # b's first offset (b.span_start) must leave a gap of at
+            # least one non-duplicated offset after a's last offset
+            # (a.span_end - SPAN_K). Spans themselves MAY overlap by
+            # up to SPAN_K - 1 tokens.
+            assert b.span_start > a.span_end - SPAN_K + 1
 
 
 # ------------------------------------------------- Poisson bootstrap
@@ -155,14 +158,14 @@ def test_bootstrap_weights_match_python_md5(spark):
         F.col("l_linenumber"),
     )
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
-    u = (h + F.lit(1)).cast("double") / F.lit(_BOOT_DENOM)
+    u = (h + F.lit(1)).cast("double") / F.lit(_DP_DENOM)
     got = {
         (r.b, r.l_orderkey, r.l_linenumber): r.w
         for r in df.select("*", _pois1(u).alias("w")).collect()
     }
     for (b, ok, ln), w in got.items():
         mh = hashlib.md5(f"boot|{b}|{ok}|{ln}".encode()).hexdigest()
-        uu = (int(mh[:15], 16) + 1) / _BOOT_DENOM
+        uu = (int(mh[:15], 16) + 1) / _DP_DENOM
         assert w == _pois1_ref(uu)
 
 
