@@ -1085,7 +1085,7 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "b")
         .agg(
             F.sum(
-                F.col("rev").cast("decimal(38,12)") * F.col("w")
+                F.col("rev").cast("decimal(30,6)") * F.col("w")
             ).alias("num"),
             F.sum("w").cast("long").alias("den"),
         )
@@ -1104,7 +1104,7 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_rep.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_boot"),
-            stable_avg("m", scale=6, dec="decimal(38,12)").alias(
+            stable_avg("m", scale=6, dec="decimal(30,6)").alias(
                 "boot_mean"
             ),
             F.sort_array(F.collect_list("m")).alias("ms"),
@@ -1149,7 +1149,7 @@ register(
             ),
             per_rep AS (
                 SELECT l_returnflag,
-                       floor(CAST(sum(CAST(rev AS DECIMAL(38,12)) * w)
+                       floor(CAST(sum(CAST(rev AS DECIMAL(30,6)) * w)
                                   AS DOUBLE)
                              / CAST(sum(w) AS BIGINT)
                              * 1000000.0 + 0.5) / 1000000.0 AS m
@@ -1160,7 +1160,7 @@ register(
             packed AS (
                 SELECT l_returnflag,
                        count(*) AS n_boot,
-                       cast(floor(cast(sum(cast(m as decimal(38,12)))
+                       cast(floor(cast(sum(cast(m as decimal(30,6)))
                                        as double)
                                   / count(m) * 1000000.0 + 0.5)
                             / 1000000.0 as double) AS boot_mean,
@@ -1221,7 +1221,7 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x").isNotNull())
     )
     target = daily.groupBy("event_type").agg(
-        stable_avg("x", scale=6, dec="decimal(38,12)").alias("target")
+        stable_avg("x", scale=6, dec="decimal(30,6)").alias("target")
     )
     joined = daily.join(F.broadcast(target), "event_type")
 
@@ -1271,7 +1271,7 @@ register(
             ),
             tgt AS (
                 SELECT event_type,
-                       {sql_stable_avg('x', 6, 'decimal(38,12)')} AS target
+                       {sql_stable_avg('x', 6, 'decimal(30,6)')} AS target
                 FROM daily GROUP BY 1
             ),
             seq AS (
