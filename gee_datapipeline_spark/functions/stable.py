@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 
 DECIMAL = "decimal(30,6)"
 # For unit-scale quantities (embeddings, ratios) use a finer quantum.
+#
+# CAUTION — choose the scale by the INPUT's true precision, never "as
+# fine as possible": Spark converts double→decimal through the
+# shortest decimal string (BigDecimal.valueOf) while DuckDB rounds the
+# exact binary expansion. For a double whose TRUE value has k decimal
+# places (a 2-dp price × a 2-dp rate, a 6-dp stable_round output), the
+# binary noise is ~ulp ≈ 1e-11 at 1e4-magnitudes — far ABOVE the
+# scale-12 half-unit, so at scale 12 the two conversions disagree on
+# EVERY row (Spark: ...500000000000; DuckDB: ...499999999952) and the
+# residue can flip a downstream floor-round (caught by the r8 lineitem
+# soak in bootstrap_ci). At scale 6 the noise is far BELOW the
+# half-unit and both engines recover the identical decimal. Use
+# DECIMAL_FINE only for raw measurement doubles/floats, where the
+# shortest string carries full precision and disagreement needs a
+# ~1e-5-probability midpoint straddle (policed by the fuzz soaks).
 DECIMAL_FINE = "decimal(38,12)"
 
 # Escape hatch for deployments that don't need the cross-engine /
