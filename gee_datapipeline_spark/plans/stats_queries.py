@@ -1064,6 +1064,15 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
         .alias("rev"),
     )
+    # Spread the narrow base BEFORE the ×B inflation: the scan yields
+    # as few partitions as the file layout (3 at sf0.1 locally), and
+    # every input row fans out ×32 md5 computations — without this the
+    # digest work runs on 3 of 32 cores. One cheap shuffle of the
+    # 4-column projection; at cluster scale the same line keeps the
+    # inflation balanced across executors regardless of file count.
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     rep = li.select(
         "*",
         F.explode(
@@ -1079,9 +1088,19 @@ def _bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
     u = (h + F.lit(1)).cast("double") / F.lit(_DP_DENOM)
-    w = _pois1(u)
+    # Materialize u in its OWN projection before the CASE ladder.
+    # Spark's subexpression elimination deliberately does not hoist
+    # expressions that appear only inside conditional branches (they
+    # must stay lazily evaluated), so an inlined u would re-run
+    # md5+conv in every WHEN arm — ~10 digests per row instead of one
+    # (measured 49 s → ~5 s at sf0.1). CollapseProject keeps the
+    # split: it never merges a projection whose alias is referenced
+    # many times by a non-cheap expression.
+    seeded = rep.select("l_returnflag", "b", "rev", u.alias("u"))
     per_rep = (
-        rep.select("l_returnflag", "b", "rev", w.alias("w"))
+        seeded.select(
+            "l_returnflag", "b", "rev", _pois1(F.col("u")).alias("w")
+        )
         .groupBy("l_returnflag", "b")
         .agg(
             F.sum(
