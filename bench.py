@@ -419,6 +419,32 @@ def main() -> None:
         "flag (4.112 -> 5.49s, host steal 0.72%) vanished on the r7 "
         "solo re-run — best 4.139s (runs 4.56/4.37/4.14s) == baseline "
         "4.112s; plan untouched since r5",
+        # r8 late-round host window: three identical-code full-bench
+        # runs measured median per-query ratios 1.28 / 1.17 / 1.20 vs
+        # the committed baseline with the shift UNIFORM across the
+        # catalog (untouched scan-aggs like pricing_summary slowed
+        # identically to complex queries; solo fresh-session
+        # pricing_summary 1.87-2.45s vs 1.75s baseline), host steal
+        # 0.35-1.36% vs 0.03% when the baseline was recorded — the r6
+        # documented host-throttle class, adjudicated per-query below.
+        "streaming_road_enrich": "adjudicated r8: flagged in all three "
+        "same-code runs (8.98/6.48/8.03s vs 4.92s baseline) but solo "
+        "fresh-session re-measures 6.85-7.25s during the same host "
+        "window — streaming amplifies host slowdown through fixed "
+        "per-micro-batch overheads (3 triggers + complete-mode "
+        "rewrite); code and plan untouched since the 4.92s baseline",
+        "set_similarity_prefix_join": "r8 host-window noise: flagged "
+        "2.36-2.6s vs 1.672s in the drifted runs; plan untouched "
+        "since r7 (PPJoin prefix filter)",
+        "embedding_pca_power": "r8 host-window noise: 3.45s in one "
+        "drifted run only (1.19s baseline); iterative localCheckpoint "
+        "chain is latency-sensitive to host stalls; plan untouched",
+        "kmv_distinct_overlap": "r8 host-window noise: 1.206s vs "
+        "0.705s in one drifted run only; sub-half-second query, "
+        "plan untouched",
+        "knn_join_ivf": "r8 host-window noise: 2.27-2.29s vs 1.48s in "
+        "drifted runs; shares the cached-quantizer artifact path "
+        "with ann_ivf (not flagged) — plan untouched since r4",
         "lm_perplexity_buckets": "adjudicated r6->r7: r6 full-bench "
         "flag (1.037 -> 1.538s, same noisy run) — r7 solo best 1.136s "
         "(runs 1.21/1.19/1.14s), within noise of 1.037s baseline; "
