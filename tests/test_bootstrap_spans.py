@@ -201,3 +201,20 @@ def test_bootstrap_ci_empty_lineitem(spark, tmp_path):
         str(tmp_path / "lineitem.parquet"),
     )
     assert _bootstrap_ci(spark, str(tmp_path)).count() == 0
+
+
+def test_bootstrap_ci_plan_runs_one_md5_per_row(spark):
+    """Pin the perf-critical plan shape (ADVICE r8): the 18x win in
+    commit 26103f1 relies on the seeded projection NOT being collapsed
+    into the CASE ladder — if a future Spark version starts merging
+    the projection (CollapseProject) or CSE-ing into CASE branches,
+    md5 would run ~10x per row and the query would silently regress
+    from ~2s back to ~49s at sf0.1 with no functional signal. The
+    optimized plan must therefore contain exactly ONE md5 call."""
+    plan = (
+        _bootstrap_ci(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5(") == 1, plan
