@@ -50,16 +50,41 @@ def haversine_km(
     return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 
+def _lon_grid(cell_deg: float) -> tuple[int, float]:
+    """(column count, effective cell width) for a longitude grid that
+    tiles the 360-degree circle exactly — the count ROUNDS DOWN so the
+    effective width is >= the requested one (never narrower than the
+    join radius) and every column has equal width (no seam sliver)."""
+    cols = max(1, int(math.floor(360.0 / cell_deg)))
+    return cols, 360.0 / cols
+
+
 def grid_cell(
     lon: Column, lat: Column, cell_deg: float, cell_lat_deg: float | None = None
 ) -> Column:
     """Integer grid-cell id — the geohash-style bucketing key for
     proximity joins. Encoded as one long (row-major over a global grid).
     ``cell_deg`` sizes the longitude axis; ``cell_lat_deg`` (default: same)
-    sizes latitude, so the two axes can use different km-per-degree."""
+    sizes latitude, so the two axes can use different km-per-degree.
+
+    The longitude index wraps modulo the cell count (r9): the global
+    NRT feed (NASA/LANCE/SNPP_VIIRS/C2,
+    DataDownloader_SNPP_VIIRS_V1.py:138-141) straddles the
+    antimeridian, where a point at lon 179.99 and one at -179.99 are
+    ~2 km apart and MUST share a neighborhood — and lon exactly +180
+    (a legal GeoJSON coordinate) must alias cell 0, not fall off the
+    grid's east edge. The lon axis therefore tiles the circle EXACTLY:
+    ``cols = floor(360/cell_deg)`` columns of effective width
+    ``360/cols >= cell_deg`` — rounding the count UP instead would
+    leave a final sliver column narrower than the radius, and a 1-cell
+    halo would under-reach across the seam (a point just east of
+    ±180 would see only the sliver, not the full-width cell west of
+    it)."""
     lat_deg = cell_deg if cell_lat_deg is None else cell_lat_deg
-    cols = int(math.ceil(360.0 / cell_deg))
-    cx = F.floor((lon + 180.0) / cell_deg).cast("long")
+    cols, lon_deg = _lon_grid(cell_deg)
+    cx = F.pmod(
+        F.floor((lon + 180.0) / lon_deg).cast("long"), F.lit(cols)
+    )
     cy = F.floor((lat + 90.0) / lat_deg).cast("long")
     return cy * F.lit(cols) + cx
 
@@ -69,14 +94,17 @@ def neighbor_cells(
 ) -> Column:
     """The 3x3 cell neighborhood around a point — points are exploded to
     all 9 cells so any pixel within one cell size of the point shares at
-    least one cell (no missed pairs at cell borders)."""
+    least one cell (no missed pairs at cell borders). The longitude
+    offsets wrap modulo the cell count (see :func:`grid_cell`), so the
+    neighborhood of a cell on the ±180 seam includes the cells on the
+    other side of the seam."""
     lat_deg = cell_deg if cell_lat_deg is None else cell_lat_deg
-    cols = int(math.ceil(360.0 / cell_deg))
-    cx = F.floor((lon + 180.0) / cell_deg).cast("long")
+    cols, lon_deg = _lon_grid(cell_deg)
+    cx = F.floor((lon + 180.0) / lon_deg).cast("long")
     cy = F.floor((lat + 90.0) / lat_deg).cast("long")
     return F.array(
         *[
-            (cy + dy) * F.lit(cols) + (cx + dx)
+            (cy + dy) * F.lit(cols) + F.pmod(cx + dx, F.lit(cols))
             for dy in (-1, 0, 1)
             for dx in (-1, 0, 1)
         ]
@@ -159,6 +187,29 @@ def proximity_join(
 KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
 
 
+def wrap_dlon(d: Column) -> Column:
+    """Normalize a longitude DIFFERENCE to the near image across the
+    antimeridian: |d| <= 180 passes through BIT-EXACT (no arithmetic
+    touches it, so every existing oracle value is unchanged); |d| > 180
+    is shifted by ±360 so a pixel at lon -179.99 measures ~0.02 deg
+    from a vertex at 179.99, not ~360. Mirrored token-for-token in
+    :func:`sql_wrap_dlon`."""
+    return F.when(
+        F.abs(d) > 180.0,
+        F.when(d > 0.0, d - 360.0).otherwise(d + 360.0),
+    ).otherwise(d)
+
+
+def sql_wrap_dlon(d: str) -> str:
+    """DuckDB mirror of :func:`wrap_dlon` — same branch structure, same
+    constants, so the result doubles are bit-identical."""
+    return (
+        f"(CASE WHEN abs({d}) > 180.0 THEN "
+        f"(CASE WHEN {d} > 0.0 THEN {d} - 360.0 ELSE {d} + 360.0 END) "
+        f"ELSE {d} END)"
+    )
+
+
 def line_vertices(features: DataFrame) -> DataFrame:
     """Explode LineString features into one row per vertex.
 
@@ -222,9 +273,11 @@ def point_to_segment_km(
     ``sql_point_to_segment_km``."""
     ky = F.lit(KM_PER_DEG)
     kx = ky * F.cos(F.radians((lat1 + lat2) / F.lit(2.0)))
-    ax = (lon1 - plon) * kx
+    # wrap_dlon is a bit-exact identity for |dlon| <= 180, so only
+    # genuinely seam-crossing pairs see the ±360 shift (r9).
+    ax = wrap_dlon(lon1 - plon) * kx
     ay = (lat1 - plat) * ky
-    bx = (lon2 - plon) * kx
+    bx = wrap_dlon(lon2 - plon) * kx
     by = (lat2 - plat) * ky
     dx = bx - ax
     dy = by - ay
@@ -248,9 +301,9 @@ def sql_point_to_segment_km(
     the same order on the same repr'd constant, so the result doubles
     are bit-identical."""
     kx = f"({KM_PER_DEG!r} * cos(radians(({lat1} + {lat2}) / 2.0)))"
-    ax = f"(({lon1} - {plon}) * {kx})"
+    ax = f"({sql_wrap_dlon(f'({lon1} - {plon})')} * {kx})"
     ay = f"(({lat1} - {plat}) * {KM_PER_DEG!r})"
-    bx = f"(({lon2} - {plon}) * {kx})"
+    bx = f"({sql_wrap_dlon(f'({lon2} - {plon})')} * {kx})"
     by = f"(({lat2} - {plat}) * {KM_PER_DEG!r})"
     dx = f"({bx} - {ax})"
     dy = f"({by} - {ay})"
@@ -301,10 +354,11 @@ def line_proximity_pairs(
     is STATELESS, which is what makes it legal on an unbounded stream
     (stream-static broadcast enrich)."""
     cell_lat_deg = max(radius_km / 111.32, 1e-4)
-    cell_lon_deg = max(
+    # exact-tiling lon grid (see grid_cell): effective width >= the
+    # radius-derived request, count divides 360 so pmod wrap is sound
+    cols, cell_lon_deg = _lon_grid(max(
         radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
-    )
-    cols = int(math.ceil(360.0 / cell_lon_deg))
+    ))
 
     def cx_of(lon: Column) -> Column:
         return F.floor((lon + 180.0) / cell_lon_deg).cast("long")
@@ -314,10 +368,34 @@ def line_proximity_pairs(
 
     px = pixels.withColumn(
         "__cell",
-        cy_of(F.col(pixel_lat)) * F.lit(cols) + cx_of(F.col(pixel_lon)),
+        cy_of(F.col(pixel_lat)) * F.lit(cols)
+        + F.pmod(cx_of(F.col(pixel_lon)), F.lit(cols)),
     )
-    lo1, la1 = F.col("lon1"), F.col("lat1")
-    lo2, la2 = F.col("lon2"), F.col("lat2")
+    la1, la2 = F.col("lat1"), F.col("lat2")
+    # Antimeridian discipline (r9): a segment whose raw endpoints span
+    # more than 180 deg of longitude CROSSES the seam; its covering
+    # cell range in raw coordinates would be the whole globe's width
+    # and its planar distance is ill-defined without splitting. RFC
+    # 7946 §3.1.9 requires such lines be cut at the antimeridian
+    # upstream, so reject them as loudly as lat_cap_deg violations —
+    # the guard is load-bearing (it feeds the cell computation), so
+    # Catalyst cannot prune it. Segments NEAR the seam but not
+    # crossing it are handled: exploded cells wrap modulo the column
+    # count and the distance uses wrap_dlon.
+    def checked(lon: Column) -> Column:
+        return F.when(
+            F.abs(F.col("lon1") - F.col("lon2")) <= 180.0, lon
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "line_proximity_pairs: segment spans >180 deg of "
+                    "longitude (antimeridian-crossing); cut the line "
+                    "at the seam first (RFC 7946 s3.1.9)"
+                )
+            ).cast("double")
+        )
+
+    lo1, lo2 = checked(F.col("lon1")), checked(F.col("lon2"))
     seg = (
         segments.withColumn(
             "__cx", F.explode(F.sequence(
@@ -332,7 +410,10 @@ def line_proximity_pairs(
             ))
         )
         .select(
-            (F.col("__cy") * F.lit(cols) + F.col("__cx")).alias("__cell"),
+            (
+                F.col("__cy") * F.lit(cols)
+                + F.pmod(F.col("__cx"), F.lit(cols))
+            ).alias("__cell"),
             F.col("feature_id").alias("pt_feature_id"),
             "lon1", "lat1", "lon2", "lat2",
         )

@@ -196,3 +196,165 @@ def test_fuzz_rect_union_area_vs_cell_count(spark, groups):
         for r in rect_union_area(df, group=["g"]).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------- r9: line geometry
+#
+# The r8 line operators (line_vertices / line_segments /
+# proximity_join_lines) had brute-force equality tests at fixed
+# fixtures only; this battery hypothesis-randomizes the polylines —
+# collinear runs, zero-length (duplicate-vertex) segments, duplicate
+# segments, vertices exactly on grid-cell boundaries — and checks the
+# bucketed join against an exact per-pair brute force that mirrors
+# point_to_segment_km's operation order. The radius comparison is
+# ulp-tolerant (JVM Math.cos vs C libm may differ in the last bit), so
+# the assertions are two-sided set containment with a 1e-9 km guard
+# band plus per-pair distance agreement to 1e-9 — twelve orders below
+# the km scale of the distances, so a real candidate-drop or formula
+# bug cannot hide inside the band.
+
+import json as _json
+import math as _math
+
+from gee_datapipeline_spark.functions.geo import (
+    KM_PER_DEG,
+    line_segments,
+    line_vertices,
+    proximity_join_lines,
+)
+
+# 0.05-degree lattice over [0, 2]: multiples of the 0.1-degree
+# latitude cell (radius 11.132 km) land EXACTLY on cell boundaries,
+# exercising the halo logic every example.
+_LCOORD = st.integers(0, 40).map(lambda k: k * 0.05)
+_LINE_RADIUS_KM = 11.132
+_EPS_KM = 1e-9
+
+
+def _ref_seg_km(plon, plat, lon1, lat1, lon2, lat2) -> float:
+    """Pure-Python mirror of point_to_segment_km, same op order."""
+    ky = KM_PER_DEG
+    kx = ky * _math.cos(_math.radians((lat1 + lat2) / 2.0))
+    ax = (lon1 - plon) * kx
+    ay = (lat1 - plat) * ky
+    bx = (lon2 - plon) * kx
+    by = (lat2 - plat) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t = (
+        0.0
+        if len2 == 0.0
+        else max(0.0, min(1.0, -(ax * dx + ay * dy) / len2))
+    )
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return _math.sqrt(cx * cx + cy * cy)
+
+
+@st.composite
+def _polylines(draw, max_features=4, max_vertices=6):
+    """Random polylines with adversarial shapes: duplicate vertices
+    (zero-length segments), repeated whole segments (lists are NOT
+    unique), and frequent collinear runs (the coarse lattice makes
+    axis-aligned collinearity common)."""
+    return [
+        draw(
+            st.lists(
+                st.tuples(_LCOORD, _LCOORD), min_size=2,
+                max_size=max_vertices,
+            )
+        )
+        for _ in range(draw(st.integers(1, max_features)))
+    ]
+
+
+@settings(
+    max_examples=_FUZZ_EX or 8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=_polylines(max_features=5, max_vertices=8))
+def test_fuzz_line_segments_vs_reference(spark, lines):
+    """GeoJSON-shaped features -> line_vertices -> line_segments
+    reproduces exactly the consecutive-vertex pairs, including
+    zero-length and duplicated segments (no dedup, no reorder)."""
+    rows = [
+        (
+            "fuzz",
+            f"f{i}",
+            "LineString",
+            {"__coordinates": _json.dumps(pts)},
+        )
+        for i, pts in enumerate(lines)
+    ]
+    feats = spark.createDataFrame(
+        rows, "source string, feature_id string, geom_type string, "
+        "props map<string,string>"
+    )
+    got = sorted(
+        (r.feature_id, r.seq, r.lon1, r.lat1, r.lon2, r.lat2)
+        for r in line_segments(line_vertices(feats)).collect()
+    )
+    want = sorted(
+        (f"f{i}", s, a[0], a[1], b[0], b[1])
+        for i, pts in enumerate(lines)
+        for s, (a, b) in enumerate(zip(pts, pts[1:]))
+    )
+    assert got == want
+
+
+@settings(
+    max_examples=_FUZZ_EX or 8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=_polylines(),
+    points=st.lists(
+        st.tuples(_LCOORD, _LCOORD), min_size=1, max_size=20,
+        unique=True,
+    ),
+)
+def test_fuzz_proximity_join_lines_vs_bruteforce(spark, lines, points):
+    """Bucketed point-to-line join == exact brute force over all
+    (pixel, feature) pairs: candidate-complete (no pair within
+    radius - eps missing), no false positives (every emitted pair is
+    within radius + eps), and min-over-segments distances agree to
+    1e-9 km."""
+    seg_rows = [
+        (f"f{i}", a[0], a[1], b[0], b[1])
+        for i, pts in enumerate(lines)
+        for a, b in zip(pts, pts[1:])
+    ]
+    segs = spark.createDataFrame(
+        seg_rows,
+        "feature_id string, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    px = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)],
+        "pid int, lon double, lat double",
+    )
+    got = {
+        (r.pid, r.pt_feature_id): r.distance_km
+        for r in proximity_join_lines(
+            px, segs, _LINE_RADIUS_KM
+        ).collect()
+    }
+    brute = {}
+    for i, (x, y) in enumerate(points):
+        for j, pts in enumerate(lines):
+            d = min(
+                _ref_seg_km(x, y, a[0], a[1], b[0], b[1])
+                for a, b in zip(pts, pts[1:])
+            )
+            brute[(i, f"f{j}")] = d
+    must_have = {
+        k for k, d in brute.items() if d <= _LINE_RADIUS_KM - _EPS_KM
+    }
+    missing = must_have - set(got)
+    assert not missing, f"candidate pairs dropped: {missing}"
+    for k, d in got.items():
+        assert brute[k] <= _LINE_RADIUS_KM + _EPS_KM, (k, d, brute[k])
+        assert abs(d - brute[k]) <= _EPS_KM, (k, d, brute[k])

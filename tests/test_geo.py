@@ -531,3 +531,136 @@ def test_parse_rings_drops_z_coordinate(spark):
     got2d = {r.id for r in clip_to_polygon(pts, geom2d).collect()}
     got3d = {r.id for r in clip_to_polygon(pts, geom3d).collect()}
     assert got2d == got3d == {1, 3}
+
+
+# ---------------------------------------------------- r9: antimeridian
+
+
+def test_proximity_join_across_antimeridian(spark):
+    """A fire at lon 179.99 and a station at -179.99 (same lat) are
+    ~2.2 km apart on the sphere; the wrapped grid must pair them. The
+    pair set equals brute-force haversine over ALL pixel-point combos,
+    including pixels at lon exactly +180 (legal GeoJSON, aliases
+    -180)."""
+    px = spark.createDataFrame(
+        [
+            (1, 179.99, 10.0),   # just west of the seam
+            (2, -179.99, 10.0),  # just east of the seam
+            (3, 180.0, 10.2),    # ON the seam, east alias
+            (4, 178.5, 10.0),    # ~165 km west of the seam: no match
+            (5, 179.99, 35.0),   # wrong latitude: no match
+        ],
+        "pid int, lon double, lat double",
+    )
+    pts = spark.createDataFrame(
+        [("sA", -179.995, 10.001), ("sB", 179.999, 10.195)],
+        "feature_id string, lon double, lat double",
+    )
+    radius = 10.0
+    got = {
+        (r.pid, r.pt_feature_id)
+        for r in proximity_join(px, pts, radius).collect()
+    }
+    brute = {
+        (r.pid, r.fid)
+        for r in px.crossJoin(
+            pts.select(
+                F.col("feature_id").alias("fid"),
+                F.col("lon").alias("alon"),
+                F.col("lat").alias("alat"),
+            )
+        )
+        .withColumn(
+            "d",
+            haversine_km(
+                F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+            ),
+        )
+        .filter(F.col("d") <= radius)
+        .collect()
+    }
+    assert got == brute
+    # the seam-straddling pairs specifically must be present: pixel 1
+    # (lon 179.99) to sA (lon -179.995) crosses the seam, as does
+    # pixel 3 (lon exactly +180) to sB (lon 179.999)
+    assert (1, "sA") in got and (2, "sA") in got and (3, "sB") in got
+
+
+def test_proximity_join_lines_across_antimeridian(spark):
+    """A road hugging the seam on the west side (lon 179.95..179.99)
+    must match pixels on the EAST side (lon -179.99) at their true
+    ~1-2 km distance — both the cell bucketing (pmod wrap) and the
+    planar distance (wrap_dlon) cross the seam. Equality against a
+    brute force that evaluates the same wrapped formula on all
+    pairs."""
+    from gee_datapipeline_spark.functions.geo import (
+        point_to_segment_km,
+        proximity_join_lines,
+    )
+
+    segs = spark.createDataFrame(
+        [
+            ("road_w", 179.95, 9.98, 179.99, 10.02),
+            ("road_far", 177.0, 10.0, 177.2, 10.0),
+        ],
+        "feature_id string, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    px = spark.createDataFrame(
+        [
+            (1, -179.99, 10.0),
+            (2, -179.95, 10.01),
+            (3, 179.97, 10.0),
+            (4, -178.0, 10.0),  # ~200 km east: no match
+        ],
+        "pid int, lon double, lat double",
+    )
+    radius = 10.0
+    fast = {
+        (r.pid, r.pt_feature_id): r.distance_km
+        for r in proximity_join_lines(px, segs, radius).collect()
+    }
+    brute_rows = (
+        px.crossJoin(
+            segs.select(
+                F.col("feature_id").alias("fid"),
+                F.col("lon1").alias("slon1"), F.col("lat1").alias("slat1"),
+                F.col("lon2").alias("slon2"), F.col("lat2").alias("slat2"),
+            )
+        )
+        .withColumn(
+            "d",
+            point_to_segment_km(
+                F.col("lon"), F.col("lat"),
+                F.col("slon1"), F.col("slat1"),
+                F.col("slon2"), F.col("slat2"),
+            ),
+        )
+        .groupBy("pid", "fid")
+        .agg(F.min("d").alias("d"))
+        .filter(F.col("d") <= radius)
+        .collect()
+    )
+    brute = {(r.pid, r.fid): r.d for r in brute_rows}
+    assert fast == brute
+    assert (1, "road_w") in fast and (3, "road_w") in fast
+    assert fast[(1, "road_w")] < 5.0  # true seam-crossing distance
+
+
+def test_proximity_join_lines_rejects_crossing_segment(spark):
+    """A segment whose endpoints span >180 deg of raw longitude crosses
+    the antimeridian; RFC 7946 requires cutting it upstream, so the
+    join must fail loudly, not silently explode to a globe-wide cell
+    range or compute a ~360-deg planar distance."""
+    from gee_datapipeline_spark.functions.geo import proximity_join_lines
+
+    segs = spark.createDataFrame(
+        [("bad", 179.9, 10.0, -179.9, 10.0)],
+        "feature_id string, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    px = spark.createDataFrame(
+        [(1, 179.99, 10.0)], "pid int, lon double, lat double"
+    )
+    with pytest.raises(Exception, match="antimeridian"):
+        proximity_join_lines(px, segs, 10.0).collect()
