@@ -220,6 +220,10 @@ HEADLINE = [
     # plans by oracle
     "skew_salted_join",
     "skew_salted_distinct",
+    # r9 Zipf skew A/B: same oracle, plain vs salted placement of the
+    # per-row fingerprint work (SCALE.md "Skew A/B" — measured ratio)
+    "skew_zipf_enrich_plain",
+    "skew_zipf_enrich_salted",
     # maximal duplicated-span extraction (gaps-and-islands over dup
     # windows) and the Poisson-bootstrap CI (x32 narrow inflation, one
     # map-side-combinable aggregate)

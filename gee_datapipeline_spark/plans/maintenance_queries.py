@@ -1298,3 +1298,190 @@ register(
         "the plain COUNT(DISTINCT)",
     )
 )
+
+
+# ------------------------------------------- r9: Zipf-keyed skew A/B
+
+# The salted operators above are oracle-gated for CORRECTNESS; this
+# pair measures the REASON THEY EXIST. Synthetic Zipf workload: a
+# cheap, DuckDB-mirrorable linear-congruential hash routes 60% of an
+# inflated lineitem fact onto ONE key (the rest spread over 997), the
+# fact is enriched against a per-key weight dimension via a
+# shuffle-hash join (the hint models a dimension past the broadcast
+# threshold — at 100 TB per-key reference tables are fact-derived and
+# big), and every joined row then pays a REAL per-row cost: a 60-bit
+# md5 audit fingerprint over the enriched attributes (the
+# corpus_checksum idiom, post-enrichment). That per-row work runs in
+# the reduce stage, cannot be pushed below the join, and cannot be
+# partial-aggregated away — so in the plain plan the hot key's entire
+# row set fingerprints on ONE task. AQE's skew-join split does not
+# rescue it at this shape: the hot partition is far under
+# skewedPartitionThresholdInBytes (256 MB) because the pathology is
+# CPU-per-row, not bytes. salted_join fans the hot key across 32
+# shuffle keys, so the same fingerprint work spreads over every core.
+#
+# Measured at sf0.1 on local[32] (min of 3, warmed session):
+# plain 3.29 s vs salted 1.84 s (1.8x) — bounded below by total
+# CPU/32, while the plain side is bounded by the hot key's rows on
+# one thread; the gap widens with the hot share and with cluster
+# size. Experiment + earlier null results (AQE DOES rescue the
+# byte-heavy join at REP=32, and Spark's two-phase distinct rewrite
+# already spreads count_distinct by (key, value)) recorded in
+# SCALE.md "skew" section.
+
+_ZIPF_REP = 4          # fact inflation factor
+_ZIPF_MOD = 1000003    # prime modulus of the LCG key hash
+_ZIPF_HOT = 600000     # h below this => the hot key (60%)
+_ZIPF_KEYS = 997       # cold keys 1.._ZIPF_KEYS
+_ZIPF_DIM = 998        # dimension rows (hot key 0 + cold keys)
+
+
+def _zipf_fact_dim(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(fact, dim) of the Zipf A/B: key synthesis is integer-only LCG
+    mixing (no md5 in the HOT PATH DENOMINATOR — key-gen must be cheap
+    so the measured contrast is the join+fingerprint placement, not
+    hash synthesis; products stay < 2^63 for sf <= 10's orderkey
+    range, so ANSI mode never overflows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    rep = li.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(_ZIPF_REP - 1))).alias("rep"),
+    )
+    h = F.pmod(
+        F.lit(2654435761) * (F.col("l_orderkey") * _ZIPF_REP + F.col("rep"))
+        + F.lit(40503) * F.col("l_linenumber"),
+        F.lit(_ZIPF_MOD),
+    )
+    zkey = F.when(h < _ZIPF_HOT, F.lit(0).cast("long")).otherwise(
+        F.pmod(h, F.lit(_ZIPF_KEYS)) + 1
+    )
+    fact = rep.select(
+        zkey.alias("zkey"), "l_orderkey", "l_linenumber", "rep"
+    )
+    dim = spark.range(0, _ZIPF_DIM).select(
+        F.col("id").alias("zkey"), (F.col("id") % 97 + 1).alias("weight")
+    )
+    return fact, dim
+
+
+def _zipf_checksum(joined: DataFrame) -> DataFrame:
+    """Per-row 60-bit md5 audit fingerprint of the enriched row, summed
+    per key through decimal(38,0) (a raw BIGINT sum of ~1e18 digests
+    overflows under ANSI)."""
+    dg = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "zkey", "l_orderkey", "l_linenumber", "rep",
+                    "weight",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        joined.withColumn("dg", dg)
+        .groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # terminal cast to string: a 23-digit decimal round-trips
+            # pandas as float on the DuckDB side and loses digits; the
+            # string form is exact in both engines
+            F.sum(F.col("dg").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("checksum"),
+        )
+    )
+
+
+def _skew_zipf_enrich_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control arm: plain shuffle-hash enrich + per-row fingerprint —
+    the hot key's 60% of all rows fingerprint on one task."""
+    fact, dim = _zipf_fact_dim(spark, sf_dir)
+    return _zipf_checksum(fact.join(dim.hint("shuffle_hash"), "zkey"))
+
+
+def _skew_zipf_enrich_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treatment arm: operators.skew.salted_join fans the hot key over
+    32 salts; identical output (same oracle), fingerprint work spread
+    across every core."""
+    from ..operators.skew import salted_join
+
+    fact, dim = _zipf_fact_dim(spark, sf_dir)
+    joined = salted_join(
+        fact,
+        dim.hint("shuffle_hash"),
+        on=["zkey"],
+        salt_src=["l_orderkey", "l_linenumber", "rep"],
+        n_salts=32,
+    )
+    return _zipf_checksum(joined)
+
+
+def _sql_h60_local(mh: str) -> str:
+    """DuckDB mirror of conv(substring(md5,1,15),16,10) — the
+    stats_queries._sql_h60 idiom, restated here so the maintenance
+    oracles stay self-contained."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({mh}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+
+
+_ZIPF_ORACLE = f"""
+    WITH fact AS (
+        SELECT l_orderkey, l_linenumber, rep,
+               (2654435761 * (l_orderkey * {_ZIPF_REP} + rep)
+                + 40503 * l_linenumber) % {_ZIPF_MOD} AS h
+        FROM lineitem,
+             (SELECT unnest(generate_series(0, {_ZIPF_REP - 1})) AS rep)
+    ),
+    keyed AS (
+        SELECT CASE WHEN h < {_ZIPF_HOT} THEN 0
+                    ELSE (h % {_ZIPF_KEYS}) + 1 END AS zkey,
+               l_orderkey, l_linenumber, rep
+        FROM fact
+    ),
+    dim AS (
+        SELECT g AS zkey, (g % 97) + 1 AS weight
+        FROM (SELECT unnest(generate_series(0, {_ZIPF_DIM - 1})) AS g)
+    )
+    SELECT k.zkey,
+           count(*) AS n_rows,
+           CAST(sum(CAST({_sql_h60_local(
+               "md5(concat_ws('|', k.zkey, k.l_orderkey, "
+               "k.l_linenumber, k.rep, d.weight))"
+           )} AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM keyed k JOIN dim d USING (zkey)
+    GROUP BY 1
+"""
+
+register(
+    Query(
+        name="skew_zipf_enrich_plain",
+        spark=_skew_zipf_enrich_plain,
+        oracle=_ZIPF_ORACLE,
+        tags=("skew", "join", "scale", "bench-ab"),
+        doc="Zipf skew A/B control: plain shuffle-hash enrich + per-row "
+        "md5 fingerprint (hot key serializes on one task)",
+    )
+)
+
+register(
+    Query(
+        name="skew_zipf_enrich_salted",
+        spark=_skew_zipf_enrich_salted,
+        oracle=_ZIPF_ORACLE,
+        tags=("skew", "join", "scale", "bench-ab"),
+        doc="Zipf skew A/B treatment: salted_join spreads the hot key's "
+        "fingerprint work across all cores; same oracle as the control",
+    )
+)
