@@ -486,9 +486,16 @@ def main() -> None:
     # Best-of-3 per query: later runs report steady-state execution
     # (plan compilation cached, JIT warm) while the min guards against
     # GC pauses and the intermittent vCPU-steal noise this VM shows.
+    # Optional subset filter (SPARK_GRAFT_BENCH_ONLY="a,b,c") for scale
+    # spot-runs (SCALE.md sf1.0 decade experiment) — order preserved.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    names = HEADLINE
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        names = [n for n in HEADLINE if n in wanted]
     timings: dict[str, float] = {}
     cpu_before = _cpu_sample()
-    for name in HEADLINE:
+    for name in names:
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -575,7 +582,9 @@ def main() -> None:
     # AFTER the baseline was read, never instead of reading it. Only
     # at the reference SF — a sf0.01 smoke run must not become the
     # baseline sf0.1 runs are judged against.
-    if result["sf"] == 0.1:
+    # ... and never from a subset run, which would clobber the full
+    # baseline with a partial query map.
+    if result["sf"] == 0.1 and not only:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, LOCAL_RESULT), "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)

@@ -139,7 +139,9 @@ def main() -> None:
     out.update(results)
     # A filtered run must never clobber the committed full artifact.
     global OUT
-    if only:
+    if os.environ.get("PARITY_OUT"):
+        OUT = os.environ["PARITY_OUT"]
+    elif only:
         OUT = OUT.replace(".json", "_PARTIAL.json")
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)
