@@ -70,6 +70,15 @@ def main() -> None:
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
+        # Spark's 1g default driver heap dies at the sf1.0 decade run
+        # (broadcast builds + collectToPython of full results); local
+        # mode puts executors in the same JVM, so size it like a real
+        # driver+executor. Override with PARITY_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PARITY_DRIVER_MEM", "12g"),
+        )
+        .config("spark.driver.maxResultSize", "4g")
         .appName("parity-sweep")
         .getOrCreate()
     )
