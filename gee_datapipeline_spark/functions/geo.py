@@ -25,6 +25,38 @@ from pyspark.sql import types as T
 
 EARTH_RADIUS_KM = 6371.0088
 
+# R * pi / 180; shared by the planar point-to-segment distance and its
+# DuckDB oracle mirror (which embeds the same repr() so both engines
+# compute with the identical double).
+KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
+
+# km per degree of latitude on the mean-radius sphere — THE metric both
+# haversine_km and point_to_segment_km measure in. Grid cells for the
+# proximity joins MUST be sized in this same metric: the old 111.32
+# (WGS84 equatorial km/deg) made a "one-cell" radius actually 1.0011
+# cells on the sphere, so a boundary-sitting pair could land 2 cells
+# apart and slip past the 1-cell halo (caught by the r9 150-example
+# lattice fuzz: pixel (0.05, 1.2) vs segment vertex (0.05, 1.1) at
+# 11.1195 km under radius 11.132). CELL_MARGIN additionally guards the
+# floor() boundary: when (lat+90)/cell sits within an ulp of an
+# integer, the two sides of a pair can round in opposite directions,
+# so cells are oversized by 1e-9 relative — twelve orders above fp
+# noise, unmeasurable in selectivity.
+CELL_MARGIN = 1.0 + 1e-9
+
+
+def _cell_sizes(radius_km: float, lat_cap_deg: float) -> tuple[float, float]:
+    """(lat_cell_deg, lon_cell_deg_requested) >= radius in the sphere
+    metric, with the boundary margin. Shared by every bucketed join so
+    the sizing rule cannot drift between the point and line forms."""
+    lat = max(radius_km * CELL_MARGIN / KM_PER_DEG, 1e-4)
+    lon = max(
+        radius_km * CELL_MARGIN
+        / (KM_PER_DEG * math.cos(math.radians(lat_cap_deg))),
+        1e-4,
+    )
+    return lat, lon
+
 
 def bbox_contains(
     lon: Column, lat: Column,
@@ -126,23 +158,22 @@ def proximity_join(
     """J2 — pixels within ``radius_km`` of any point (the power-plant
     overlay, DataDownloader_V2.py:96-102, made queryable).
 
-    Grid-bucketed: cell sizes are chosen >= radius in degrees per axis,
-    points explode to their 3x3 neighborhood, and the join is an equi-join
-    on cell id followed by the exact haversine test. The longitude cell is
-    sized for the WORST-CASE latitude shrink up to ``lat_cap_deg`` (a
-    degree of longitude is ``111.32·cos(lat)`` km, so a radius that fits
-    one lat cell can span >1 lon cell away from the equator — sizing both
-    axes from the lat bound would silently drop border pairs). Data above
-    ``lat_cap_deg`` needs an explicitly larger cap.
+    Grid-bucketed: cell sizes are chosen >= radius in degrees per axis
+    IN THE HAVERSINE METRIC (``KM_PER_DEG`` km per degree of latitude on
+    the mean-radius sphere — see ``_cell_sizes``), points explode to
+    their 3x3 neighborhood, and the join is an equi-join on cell id
+    followed by the exact haversine test. The longitude cell is sized
+    for the WORST-CASE latitude shrink up to ``lat_cap_deg`` (a degree
+    of longitude is ``KM_PER_DEG·cos(lat)`` km, so a radius that fits
+    one lat cell can span >1 lon cell away from the equator — sizing
+    both axes from the lat bound would silently drop border pairs).
+    Data above ``lat_cap_deg`` needs an explicitly larger cap.
 
     ``distance_round`` rounds the distance before the radius test — use
     it when the result must be reproducible across engines whose libm
     ulps differ (e.g. a DuckDB differential oracle)."""
-    # 1 deg lat ~ 111.32 km everywhere; 1 deg lon shrinks by cos(lat).
-    cell_lat_deg = max(radius_km / 111.32, 1e-4)
-    cell_lon_deg = max(
-        radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
-    )
+    # sphere-metric cell sizing (see _cell_sizes / CELL_MARGIN)
+    cell_lat_deg, cell_lon_deg = _cell_sizes(radius_km, lat_cap_deg)
     px = pixels.withColumn(
         "__cell",
         grid_cell(
@@ -180,11 +211,6 @@ def proximity_join(
     ).drop("__cell")
 
 
-# km per degree of latitude on the mean-radius sphere (and per degree
-# of longitude at the equator): R * pi / 180. Shared by the planar
-# point-to-segment distance and its DuckDB oracle mirror, which embeds
-# the same repr() so both engines compute with the identical double.
-KM_PER_DEG = EARTH_RADIUS_KM * math.pi / 180.0
 
 
 def wrap_dlon(d: Column) -> Column:
@@ -353,12 +379,11 @@ def line_proximity_pairs(
     the fallback when the road network itself is fact-sized. The join
     is STATELESS, which is what makes it legal on an unbounded stream
     (stream-static broadcast enrich)."""
-    cell_lat_deg = max(radius_km / 111.32, 1e-4)
-    # exact-tiling lon grid (see grid_cell): effective width >= the
+    # sphere-metric cell sizing (see _cell_sizes / CELL_MARGIN), then
+    # the exact-tiling lon grid (see grid_cell): effective width >= the
     # radius-derived request, count divides 360 so pmod wrap is sound
-    cols, cell_lon_deg = _lon_grid(max(
-        radius_km / (111.32 * math.cos(math.radians(lat_cap_deg))), 1e-4
-    ))
+    cell_lat_deg, lon_req = _cell_sizes(radius_km, lat_cap_deg)
+    cols, cell_lon_deg = _lon_grid(lon_req)
 
     def cx_of(lon: Column) -> Column:
         return F.floor((lon + 180.0) / cell_lon_deg).cast("long")
