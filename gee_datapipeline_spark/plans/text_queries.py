@@ -594,14 +594,26 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
+def _minhash_oracle(
+    threshold: float = 0.3, k: int = 32, bands: int | None = None
+) -> str:
     """DuckDB mirror of the md5perm MinHash-LSH pipeline, generated so
     the 32 permutation constants / 8 band predicates stay in lockstep
     with the Spark constants (imported, not re-derived). Band collision
     is expressed as slice equality — equivalent to band-hash equality
-    because the band hash is a deterministic function of the slice."""
-    from ..functions.dedup import MH_PERM_P, mh_perm_constants
+    because the band hash is a deterministic function of the slice.
 
+    The band count DERIVES from the threshold via the same
+    ``pick_bands_rows`` S-curve the Spark side uses (r9 fix: the oracle
+    used to hardcode 8x4 while the engine picked 16x2 at threshold
+    0.3 — indistinguishable on the driver's bimodal corpora, caught by
+    the sf1.0 decade soak whose word-shuffled sibling docs populate
+    the 0.3-0.5 Jaccard gray zone where candidacy depends on the
+    banding)."""
+    from ..functions.dedup import MH_PERM_P, mh_perm_constants, pick_bands_rows
+
+    if bands is None:
+        bands, _ = pick_bands_rows(threshold, k)
     r = k // bands
     a_c, b_c = mh_perm_constants(k)
     # 32-bit base hash from the md5 hex prefix, nibble-by-nibble
@@ -615,14 +627,19 @@ def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
         f"min(({a_c[i]} * __h + {b_c[i]}) % {MH_PERM_P}) AS mh{i}"
         for i in range(k)
     )
-    band_eq = "\n                  OR ".join(
-        "("
+    # Candidates as a UNION of per-band EQUI-joins, not one OR-of-bands
+    # predicate: DuckDB cannot hash-join a disjunctive condition and
+    # falls back to a nested loop, which is O(n^2) at the sf1.0 decade
+    # scale (50k docs). Each branch is hash-joinable; DISTINCT merges
+    # multi-band collisions — semantically identical to the OR form.
+    band_joins = "\n                  UNION ALL ".join(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND "
         + " AND ".join(f"a.mh{b * r + j} = b.mh{b * r + j}" for j in range(r))
-        + ")"
         for b in range(bands)
     )
     agree = " + ".join(
-        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
     )
     return rf"""
             WITH toks AS (
@@ -639,11 +656,17 @@ def _minhash_oracle(threshold: float = 0.3, k: int = 32, bands: int = 8) -> str:
             hashed AS (
                 SELECT doc_id, CAST({base} AS BIGINT) AS __h FROM sh
             ),
-            sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+            cand AS (
+                SELECT DISTINCT doc_a, doc_b FROM (
+                  {band_joins}
+                )
+            )
+            SELECT p.doc_a, p.doc_b,
                    round(({agree}) / {k}.0, 6) AS est_jaccard
-            FROM sig a JOIN sig b
-              ON a.doc_id < b.doc_id AND ({band_eq})
+            FROM cand p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b
             WHERE round(({agree}) / {k}.0, 6) >= {threshold}
     """
 
@@ -690,14 +713,18 @@ def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_incr_oracle(
-    threshold: float = 0.3, k: int = 32, bands: int = 8
+    threshold: float = 0.3, k: int = 32, bands: int | None = None
 ) -> str:
     """DuckDB mirror of the incremental md5perm MinHash probe: same
     signature pipeline as ``_minhash_oracle``, but the join is
     corpus-side × batch-side (disjoint by the source split), with band
-    collision again expressed as slice equality."""
-    from ..functions.dedup import MH_PERM_P, mh_perm_constants
+    collision again expressed as slice equality. Bands derive from the
+    threshold exactly like the engine side (see ``_minhash_oracle``'s
+    r9 note)."""
+    from ..functions.dedup import MH_PERM_P, mh_perm_constants, pick_bands_rows
 
+    if bands is None:
+        bands, _ = pick_bands_rows(threshold, k)
     r = k // bands
     a_c, b_c = mh_perm_constants(k)
     base = " + ".join(
@@ -709,14 +736,16 @@ def _minhash_incr_oracle(
         f"min(({a_c[i]} * __h + {b_c[i]}) % {MH_PERM_P}) AS mh{i}"
         for i in range(k)
     )
-    band_eq = "\n                  OR ".join(
-        "("
+    # UNION-of-equi-joins candidate form, hash-joinable in DuckDB at
+    # decade scale — see _minhash_oracle's band_joins note.
+    band_joins = "\n                  UNION ALL ".join(
+        "SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id "
+        "FROM corpus c JOIN batch b ON "
         + " AND ".join(f"c.mh{b * r + j} = b.mh{b * r + j}" for j in range(r))
-        + ")"
         for b in range(bands)
     )
     agree = " + ".join(
-        f"CASE WHEN c.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+        f"CASE WHEN sc.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(k)
     )
     return rf"""
             WITH toks AS (
@@ -738,13 +767,23 @@ def _minhash_incr_oracle(
             sig AS (
                 SELECT doc_id, src_num, {mins}
                 FROM hashed GROUP BY doc_id, src_num
+            ),
+            corpus AS (
+                SELECT * FROM sig WHERE src_num < {INCR_BATCH_MIN_SRC}
+            ),
+            batch AS (
+                SELECT * FROM sig WHERE src_num >= {INCR_BATCH_MIN_SRC}
+            ),
+            cand AS (
+                SELECT DISTINCT corpus_id, batch_id FROM (
+                  {band_joins}
+                )
             )
-            SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+            SELECT p.corpus_id, p.batch_id,
                    round(({agree}) / {k}.0, 6) AS est_jaccard
-            FROM sig c JOIN sig b
-              ON c.src_num < {INCR_BATCH_MIN_SRC}
-             AND b.src_num >= {INCR_BATCH_MIN_SRC}
-             AND ({band_eq})
+            FROM cand p
+            JOIN sig sc ON sc.doc_id = p.corpus_id
+            JOIN sig sb ON sb.doc_id = p.batch_id
             WHERE round(({agree}) / {k}.0, 6) >= {threshold}
     """
 
