@@ -89,26 +89,26 @@ def main() -> None:
 
     copy(
         f"""SELECT c_custkey + rep * {strides['customer']} AS c_custkey,
-                   * EXCLUDE (c_custkey)
+                   * EXCLUDE (c_custkey, rep)
             FROM {q(f'{SRC}/customer.parquet')}, reps""",
         "customer",
     )
     copy(
         f"""SELECT s_suppkey + rep * {strides['supplier']} AS s_suppkey,
-                   * EXCLUDE (s_suppkey)
+                   * EXCLUDE (s_suppkey, rep)
             FROM {q(f'{SRC}/supplier.parquet')}, reps""",
         "supplier",
     )
     copy(
         f"""SELECT p_partkey + rep * {strides['part']} AS p_partkey,
-                   * EXCLUDE (p_partkey)
+                   * EXCLUDE (p_partkey, rep)
             FROM {q(f'{SRC}/part.parquet')}, reps""",
         "part",
     )
     copy(
         f"""SELECT o_orderkey + rep * {strides['orders']} AS o_orderkey,
                    o_custkey + rep * {strides['customer']} AS o_custkey,
-                   * EXCLUDE (o_orderkey, o_custkey)
+                   * EXCLUDE (o_orderkey, o_custkey, rep)
             FROM {q(f'{SRC}/orders.parquet')}, reps""",
         "orders",
     )
@@ -116,14 +116,14 @@ def main() -> None:
         f"""SELECT l_orderkey + rep * {strides['orders']} AS l_orderkey,
                    l_partkey + rep * {strides['part']} AS l_partkey,
                    l_suppkey + rep * {strides['supplier']} AS l_suppkey,
-                   * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+                   * EXCLUDE (l_orderkey, l_partkey, l_suppkey, rep)
             FROM {q(f'{SRC}/lineitem.parquet')}, reps""",
         "lineitem",
     )
     copy(
         f"""SELECT event_id + rep * {strides['events']} AS event_id,
                    user_id + rep * {strides['user']} AS user_id,
-                   * EXCLUDE (event_id, user_id)
+                   * EXCLUDE (event_id, user_id, rep)
             FROM {q(f'{SRC}/events.parquet')}, reps""",
         "events",
     )
