@@ -54,6 +54,12 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"CREATE VIEW reps AS SELECT unnest(generate_series(0, {REPS - 1})) AS rep")
 
+    def schema_of(path: str) -> list[tuple[str, str]]:
+        return [
+            (r[0], r[1])
+            for r in con.execute(f"DESCRIBE SELECT * FROM {q(path)}").fetchall()
+        ]
+
     def copy(sql: str, name: str) -> None:
         con.execute(
             f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
@@ -61,7 +67,17 @@ def main() -> None:
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{name}.parquet')"
         ).fetchone()[0]
-        print(f"{name}: {n} rows")
+        # Structural guard against generator column leaks (the r9 `rep`
+        # bug class): every output table must carry EXACTLY the sf0.1
+        # source's column names and types — order-insensitive because
+        # the key-shift SELECTs reorder the shifted keys to the front.
+        src = sorted(schema_of(f"{SRC}/{name}.parquet"))
+        got = sorted(schema_of(f"{out}/{name}.parquet"))
+        assert got == src, (
+            f"{name}: inflated schema diverges from sf0.1 source:\n"
+            f"  source: {src}\n  output: {got}"
+        )
+        print(f"{name}: {n} rows (schema == sf0.1)")
 
     # fixed dimensions: verbatim
     for t in ("region", "nation"):
