@@ -80,10 +80,134 @@ def test_no_unadjudicated_regression_flags():
     exact state the judge flagged twice. This test makes that state
     impossible to end a round in silently: every name the last bench
     run flagged must either be fixed (re-run clears it) or carry an
-    EXPECTED_DELTAS annotation recording the adjudication evidence."""
+    EXPECTED_DELTAS annotation recording the adjudication evidence.
+
+    r10: the artifact judged is the HEAD-committed one (see
+    test_tripwire_is_provenance_aware), so the driver's post-round
+    capture sitting uncommitted in the working tree cannot redden
+    this — but committing one unannotated still does."""
     stale = bench.unadjudicated_flags()
     assert not stale, (
         f"unadjudicated bench regressions: {stale} — re-run bench.py "
         "after a fix, or annotate the adjudication in "
         "bench.EXPECTED_DELTAS"
     )
+
+
+def test_expected_deltas_are_structured():
+    """r9 ADVICE: every annotation must carry its adjudication kind
+    and the measured level the evidence explains, so waivers are
+    bounded and countable rather than permanent prose."""
+    assert bench.EXPECTED_DELTAS, "annotation ledger unexpectedly empty"
+    for name, e in bench.EXPECTED_DELTAS.items():
+        assert e["kind"] in ("host-noise", "plan-cost", "oracle-cost"), (
+            name,
+            e["kind"],
+        )
+        assert (
+            isinstance(e["adjudicated_sec"], (int, float))
+            and e["adjudicated_sec"] > 0
+        ), name
+        assert isinstance(e["note"], str) and len(e["note"]) > 20, name
+
+
+def test_annotation_bounds_are_enforced():
+    """An annotation covers measurements only up to its adjudicated
+    level plus the normal flag margin (1.2x AND +0.5s). The r9
+    committed capture demonstrated the hole this closes:
+    streaming_road_enrich at 15.935s filed silently under a stale
+    6.85-7.25s adjudication."""
+    table = {"q": {"kind": "host-noise", "adjudicated_sec": 5.0,
+                   "note": "solo re-measure 4.8-5.0s"}}
+    # at / near the adjudicated level: covered
+    assert bench.delta_covered("q", 5.0, table)
+    assert bench.delta_covered("q", 5.4, table)  # +0.4s < floor
+    assert bench.delta_covered("q", 5.9, table)  # 1.18x < ratio
+    # beyond both margins: stale annotation, must re-flag
+    assert not bench.delta_covered("q", 6.2, table)
+    assert not bench.delta_covered("q", 15.9, table)
+    # unannotated queries are never covered
+    assert not bench.delta_covered("other", 1.0, table)
+    # sub-second queries keep the absolute jitter floor
+    table2 = {"s": {"kind": "host-noise", "adjudicated_sec": 0.3,
+                    "note": "sub-second jitter class evidence"}}
+    assert bench.delta_covered("s", 0.75, table2)
+    assert not bench.delta_covered("s", 0.85, table2)
+
+
+def _git(tmp, *args):
+    import subprocess
+
+    subprocess.run(
+        ["git", "-C", str(tmp), *args],
+        check=True,
+        capture_output=True,
+        env={**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL":
+             "t@t", "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL":
+             "t@t"},
+    )
+
+
+def test_tripwire_is_provenance_aware(tmp_path):
+    """The r9 failure mode, pinned end-to-end in a scratch repo: the
+    driver re-runs bench.py after the round ends and its noisy capture
+    lands in the working tree. Flags in an UNCOMMITTED capture must
+    not redden the suite (nobody can adjudicate after round end);
+    COMMITTING such a capture unannotated must."""
+    clean = {
+        "queries": {"pricing_summary": 2.0},
+        "regressions": {},
+        "expected_deltas": {},
+    }
+    noisy = {
+        "queries": {"made_up_query_xyz": 9.9, "pricing_summary": 6.0},
+        "regressions": {
+            "made_up_query_xyz": "1.0s -> 9.9s vs BENCH_LOCAL.json"
+        },
+        "expected_deltas": {},
+    }
+    _git(tmp_path, "init", "-q")
+    art = tmp_path / bench.LOCAL_RESULT
+    art.write_text(json.dumps(clean))
+    _git(tmp_path, "add", bench.LOCAL_RESULT)
+    _git(tmp_path, "commit", "-qm", "clean capture")
+    assert bench.unadjudicated_flags(str(tmp_path)) == {}
+
+    # driver-style: noisy capture in the working tree, uncommitted
+    art.write_text(json.dumps(noisy))
+    assert bench.unadjudicated_flags(str(tmp_path)) == {}, (
+        "an uncommitted capture must not trip the adjudication gate"
+    )
+
+    # committing it unannotated is the state the gate exists to catch
+    _git(tmp_path, "add", bench.LOCAL_RESULT)
+    _git(tmp_path, "commit", "-qm", "noisy capture")
+    assert "made_up_query_xyz" in bench.unadjudicated_flags(
+        str(tmp_path)
+    )
+
+
+def test_stale_annotation_reflagged_in_committed_capture(tmp_path):
+    """ADVICE r9: an entry the capture filed under expected_deltas is
+    re-checked against its annotation's adjudicated bound — a stale
+    annotation cannot keep covering a bigger regression even in a
+    committed artifact."""
+    name = "streaming_road_enrich"  # real ledger entry
+    adj = bench.EXPECTED_DELTAS[name]["adjudicated_sec"]
+    capture = {
+        "queries": {name: adj * 3.0},
+        "regressions": {},
+        "expected_deltas": {name: f"x -> {adj * 3.0}s (old prose)"},
+    }
+    _git(tmp_path, "init", "-q")
+    (tmp_path / bench.LOCAL_RESULT).write_text(json.dumps(capture))
+    _git(tmp_path, "add", bench.LOCAL_RESULT)
+    _git(tmp_path, "commit", "-qm", "capture with stale waiver")
+    stale = bench.unadjudicated_flags(str(tmp_path))
+    assert name in stale and "adjudicated bound" in stale[name]
+    # and within the bound it stays covered
+    capture["queries"][name] = adj
+    (tmp_path / bench.LOCAL_RESULT).write_text(json.dumps(capture))
+    _git(tmp_path, "add", bench.LOCAL_RESULT)
+    _git(tmp_path, "commit", "-qm", "capture at adjudicated level")
+    assert bench.unadjudicated_flags(str(tmp_path)) == {}
