@@ -344,6 +344,113 @@ def sql_point_to_segment_km(
     return f"sqrt({cx} * {cx} + {cy} * {cy})"
 
 
+def split_segments_at_antimeridian(segments: DataFrame) -> DataFrame:
+    """RFC 7946 §3.1.9 cut: a segment whose endpoints span more than
+    180° of longitude takes its SHORT way around the globe through the
+    antimeridian; replace it with two segments meeting at ±180, at the
+    latitude where the near-image straight segment (linear in lon/lat —
+    the GeoJSON chord convention) meets the seam.
+
+    Non-crossing rows pass through BIT-EXACT — the ``otherwise`` branch
+    carries the original columns with no arithmetic — so every existing
+    oracle value is unchanged, and the cut is idempotent (a half never
+    spans > 180°, so a second application is the identity).
+
+    Crossing rows (WLOG ``lon1 > 0 > lon2``; valid [−180, 180] coords
+    admit no other crossing sign pattern): the near image of the far
+    endpoint is ``lon2 + 360``; the seam parameter is
+    ``t = (180 − lon1) / (lon2 + 360 − lon1) ∈ [0, 1)`` and the cut
+    latitude ``lat_cut = lat1 + t·(lat2 − lat1)``. The mirrored case
+    negates the seam and the shift. Degenerate ``lon1 = 180,
+    lon2 = −180`` (the segment lies ON the seam — both endpoints name
+    the same meridian) zeroes the denominator; ``t`` falls back to 1.0
+    so the lon1-side half carries the whole segment and the far half
+    collapses to its endpoint — metrically equivalent under
+    :func:`wrap_dlon`, which maps both seam images to equal distances.
+
+    Mirrored token-for-token in :func:`sql_antimeridian_halves` (same
+    branch structure, same operation order, so the cut latitudes are
+    bit-identical doubles in both engines).
+
+    Reference behavior: the global ``NASA/LANCE/SNPP_VIIRS/C2`` feed
+    (DataDownloader_SNPP_VIIRS_V1.py:138) joined against a worldwide
+    OSM way extract (the AminitiesGeoJSON/motorway.geojson pattern)
+    contains seam-crossing ways; GEE geometries cut them server-side,
+    so the Spark re-expression must too (previously rejected loudly —
+    r9 `line_proximity_pairs` guard)."""
+    lon1, lat1 = F.col("lon1"), F.col("lat1")
+    lon2, lat2 = F.col("lon2"), F.col("lat2")
+    cross = F.abs(lon1 - lon2) > 180.0
+    seam1 = F.when(lon1 > 0.0, F.lit(180.0)).otherwise(F.lit(-180.0))
+    seam2 = F.when(lon1 > 0.0, F.lit(-180.0)).otherwise(F.lit(180.0))
+    lon2_near = F.when(lon1 > 0.0, lon2 + 360.0).otherwise(lon2 - 360.0)
+    denom = lon2_near - lon1
+    t = F.when(denom != 0.0, (seam1 - lon1) / denom).otherwise(F.lit(1.0))
+    lat_cut = lat1 + t * (lat2 - lat1)
+    halves = F.when(
+        cross,
+        F.array(
+            F.struct(
+                lon1.alias("lon1"), lat1.alias("lat1"),
+                seam1.alias("lon2"), lat_cut.alias("lat2"),
+            ),
+            F.struct(
+                seam2.alias("lon1"), lat_cut.alias("lat1"),
+                lon2.alias("lon2"), lat2.alias("lat2"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                lon1.alias("lon1"), lat1.alias("lat1"),
+                lon2.alias("lon2"), lat2.alias("lat2"),
+            )
+        )
+    )
+    other = [
+        c for c in segments.columns
+        if c not in ("lon1", "lat1", "lon2", "lat2")
+    ]
+    return segments.select(
+        *other, F.explode(halves).alias("__half")
+    ).select(
+        *other,
+        F.col("__half.lon1").alias("lon1"),
+        F.col("__half.lat1").alias("lat1"),
+        F.col("__half.lon2").alias("lon2"),
+        F.col("__half.lat2").alias("lat2"),
+    )
+
+
+def sql_antimeridian_halves(seg: str) -> str:
+    """DuckDB mirror of :func:`split_segments_at_antimeridian` for a
+    segment CTE/table ``seg`` with columns ``(feature_id, lon1, lat1,
+    lon2, lat2)`` — a UNION ALL of the bit-exact pass-through and the
+    two halves of each crossing segment, same branch structure and
+    operation order, so the cut latitudes are bit-identical doubles."""
+    seam1 = "(CASE WHEN lon1 > 0.0 THEN 180.0 ELSE -180.0 END)"
+    seam2 = "(CASE WHEN lon1 > 0.0 THEN -180.0 ELSE 180.0 END)"
+    lon2_near = "(CASE WHEN lon1 > 0.0 THEN lon2 + 360.0 ELSE lon2 - 360.0 END)"
+    denom = f"({lon2_near} - lon1)"
+    t = (
+        f"(CASE WHEN {denom} <> 0.0 THEN ({seam1} - lon1) / {denom} "
+        f"ELSE 1.0 END)"
+    )
+    lat_cut = f"(lat1 + {t} * (lat2 - lat1))"
+    return f"""(
+        SELECT feature_id, lon1, lat1, lon2, lat2
+        FROM {seg} WHERE abs(lon1 - lon2) <= 180.0
+        UNION ALL
+        SELECT feature_id, lon1, lat1,
+               {seam1} AS lon2, {lat_cut} AS lat2
+        FROM {seg} WHERE abs(lon1 - lon2) > 180.0
+        UNION ALL
+        SELECT feature_id, {seam2} AS lon1, {lat_cut} AS lat1,
+               lon2, lat2
+        FROM {seg} WHERE abs(lon1 - lon2) > 180.0
+    )"""
+
+
 def line_proximity_pairs(
     pixels: DataFrame,
     segments: DataFrame,
@@ -396,31 +503,22 @@ def line_proximity_pairs(
         cy_of(F.col(pixel_lat)) * F.lit(cols)
         + F.pmod(cx_of(F.col(pixel_lon)), F.lit(cols)),
     )
+    # Antimeridian discipline (r10, replacing the r9 loud reject): a
+    # segment whose raw endpoints span more than 180 deg of longitude
+    # CROSSES the seam — its covering cell range in raw coordinates
+    # would be the whole globe's width and its planar distance is
+    # ill-defined unsplit. Cut it at ±180 per RFC 7946 §3.1.9 BEFORE
+    # any cell math; each half then satisfies |dlon| <= 180, so
+    # covering ranges stay local, exploded cells wrap modulo the
+    # column count, and wrap_dlon yields the near-image distance on
+    # both sides of the seam. Non-crossing rows pass through the cut
+    # bit-exact, and downstream consumers are duplicate-tolerant by
+    # this function's contract (a pixel near BOTH halves of one
+    # original segment emits two rows of the same pt_feature_id,
+    # exactly like any multi-segment feature).
+    segments = split_segments_at_antimeridian(segments)
     la1, la2 = F.col("lat1"), F.col("lat2")
-    # Antimeridian discipline (r9): a segment whose raw endpoints span
-    # more than 180 deg of longitude CROSSES the seam; its covering
-    # cell range in raw coordinates would be the whole globe's width
-    # and its planar distance is ill-defined without splitting. RFC
-    # 7946 §3.1.9 requires such lines be cut at the antimeridian
-    # upstream, so reject them as loudly as lat_cap_deg violations —
-    # the guard is load-bearing (it feeds the cell computation), so
-    # Catalyst cannot prune it. Segments NEAR the seam but not
-    # crossing it are handled: exploded cells wrap modulo the column
-    # count and the distance uses wrap_dlon.
-    def checked(lon: Column) -> Column:
-        return F.when(
-            F.abs(F.col("lon1") - F.col("lon2")) <= 180.0, lon
-        ).otherwise(
-            F.raise_error(
-                F.lit(
-                    "line_proximity_pairs: segment spans >180 deg of "
-                    "longitude (antimeridian-crossing); cut the line "
-                    "at the seam first (RFC 7946 s3.1.9)"
-                )
-            ).cast("double")
-        )
-
-    lo1, lo2 = checked(F.col("lon1")), checked(F.col("lon2"))
+    lo1, lo2 = F.col("lon1"), F.col("lon2")
     seg = (
         segments.withColumn(
             "__cx", F.explode(F.sequence(

@@ -31,6 +31,7 @@ from ..functions.geo import (
     proximity_join,
     proximity_join_lines,
     rect_union_area,
+    sql_antimeridian_halves,
     sql_point_to_segment_km,
 )
 from ..functions.stable import sql_stable_avg, sql_stable_sum
@@ -1289,5 +1290,92 @@ register(
             GROUP BY pt_feature_id, dataset
         """,
         tags=("geo", "J2", "lines", "streaming"),
+    )
+)
+
+
+_SEAMV = fixture_path("seam_road_vertices")
+_SEAMPX = fixture_path("seam_pixels")
+_SEAM_GEOJSON = str(FIXTURES_DIR / "seam_roads.geojson")
+
+
+def _geo_proximity_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2-line across the ANTIMERIDIAN: max observed value within 8 km
+    of each road polyline in a window straddling ±180 — the global-feed
+    shape (worldwide ``NASA/LANCE/SNPP_VIIRS/C2`` pull,
+    DataDownloader_SNPP_VIIRS_V1.py:138, joined to a worldwide OSM way
+    extract) that the Delhi-window ``geo_proximity_roads`` never
+    exercises. Several fixture segments CROSS the seam (|lon1 − lon2| >
+    180 in wrapped coordinates), so this query gates the RFC 7946
+    §3.1.9 cut (``split_segments_at_antimeridian``) end-to-end through
+    the real GeoJSON ingest: crossing ways are split at ±180 into two
+    halves whose distances the existing ``wrap_dlon`` machinery
+    measures on both sides, and pixels east and west of the seam match
+    the same road. The oracle rebuilds the identical segments from the
+    vertex-parquet twin, applies the token-for-token SQL mirror of the
+    cut (``sql_antimeridian_halves``), and brute-force cross-joins —
+    equality is simultaneously the cut's correctness proof and the
+    wrapped cell bucketing's no-dropped-pairs proof at gate scale."""
+    px = load_fixture(spark, "seam_pixels").filter(
+        F.col("value").isNotNull()
+    )
+    roads = read_geojson(spark, _SEAM_GEOJSON, source="seam_roads")
+    segs = line_segments(line_vertices(roads))
+    near = proximity_join_lines(
+        px.select("dataset", "x", "y", "lon", "lat", "value"),
+        segs,
+        radius_km=8.0,
+        distance_round=6,
+    )
+    return near.groupBy("pt_feature_id", "dataset").agg(
+        F.max("value").alias("max_value_8km"),
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.min("distance_km").alias("min_distance_km"),
+    )
+
+
+register(
+    Query(
+        name="geo_proximity_seam",
+        spark=_geo_proximity_seam,
+        oracle=f"""
+            WITH v AS (
+                SELECT feature_id, seq, lon, lat
+                FROM read_parquet('{_SEAMV}')
+            ),
+            seg AS (
+                SELECT a.feature_id,
+                       a.lon AS lon1, a.lat AS lat1,
+                       b.lon AS lon2, b.lat AS lat2
+                FROM v a JOIN v b
+                  ON a.feature_id = b.feature_id AND b.seq = a.seq + 1
+            ),
+            halves AS (
+                SELECT * FROM {sql_antimeridian_halves('seg')}
+            ),
+            px AS (
+                SELECT dataset, x, y, lon, lat, value
+                FROM read_parquet('{_SEAMPX}') WHERE value IS NOT NULL
+            ),
+            pairs AS (
+                SELECT px.dataset, px.x, px.y, px.value,
+                       halves.feature_id AS pt_feature_id,
+                       round(min({sql_point_to_segment_km(
+                           'px.lon', 'px.lat',
+                           'halves.lon1', 'halves.lat1',
+                           'halves.lon2', 'halves.lat2')}), 6)
+                           AS distance_km
+                FROM px CROSS JOIN halves
+                GROUP BY px.dataset, px.x, px.y, px.value,
+                         halves.feature_id
+            )
+            SELECT pt_feature_id, dataset,
+                   max(value) AS max_value_8km,
+                   count(*) AS n_pixels,
+                   min(distance_km) AS min_distance_km
+            FROM pairs WHERE distance_km <= 8.0
+            GROUP BY pt_feature_id, dataset
+        """,
+        tags=("geo", "J2", "lines", "antimeridian"),
     )
 )

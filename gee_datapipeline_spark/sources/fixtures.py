@@ -30,11 +30,14 @@ from .synthetic import (
     regions_rows,
     road_vertex_rows,
     roads_geojson,
+    seam_pixel_rows,
+    seam_road_vertex_rows,
+    seam_roads_geojson,
     thresholds_rows,
 )
 
 # Bump when any builder or parameter below changes shape or content.
-FIXTURES_VERSION = 10  # v10: media exp_scene_cuts (+v9 road LineStrings)
+FIXTURES_VERSION = 11  # v11: antimeridian seam roads+pixels (+v10 media)
 
 FIXTURES_DIR = Path(__file__).resolve().parents[2] / "spark-warehouse" / "fixtures"
 
@@ -45,6 +48,10 @@ PIXEL_PARAMS = dict(
 )
 AMENITY_PARAMS = dict(n=20, seed=7)
 ROAD_PARAMS = dict(n_roads=14, seed=13)
+# Antimeridian fixtures: roads straddling ±180 (RFC 7946 cut coverage)
+# + an observation grid wrapping across the seam.
+SEAM_ROAD_PARAMS = dict(n_roads=8, seed=29)
+SEAM_PIXEL_PARAMS = dict(grid=18, seed=31, null_frac=0.05)
 # Real-file twin: the OSM motorway centroid export, parsed by plain
 # Python json into a parquet the oracle reads — the Spark side parses
 # the ORIGINAL GeoJSON through sources.geojson, so the gate checks two
@@ -143,6 +150,17 @@ _ROAD_VERTICES_ARROW = pa.schema(
         ("seq", pa.int32()),
         ("lon", pa.float64()),
         ("lat", pa.float64()),
+    ]
+)
+
+_SEAM_PIXELS_ARROW = pa.schema(
+    [
+        ("dataset", pa.string()),
+        ("x", pa.int32()),
+        ("y", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("value", pa.float64()),
     ]
 )
 
@@ -576,6 +594,8 @@ def _manifest() -> dict:
                    for k, v in PIXEL_PARAMS.items()},
         "amenities": dict(AMENITY_PARAMS),
         "roads": dict(ROAD_PARAMS),
+        "seam_roads": dict(SEAM_ROAD_PARAMS),
+        "seam_pixels": dict(SEAM_PIXEL_PARAMS),
         "media": dict(MEDIA_PARAMS),
         "dhash_media": dict(DHASH_PARAMS),
         "rasters": {k: list(v) if isinstance(v, tuple) else v
@@ -597,8 +617,10 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
     names = ("pixels", "regions", "thresholds", "amenities", "media",
              "dhash_media", "raster_pixels", "raster_utm_pixels",
              "raster_deflate_pixels", "raster_multiband_pixels",
-             "road_vertices", "motorway_points")
-    extra = ("points.csv", "logs.jsonl", "roads.geojson")
+             "road_vertices", "motorway_points", "seam_road_vertices",
+             "seam_pixels")
+    extra = ("points.csv", "logs.jsonl", "roads.geojson",
+             "seam_roads.geojson")
     if manifest_path.exists() and all(
         (base / f"{n}.parquet").exists() for n in names
     ) and all((base / n).exists() for n in extra):
@@ -673,6 +695,20 @@ def ensure_geo_fixtures(base: Path | None = None) -> Path:
         base / "road_vertices.parquet",
     )
     (base / "roads.geojson").write_text(roads_geojson(**ROAD_PARAMS))
+    pq.write_table(
+        _rows_to_table(
+            seam_road_vertex_rows(**SEAM_ROAD_PARAMS), _ROAD_VERTICES_ARROW
+        ),
+        base / "seam_road_vertices.parquet",
+    )
+    (base / "seam_roads.geojson").write_text(
+        seam_roads_geojson(**SEAM_ROAD_PARAMS)
+    )
+    pq.write_table(
+        _rows_to_table(seam_pixel_rows(**SEAM_PIXEL_PARAMS),
+                       _SEAM_PIXELS_ARROW),
+        base / "seam_pixels.parquet",
+    )
     pq.write_table(
         _rows_to_table(_real_motorway_points(), _REAL_POINTS_ARROW),
         base / "motorway_points.parquet",

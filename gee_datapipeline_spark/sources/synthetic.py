@@ -243,3 +243,116 @@ def roads_geojson(n_roads: int = 14, seed: int = 13) -> str:
         for fid, cls, verts in roads_rows(n_roads, seed)
     ]
     return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+# ------------------------------------------------- antimeridian fixtures
+#
+# A window straddling ±180: unwrapped longitudes span
+# [179.2, 180.8] and wrap to [179.2, 180.0] ∪ [−180.0, −179.2]. Roads
+# random-walk in the UNWRAPPED frame and wrap per-vertex, so consecutive
+# vertices routinely straddle the seam (|lon1 − lon2| > 180 after wrap)
+# — exactly the RFC 7946 §3.1.9-violating shape a global OSM way extract
+# feeds the proximity join (the reference's worldwide
+# NASA/LANCE/SNPP_VIIRS/C2 pull, DataDownloader_SNPP_VIIRS_V1.py:138).
+SEAM_WINDOW = (179.2, -1.0, 180.8, 1.0)  # unwrapped lon/lat bounds
+
+
+def _wrap_lon(lon: float) -> float:
+    """Wrap an unwrapped longitude into [−180, 180] (exactly 180 stays
+    180 — a valid GeoJSON position on the seam's east image)."""
+    return lon - 360.0 if lon > 180.0 else lon
+
+
+def seam_roads_rows(
+    n_roads: int = 8, seed: int = 29
+) -> list[tuple[str, str, list[tuple[float, float]]]]:
+    """Synthetic road LineStrings straddling the antimeridian —
+    ``(feature_id, road_class, vertices)`` with wrapped-coordinate
+    vertices, so some segments cross ±180 (split-path coverage), some
+    sit entirely on one side near the seam (pmod cell-wrap coverage),
+    and a few land exactly ON ±180 (the degenerate cut). Pure function
+    of its parameters — the fixture writer materializes the SAME rows
+    as GeoJSON (Spark ingest) and vertex parquet (DuckDB oracle)."""
+    rng = np.random.default_rng(seed)
+    min_lon, min_lat, max_lon, max_lat = SEAM_WINDOW
+    classes = ("motorway", "highway", "primary", "secondary")
+    roads = []
+    for i in range(n_roads):
+        n_verts = int(rng.integers(4, 13))
+        lon = float(rng.uniform(min_lon + 0.05, max_lon - 0.05))
+        lat = float(rng.uniform(min_lat + 0.05, max_lat - 0.05))
+        heading = float(rng.uniform(0, 2 * np.pi))
+        verts = [(_wrap_lon(lon), lat)]
+        for _ in range(n_verts - 1):
+            heading += float(rng.normal(0.0, 0.5))
+            step = float(rng.uniform(0.01, 0.06))
+            lon = min(max(lon + step * np.cos(heading), min_lon), max_lon)
+            lat = min(max(lat + step * np.sin(heading), min_lat), max_lat)
+            verts.append((_wrap_lon(float(lon)), float(lat)))
+        if i % 4 == 3:  # pin a vertex exactly on the seam
+            verts[len(verts) // 2] = (180.0, verts[len(verts) // 2][1])
+        roads.append((f"way/seam{i}", classes[i % len(classes)], verts))
+    return roads
+
+
+def seam_road_vertex_rows(
+    n_roads: int = 8, seed: int = 29
+) -> list[tuple[str, str, int, float, float]]:
+    """The seam roads exploded to one row per vertex — the oracle twin."""
+    return [
+        (fid, cls, seq, lon, lat)
+        for fid, cls, verts in seam_roads_rows(n_roads, seed)
+        for seq, (lon, lat) in enumerate(verts)
+    ]
+
+
+def seam_roads_geojson(n_roads: int = 8, seed: int = 29) -> str:
+    """The seam roads as a GeoJSON FeatureCollection (ingest-path twin;
+    ``repr`` floats round-trip bit-exactly through JSON)."""
+    import json
+
+    feats = [
+        {
+            "type": "Feature",
+            "id": fid,
+            "properties": {"@id": fid, "highway": cls},
+            "geometry": {
+                "type": "LineString",
+                "coordinates": [[lon, lat] for lon, lat in verts],
+            },
+        }
+        for fid, cls, verts in seam_roads_rows(n_roads, seed)
+    ]
+    return json.dumps({"type": "FeatureCollection", "features": feats})
+
+
+def seam_pixel_rows(
+    grid: int = 18, seed: int = 31, null_frac: float = 0.05,
+    datasets: tuple[str, ...] = ("no2", "frp"),
+) -> list[tuple]:
+    """Observation grid over the wrapped seam window —
+    ``(dataset, x, y, lon, lat, value)``, cell centers spanning both
+    sides of ±180 (x indexes the UNWRAPPED axis, so the wrapped lon
+    column is discontinuous mid-grid), ~``null_frac`` NULL nodata."""
+    rng = np.random.default_rng(seed)
+    min_lon, min_lat, max_lon, max_lat = SEAM_WINDOW
+    dlon = (max_lon - min_lon) / grid
+    dlat = (max_lat - min_lat) / grid
+    rows = []
+    for ds in datasets:
+        for y in range(grid):
+            for x in range(grid):
+                v = float(rng.uniform(0.0, 300.0))
+                if rng.random() < null_frac:
+                    v = None
+                rows.append(
+                    (
+                        ds,
+                        x,
+                        y,
+                        _wrap_lon(min_lon + (x + 0.5) * dlon),
+                        min_lat + (y + 0.5) * dlat,
+                        v,
+                    )
+                )
+    return rows

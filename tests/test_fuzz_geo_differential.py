@@ -358,3 +358,175 @@ def test_fuzz_proximity_join_lines_vs_bruteforce(spark, lines, points):
     for k, d in got.items():
         assert brute[k] <= _LINE_RADIUS_KM + _EPS_KM, (k, d, brute[k])
         assert abs(d - brute[k]) <= _EPS_KM, (k, d, brute[k])
+
+
+# ------------------------------------------- r10: antimeridian seam
+#
+# The r9 batteries pin the line operators in a LOCAL window; the seam
+# itself was covered only by fixed fixtures. This battery draws random
+# polylines whose longitudes live on a 0.05-degree lattice WRAPPED
+# around ±180 (offsets on both sides, duplicate vertices, coordinates
+# exactly ON the seam and on cell boundaries), so seam-CROSSING
+# segments arise in roughly half the draws — exercising the RFC 7946
+# §3.1.9 cut (split_segments_at_antimeridian) against an exact
+# per-pair reference that mirrors the cut and the wrapped planar
+# distance operation-for-operation.
+
+from gee_datapipeline_spark.functions.geo import (  # noqa: E402
+    proximity_join_lines as _pjl,
+    split_segments_at_antimeridian as _split_spark,
+)
+
+# k in [-40, 40] -> unwrapped 178..182 -> wrapped [178, 180] u (-180, -178]
+_SEAM_LON = st.integers(-40, 40).map(
+    lambda k: (180.0 + k * 0.05) - 360.0
+    if (180.0 + k * 0.05) > 180.0
+    else (180.0 + k * 0.05)
+)
+
+
+def _py_split(lon1, lat1, lon2, lat2):
+    """Pure-Python mirror of split_segments_at_antimeridian."""
+    if abs(lon1 - lon2) > 180.0:
+        if lon1 > 0.0:
+            seam1, lon2n = 180.0, lon2 + 360.0
+        else:
+            seam1, lon2n = -180.0, lon2 - 360.0
+        denom = lon2n - lon1
+        t = (seam1 - lon1) / denom if denom != 0.0 else 1.0
+        lat_cut = lat1 + t * (lat2 - lat1)
+        return [(lon1, lat1, seam1, lat_cut), (-seam1, lat_cut, lon2, lat2)]
+    return [(lon1, lat1, lon2, lat2)]
+
+
+def _wrap_d(d):
+    if abs(d) > 180.0:
+        return d - 360.0 if d > 0.0 else d + 360.0
+    return d
+
+
+def _ref_seg_km_wrap(plon, plat, lon1, lat1, lon2, lat2) -> float:
+    """Wrap-aware mirror of point_to_segment_km, same op order."""
+    ky = KM_PER_DEG
+    kx = ky * _math.cos(_math.radians((lat1 + lat2) / 2.0))
+    ax = _wrap_d(lon1 - plon) * kx
+    ay = (lat1 - plat) * ky
+    bx = _wrap_d(lon2 - plon) * kx
+    by = (lat2 - plat) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t = (
+        0.0
+        if len2 == 0.0
+        else max(0.0, min(1.0, -(ax * dx + ay * dy) / len2))
+    )
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return _math.sqrt(cx * cx + cy * cy)
+
+
+@st.composite
+def _seam_polylines(draw, max_features=4, max_vertices=6):
+    """Random polylines straddling ±180: duplicate vertices, repeated
+    segments, on-seam coordinates, ~half the consecutive pairs
+    crossing (any opposite-sign pair in this domain spans > 180°)."""
+    return [
+        draw(
+            st.lists(
+                st.tuples(_SEAM_LON, _LCOORD), min_size=2,
+                max_size=max_vertices,
+            )
+        )
+        for _ in range(draw(st.integers(1, max_features)))
+    ]
+
+
+@settings(
+    max_examples=_FUZZ_EX or 8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lines=_seam_polylines(max_features=5, max_vertices=6))
+def test_fuzz_antimeridian_split_vs_mirror(spark, lines):
+    """split_segments_at_antimeridian == the Python mirror, bit for
+    bit, on seam-straddling polylines (incl. on-seam vertices and
+    duplicate vertices), and the split is idempotent."""
+    seg_rows = [
+        (f"f{i}", s, a[0], a[1], b[0], b[1])
+        for i, pts in enumerate(lines)
+        for s, (a, b) in enumerate(zip(pts, pts[1:]))
+    ]
+    segs = spark.createDataFrame(
+        seg_rows,
+        "feature_id string, seq int, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    got = sorted(
+        tuple(r) for r in _split_spark(segs).collect()
+    )
+    want = sorted(
+        (fid, s, *h)
+        for fid, s, lon1, lat1, lon2, lat2 in seg_rows
+        for h in _py_split(lon1, lat1, lon2, lat2)
+    )
+    assert got == want
+    again = sorted(
+        tuple(r) for r in _split_spark(_split_spark(segs)).collect()
+    )
+    assert again == want
+
+
+@settings(
+    max_examples=_FUZZ_EX or 8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=_seam_polylines(),
+    points=st.lists(
+        st.tuples(_SEAM_LON, _LCOORD), min_size=1, max_size=20,
+        unique=True,
+    ),
+)
+def test_fuzz_proximity_join_lines_seam_vs_bruteforce(spark, points, lines):
+    """Bucketed point-to-line join across the seam == exact brute
+    force (Python split + wrapped per-half distance, min over halves):
+    candidate-complete, no false positives, distances to 1e-9 km —
+    the same contract the local-window battery pins, now with the
+    cut and the pmod cell wrap in every example."""
+    seg_rows = [
+        (f"f{i}", a[0], a[1], b[0], b[1])
+        for i, pts in enumerate(lines)
+        for a, b in zip(pts, pts[1:])
+    ]
+    segs = spark.createDataFrame(
+        seg_rows,
+        "feature_id string, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    px = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(points)],
+        "pid int, lon double, lat double",
+    )
+    got = {
+        (r.pid, r.pt_feature_id): r.distance_km
+        for r in _pjl(px, segs, _LINE_RADIUS_KM).collect()
+    }
+    brute = {}
+    for i, (x, y) in enumerate(points):
+        for j, pts in enumerate(lines):
+            d = min(
+                _ref_seg_km_wrap(x, y, *h)
+                for a, b in zip(pts, pts[1:])
+                for h in _py_split(a[0], a[1], b[0], b[1])
+            )
+            brute[(i, f"f{j}")] = d
+    must_have = {
+        k for k, d in brute.items() if d <= _LINE_RADIUS_KM - _EPS_KM
+    }
+    missing = must_have - set(got)
+    assert not missing, f"candidate pairs dropped: {missing}"
+    for k, d in got.items():
+        assert brute[k] <= _LINE_RADIUS_KM + _EPS_KM, (k, d, brute[k])
+        assert abs(d - brute[k]) <= _EPS_KM, (k, d, brute[k])

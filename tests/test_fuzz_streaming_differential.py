@@ -249,18 +249,55 @@ def roads_and_detections(draw):
 def test_road_enrich_redelivery_invariance(spark, tmp_path_factory, data):
     """At-least-once contract of ``enrich_stream_roads``: random
     detections through random micro-batch boundaries WITH one chunk
-    redelivered verbatim must equal the batch mirror over the
-    deduplicated feed — max/min idempotence is the whole safety
-    argument, so it gets the same adversarial treatment as the
-    watermark jobs (VERDICT r8 item 3 named this redelivery path)."""
+    redelivered verbatim must equal an EXACT pure-Python per-pair
+    reference over the deduplicated feed — max/min idempotence is the
+    whole safety argument, so it gets the same adversarial treatment
+    as the watermark jobs (VERDICT r8 item 3 named this redelivery
+    path).
+
+    r10 (ADVICE r9): the batch mirror no longer re-derives expected
+    results from the same ``line_proximity_pairs`` call as the job
+    under test — the oracle is the geo battery's operation-for-
+    operation Python mirror of ``point_to_segment_km`` (min over
+    segments per feature, then the job's round-to-6dp radius test,
+    legal because rounding is monotone so it commutes with min), so
+    this differential now pins CORRECTNESS of the proximity join and
+    the d6 rounding, not just chunking/redelivery invariance."""
+    import math as _m
+    from decimal import ROUND_HALF_UP, Decimal
+
     from pyspark.sql import types as T
 
-    from gee_datapipeline_spark.functions.geo import line_proximity_pairs
+    from gee_datapipeline_spark.functions.geo import KM_PER_DEG
     from gee_datapipeline_spark.streaming.jobs import (
         enrich_stream_roads,
         run_to_memory,
         stream_from_dir,
     )
+
+    def _ref_seg_km(plon, plat, lon1, lat1, lon2, lat2):
+        ky = KM_PER_DEG
+        kx = ky * _m.cos(_m.radians((lat1 + lat2) / 2.0))
+        ax = (lon1 - plon) * kx
+        ay = (lat1 - plat) * ky
+        bx = (lon2 - plon) * kx
+        by = (lat2 - plat) * ky
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = (
+            0.0
+            if len2 == 0.0
+            else max(0.0, min(1.0, -(ax * dx + ay * dy) / len2))
+        )
+        cx, cy = ax + t * dx, ay + t * dy
+        return _m.sqrt(cx * cx + cy * cy)
+
+    def _round6(d):
+        # Spark's F.round is HALF_UP on the decimal string; mirror it
+        # exactly (Python's round() is banker's).
+        return float(
+            Decimal(repr(d)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
 
     lines, rows, chunks, redeliver = data
     radius = 11.132  # the 0.1-degree latitude cell, in km
@@ -311,18 +348,24 @@ def test_road_enrich_redelivery_invariance(spark, tmp_path_factory, data):
         }
     finally:
         q.stop()
-    batch = spark.createDataFrame(rows, schema)
-    want = {
-        (r.pt_feature_id, r.dataset): (r.mx, r.mn)
-        for r in (
-            line_proximity_pairs(batch, segs, radius)
-            .withColumn("d6", F.round("distance_km", 6))
-            .filter(F.col("d6") <= radius)
-            .groupBy("pt_feature_id", "dataset")
-            .agg(F.max("value").alias("mx"), F.min("d6").alias("mn"))
-            .collect()
-        )
-    }
+    # Exact reference: per (detection, feature) the min distance over
+    # that feature's segments (same IEEE op order as the engine), the
+    # job's round-to-6dp, then the radius test — equivalent to the
+    # job's per-pair round→filter→agg because rounding is monotone.
+    want: dict[tuple[str, str], tuple[float, float]] = {}
+    for dataset, plon, plat, value in rows:
+        for j, pts in enumerate(lines):
+            d6 = _round6(
+                min(
+                    _ref_seg_km(plon, plat, a[0], a[1], b[0], b[1])
+                    for a, b in zip(pts, pts[1:])
+                )
+            )
+            if d6 > radius:
+                continue
+            key = (f"f{j}", dataset)
+            mx, mn = want.get(key, (value, d6))
+            want[key] = (max(mx, value), min(mn, d6))
     assert got == want
 
 

@@ -647,20 +647,140 @@ def test_proximity_join_lines_across_antimeridian(spark):
     assert fast[(1, "road_w")] < 5.0  # true seam-crossing distance
 
 
-def test_proximity_join_lines_rejects_crossing_segment(spark):
-    """A segment whose endpoints span >180 deg of raw longitude crosses
-    the antimeridian; RFC 7946 requires cutting it upstream, so the
-    join must fail loudly, not silently explode to a globe-wide cell
-    range or compute a ~360-deg planar distance."""
-    from gee_datapipeline_spark.functions.geo import proximity_join_lines
+def _py_split_seam(lon1, lat1, lon2, lat2):
+    """Pure-Python mirror of split_segments_at_antimeridian — same
+    branch structure, same operation order, same IEEE doubles."""
+    if abs(lon1 - lon2) > 180.0:
+        if lon1 > 0.0:
+            seam1, lon2n = 180.0, lon2 + 360.0
+        else:
+            seam1, lon2n = -180.0, lon2 - 360.0
+        denom = lon2n - lon1
+        t = (seam1 - lon1) / denom if denom != 0.0 else 1.0
+        lat_cut = lat1 + t * (lat2 - lat1)
+        return [
+            (lon1, lat1, seam1, lat_cut),
+            (-seam1, lat_cut, lon2, lat2),
+        ]
+    return [(lon1, lat1, lon2, lat2)]
 
+
+def test_split_segments_at_antimeridian(spark):
+    """r10 (replacing the r9 loud reject): the RFC 7946 §3.1.9 cut.
+    Crossing segments split into two halves meeting at ±180 at the
+    chord-interpolated latitude; non-crossing rows pass through
+    BIT-EXACT; the on-seam degenerate (180 → −180, zero denominator)
+    keeps the full segment on the lon1 side. Equality against the
+    pure-Python mirror, bit for bit."""
+    from gee_datapipeline_spark.functions.geo import (
+        split_segments_at_antimeridian,
+    )
+
+    rows = [
+        ("cross_e", 179.5, 0.0, -179.5, 1.0),
+        ("cross_w", -179.8, 0.0, 179.8, -0.4),
+        ("near", 179.0, 0.5, 179.9, 0.6),
+        ("on_seam", 180.0, -0.5, -180.0, 0.5),
+        ("exact_180_span", 90.0, 2.0, -90.0, 3.0),  # ambiguous: no cut
+    ]
     segs = spark.createDataFrame(
-        [("bad", 179.9, 10.0, -179.9, 10.0)],
+        rows,
         "feature_id string, lon1 double, lat1 double, "
         "lon2 double, lat2 double",
     )
-    px = spark.createDataFrame(
-        [(1, 179.99, 10.0)], "pid int, lon double, lat double"
+    got = sorted(
+        tuple(r)
+        for r in split_segments_at_antimeridian(segs).collect()
     )
-    with pytest.raises(Exception, match="antimeridian"):
-        proximity_join_lines(px, segs, 10.0).collect()
+    want = sorted(
+        (fid, *h)
+        for fid, lon1, lat1, lon2, lat2 in rows
+        for h in _py_split_seam(lon1, lat1, lon2, lat2)
+    )
+    assert got == want
+    # idempotent: a second application is the identity
+    again = sorted(
+        tuple(r)
+        for r in split_segments_at_antimeridian(
+            split_segments_at_antimeridian(segs)
+        ).collect()
+    )
+    assert again == want
+
+
+def test_proximity_join_lines_cuts_crossing_segment(spark):
+    """A segment whose endpoints span >180 deg of raw longitude crosses
+    the antimeridian; r10 CUTS it at ±180 (RFC 7946 §3.1.9) instead of
+    rejecting, so pixels on BOTH sides of the seam match at their true
+    near-image distance — equality against a brute force that splits
+    with the Python mirror and measures each half with the wrapped
+    planar formula."""
+    import math
+
+    from gee_datapipeline_spark.functions.geo import (
+        KM_PER_DEG,
+        proximity_join_lines,
+    )
+
+    def wrap(d):
+        if abs(d) > 180.0:
+            return d - 360.0 if d > 0.0 else d + 360.0
+        return d
+
+    def ref_seg(plon, plat, lon1, lat1, lon2, lat2):
+        ky = KM_PER_DEG
+        kx = ky * math.cos(math.radians((lat1 + lat2) / 2.0))
+        ax = wrap(lon1 - plon) * kx
+        ay = (lat1 - plat) * ky
+        bx = wrap(lon2 - plon) * kx
+        by = (lat2 - plat) * ky
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = (
+            0.0
+            if len2 == 0.0
+            else max(0.0, min(1.0, -(ax * dx + ay * dy) / len2))
+        )
+        cx, cy = ax + t * dx, ay + t * dy
+        return math.sqrt(cx * cx + cy * cy)
+
+    seg_rows = [
+        ("crossing", 179.9, 10.0, -179.9, 10.1),
+        ("west_only", 179.5, 9.9, 179.7, 10.0),
+        ("far", 177.0, 10.0, 177.2, 10.0),
+    ]
+    segs = spark.createDataFrame(
+        seg_rows,
+        "feature_id string, lon1 double, lat1 double, "
+        "lon2 double, lat2 double",
+    )
+    px_rows = [
+        (1, 179.99, 10.0),    # west of the seam, on the crossing chord
+        (2, -179.95, 10.05),  # east of the seam
+        (3, 180.0, 10.02),    # exactly ON the seam (east alias)
+        (4, -178.0, 10.0),    # ~200 km east: no match
+    ]
+    px = spark.createDataFrame(
+        px_rows, "pid int, lon double, lat double"
+    )
+    radius = 10.0
+    got = {
+        (r.pid, r.pt_feature_id): r.distance_km
+        for r in proximity_join_lines(px, segs, radius).collect()
+    }
+    brute = {}
+    for pid, x, y in px_rows:
+        for fid, lon1, lat1, lon2, lat2 in seg_rows:
+            d = min(
+                ref_seg(x, y, *h)
+                for h in _py_split_seam(lon1, lat1, lon2, lat2)
+            )
+            brute[(pid, fid)] = min(brute.get((pid, fid), d), d)
+    want = {k: d for k, d in brute.items() if d <= radius}
+    assert set(got) == set(want)
+    for k, d in got.items():
+        assert abs(d - want[k]) <= 1e-9, (k, d, want[k])
+    # the crossing road must be matched from BOTH sides of the seam
+    assert (1, "crossing") in got and (2, "crossing") in got
+    assert (3, "crossing") in got
+    assert got[(1, "crossing")] < 5.0
