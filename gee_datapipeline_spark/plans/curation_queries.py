@@ -61,15 +61,25 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("cast(array() as array<string>)"))
         ).alias("h"),
     )
+    # ONE digest-keyed exchange, reused by both consumers (guide §2.4):
+    # without the explicit repartition, the aggregate side and the
+    # join-probe side each re-ran the whole tokenize+md5 subtree (two
+    # corpus scans, zero ReusedExchange in the r9 plan). Shuffling the
+    # narrow (doc_id, h) rows once and reading the shuffle twice is the
+    # cluster-scale layout anyway — digests ride the wire, text never
+    # moves. The dup test only needs "more than one distinct doc", so
+    # min!=max replaces count_distinct (no distinct-rewrite Expand;
+    # 2-value accumulator instead of a per-group hash set).
+    spans = spans.repartition("h")
     span_docs = spans.groupBy("h").agg(
-        F.count_distinct("doc_id").alias("n_docs")
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
     )
     per_doc = (
         spans.join(span_docs, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias(
                 "n_dup_spans"
             ),
         )
@@ -171,10 +181,15 @@ def _span_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     ).select("doc_id", F.col("sh.s").alias("s"), F.col("sh.h").alias("h"))
+    # Same reuse-one-exchange + min/max-instead-of-count_distinct
+    # rewrite as span_dedup above: one corpus tokenize+md5 pass instead
+    # of two, and the dup-hash aggregate keeps a 2-value accumulator
+    # per digest instead of a distinct hash set.
+    spans = spans.repartition("h")
     dup_hashes = (
         spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("h")
     )
     dup = spans.join(dup_hashes, "h", "left_semi")

@@ -1236,14 +1236,33 @@ def _streaming_road_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dataset string, lon double, lat double, value double"
         )
         name = f"gate_roads_{abs(hash(root)) % 10**9}"
-        q = run_to_memory(
-            enrich_stream_roads(
-                stream_from_dir(spark, src + "/*", schema), segs, 5.0
-            ),
-            name,
-            os.path.join(root, "ckpt"),
-            output_mode="complete",
+        # State-partition sizing (guide §2.2/§5): the complete-mode
+        # aggregate's state is |roads|×|datasets| rows — dimension-
+        # bounded forever — yet it inherited spark.sql.shuffle.partitions
+        # (= the core count), so EVERY micro-batch paid a state-store
+        # load/commit per partition (3 triggers × 32 stores here, most
+        # holding a handful of rows). Pin the streaming aggregate to a
+        # small partition count, the standard production tuning for
+        # dimension-bounded streaming state; batch queries are untouched
+        # (the conf is restored immediately after the stream starts —
+        # streaming state partitioning is fixed at checkpoint creation).
+        # Values are identical under any partitioning (max/min aggs).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "4"),
         )
+        try:
+            q = run_to_memory(
+                enrich_stream_roads(
+                    stream_from_dir(spark, src + "/*", schema), segs, 5.0
+                ),
+                name,
+                os.path.join(root, "ckpt"),
+                output_mode="complete",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         try:
             q.processAllAvailable()
         finally:

@@ -267,7 +267,15 @@ def _triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.a", "e.b")
     adj = (
-        combos.repartition(32, "a")
+        # partition count derived from the session's core budget
+        # (cluster: total executor cores) — was a hard-coded 32 that
+        # matched only the local machine (guide §2: scale-adaptive
+        # partitioning, not a constant tuned for one box). Explicit N
+        # keeps AQE from coalescing the adjacency build down and
+        # starving the two downstream join probes of parallelism
+        # (measured: the keyless repartition("a") form coalesced and
+        # ran 1.85 → 2.45 s at sf0.1).
+        combos.repartition(spark.sparkContext.defaultParallelism, "a")
         .groupBy("a")
         .agg(F.sort_array(F.collect_set("b")).alias("nbrs"))
         .localCheckpoint()
@@ -387,7 +395,19 @@ def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # struct arg-max), so the oracle hash cannot move.
     small_v = und.count() <= 10_000_000
     _b = F.broadcast if small_v else (lambda df: df)
+    n_parts = spark.sparkContext.defaultParallelism
     for _ in range(LPA_ROUNDS):
+        # ONE exchange per round instead of two (guide §2.4): hash-
+        # partitioning the joined edges by src up front satisfies BOTH
+        # downstream aggregates — clustering(src, lbl) for the weight
+        # sum (subset rule) and clustering(src) for the arg-max — so
+        # neither inserts its own shuffle. The r9 shape paid a partial-
+        # agg exchange on (node, lbl) AND a second full exchange of the
+        # summed rows for the arg-max, every round. Decimal sums and
+        # the exact struct arg-max are order-independent, so the
+        # partitioning change cannot move the oracle hash. Explicit N
+        # (cluster: total cores) keeps AQE from coalescing the round's
+        # only exchange and starving the aggregate of parallelism.
         scores = (
             und.join(
                 _b(
@@ -397,6 +417,7 @@ def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "dst",
             )
+            .repartition(n_parts, "src")
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(
                 F.sum(F.col("weight").cast("decimal(30,6)")).alias("w")

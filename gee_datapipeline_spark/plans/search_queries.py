@@ -81,15 +81,33 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = docs.select(
-        "doc_id", X.token_count(F.col("text")).alias("dl")
+    # The tf table is the single corpus-sized pass; materialize it once
+    # (r9 plan: the dfreq subtree and the probe join each re-ran
+    # tokenize+aggregate, and dl/stats re-tokenized the text twice
+    # more — four corpus passes for one query). Everything else is
+    # DERIVED from tf: dl = Σ_term tf per doc (identical to
+    # size(tokens) — split() never yields NULL elements, and a
+    # NULL-text doc has no tf rows, exactly the rows the dl join could
+    # never match anyway); Σ dl for avgdl = global Σ tf (NULL-text docs
+    # contributed NULL to the old sum, i.e. nothing); only n_docs still
+    # comes from documents, via a metadata-cheap count that reads no
+    # text. One tokenize pass + vocabulary/doc-bounded aggregates.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        # integer sum is exact; the division happens once, in double,
-        # identically on both engines.
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        dl.agg(F.sum("dl").alias("__sum_dl"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "n_docs",
+            # integer sum is exact; the division happens once, in
+            # double, identically on both engines.
+            (F.col("__sum_dl") / F.col("n_docs")).alias("avgdl"),
+        )
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     # Exact rank-band selection: TakeOrdered bounds the head to

@@ -131,7 +131,12 @@ def _lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg_counts = bigr.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    ug_counts = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Left-context counts are the bigram counts marginalized over w2 —
+    # identical values (c1 = Σ_w2 c12 by definition), computed from the
+    # vocabulary-bounded bg_counts table instead of a second
+    # corpus-sized tokenize+explode pass (guide §2.4; the r9 plan
+    # scanned documents 4x: bg_counts, ug_counts, vocab, scoring probe).
+    ug_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.count_distinct("w").alias("v")
     )
@@ -260,21 +265,26 @@ def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (_base_hash(F.col("term")) % F.lit(DSIR_BUCKETS)).alias("f"),
     )
-    raw = tok.groupBy("f").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
-    )
-    totals = tok.agg(
-        F.count(F.lit(1)).alias("n_raw"),
+    # ONE conditional aggregate replaces the r5 raw/tgt/totals trio
+    # (guide §2.4: two aggregations keyed the same way share one pass;
+    # the r9 plan tokenized+md5-hashed the corpus FOUR times — raw,
+    # tgt, totals, final join — because each consumer re-evaluated the
+    # lazy `tok` subtree). c_tgt via sum(CASE) == the old left-joined
+    # count (0 instead of NULL for bucket with no target tokens — the
+    # coalesce below sees the same value either way), and the corpus
+    # totals are exact column sums of the B-row bucket table, so no
+    # third corpus pass. Plan: 4 scans → 2 (bucket stats + final probe).
+    bucket = tok.groupBy("f").agg(
+        F.count(F.lit(1)).alias("c_raw"),
         F.sum(
             F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
-        ).alias("n_tgt"),
+        ).alias("c_tgt"),
+    )
+    totals = bucket.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
     )
     ratios = (
-        raw.join(tgt, "f", "left")
-        .crossJoin(F.broadcast(totals))
+        bucket.crossJoin(F.broadcast(totals))
         .select(
             "f",
             (

@@ -295,6 +295,13 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew risk and AQE skew-join handles them."""
     docs = _docs(spark, sf_dir)
     sh = X.shingles_df(docs, "doc_id", F.col("text"))
+    # (r10 measured: eagerly localCheckpointing sh to share it across
+    # the three consumers ran 1.28 → 1.58 s at sf0.1 — the blocking
+    # materialization of the wide shingle strings costs more than the
+    # duplicated pipeline evaluations it saves at this scale — so the
+    # lazy form deliberately stands; contrast ngram_jaccard_capped,
+    # where the restructure paid off because it also deleted the
+    # self-join.)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -349,7 +356,20 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones. One extra hash-agg (the DF table) + a broadcast-ready
     semi-join against it."""
     docs = _docs(spark, sf_dir)
-    sh = X.shingles_df(docs, "doc_id", F.col("text"))
+    # One materialization of the shingle table (see ngram_jaccard_pairs:
+    # every lazy consumer re-ran the tokenize pipeline; 4 documents
+    # scans in the r9 plan), then the DF cap and the pair generation
+    # come out of ONE digest-keyed aggregate: because the cap bounds
+    # every kept shingle's doc list at SHINGLE_DF_CAP, the per-shingle
+    # doc set is a tiny sorted array and the a<b pairs are a narrow
+    # combination explode (the triangle_count combos idiom) — the
+    # shingle self-join, its second full input evaluation, and the two
+    # per-doc count builds all collapse into reads of two small tables.
+    # State stays bounded: collect_set runs only on rows that survived
+    # the df<=CAP semi-join, so no hot-shingle array can exceed CAP.
+    sh = X.shingles_df(docs, "doc_id", F.col("text")).localCheckpoint(
+        eager=True
+    )
     keep = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -357,14 +377,28 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     capped = sh.join(keep, "shingle")
-    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = capped.alias("a")
-    b = capped.alias("b")
+    grouped = capped.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ds")
+    ).localCheckpoint(eager=True)
+    counts = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+                    flatten(transform(ds, (x, i) ->
+                        transform(slice(ds, i + 2, size(ds) - i - 1),
+                                  y -> struct(x AS a, y AS b))))
+                    """
+                )
+            ).alias("e")
+        )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("e.a").alias("doc_a"), F.col("e.b").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -1637,8 +1671,14 @@ def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: candidates are a superset by the prefix theorem;
     verification is exact integer set math."""
     docs = _docs(spark, sf_dir)
-    sh = X.shingles_df(docs, "doc_id", F.col("text")).withColumnRenamed(
-        "shingle", "term"
+    # Materialized once: four consumers (sizes, dfreq, the ranked probe,
+    # sets) each re-ran the tokenize→shingle pipeline lazily — the r9
+    # plan scanned documents four times. One compute + four narrow
+    # reads (see ngram_jaccard_pairs note).
+    sh = (
+        X.shingles_df(docs, "doc_id", F.col("text"))
+        .withColumnRenamed("shingle", "term")
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
