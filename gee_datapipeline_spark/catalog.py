@@ -49,8 +49,89 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df._graft_scan_bytes = _source_bytes(path)
         return df
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    # Source-size hint for spread_scan's unsplittable-input guard: a
+    # pure os.stat at load time, so the guard never pays a per-query
+    # plan/IO probe (df.rdd / inputFiles() cost ~0.1 s per call —
+    # measured r10 — which is real money on sub-second queries).
+    df._graft_scan_bytes = _source_bytes(path)
+    return df
+
+
+def _source_bytes(path: str) -> int | None:
+    """Total bytes under a local file/directory source; None when the
+    path isn't a local filesystem object (object stores, HDFS — where
+    the guard should conservatively no-op)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+    except OSError:
+        pass
+    return None
+
+
+def spread_scan(
+    df: DataFrame, spark: SparkSession, *keys: str
+) -> DataFrame:
+    """Unsplittable-input guard (optimization guide §2.5, "one huge
+    unsplittable file"): when the source layout yields fewer scan
+    splits than the session has cores, every row lands in one task and
+    the whole first stage — tokenize, digest, decimal accumulation —
+    runs single-threaded no matter how many cores exist. That is
+    exactly the shape of this repo's test parquet (ONE row group per
+    file: byte-range splits exist but only the split containing the
+    row-group start produces rows). Spread the rows once, cheaply,
+    BEFORE the heavy per-row work.
+
+    Scale-adaptive by construction, not a local[32] constant: the
+    trigger compares the scan's actual split count against
+    ``defaultParallelism`` (local: the core count; cluster: total
+    executor cores), so a production table with hundreds of row groups
+    takes the no-op branch and keeps map-side partial aggregation
+    unshuffled. With ``keys`` the spread hashes on those columns
+    (deterministic under task retry — the guide's §2.5 caveat about
+    round-robin applies only to non-deterministic inputs, but a keyed
+    spread also skips the sort-before-repartition pass); without keys
+    it round-robins.
+
+    Call this only where stage-1 per-row work dominates the scan (the
+    shuffle moves every surviving row once); a plain scan→tiny-agg
+    query keeps its single pass.
+
+    The guard reads the source-size hint ``load_table`` stamped on the
+    DataFrame (an os.stat, free) and estimates the scan's split count
+    as bytes / maxPartitionBytes — the same arithmetic Spark's file
+    index uses. No hint (a derived DataFrame, a non-local source) means
+    no spread: conservative, and exactly right for cluster tables where
+    the layout provides parallelism. (The first r10 form probed
+    ``df.rdd.getNumPartitions()`` — ~0.1 s of physical planning per
+    call, a measured net LOSS on every sub-second query.)"""
+    bytes_ = getattr(df, "_graft_scan_bytes", None)
+    if bytes_ is None:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    mpb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    if -(-bytes_ // mpb) >= target:
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suf + "b") or v.endswith(suf):
+            return int(float(v.rstrip("b").rstrip(suf))) * mult
+    return int(v.rstrip("b"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.stable import (
     sql_stable_avg,
     sql_stable_sum,
@@ -186,6 +186,12 @@ def _moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.to_date("day"), F.lit("1970-01-01").cast("date")
             ),
         )
+        # blocked_trailing_window consumes its input in four places
+        # (bucket counts, the ranked join, and both sides of the
+        # carry-row union) — lazily each re-ran the orders scan+daily
+        # aggregate (4 orders scans in the r10 before-plan).
+        # Materialize the calendar-sized daily table once (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     u, w = blocked_trailing_window(daily, "day_idx", n_preceding=6)
     return (
@@ -282,7 +288,11 @@ def _cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass (the dataset x month x region reporting surface the viewers
     imply, SURVEY.md §2.4)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
+    # Unsplittable-input spread (guide §2.5): the Expand(×4 grouping
+    # sets) + decimal partial aggregate otherwise run on ONE task.
+    return spread_scan(li, spark, "l_orderkey").cube(
+        "l_returnflag", "l_linestatus"
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         stable_sum("l_quantity").alias("sum_qty"),
     )
@@ -557,7 +567,11 @@ def _grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the middle ground between rollup and
     cube): per-flag, per-status, and grand-total rows in one pass —
     Spark plans a single Expand + hash aggregate, no re-scan per level."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    # Unsplittable-input spread (guide §2.5): same Expand-stage shape
+    # as cube_report.
+    spread_scan(
+        _t(spark, sf_dir, "lineitem"), spark, "l_orderkey"
+    ).createOrReplaceTempView("gs_lineitem")
     # sql_stable_sum is plain ANSI — the same string runs in both engines.
     return spark.sql(
         f"""
@@ -643,6 +657,9 @@ def _conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataDownloader_V3.py:62-73, as sum(CASE))."""
     orders = _t(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # (r10 measured: a pre-aggregate spread of the 150k-row orders scan
+    # ran 0.28 -> 0.54 s interleaved - the per-row work here is too
+    # light to pay for an exchange - reverted.)
     return (
         orders.withColumn(
             "month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")

@@ -33,20 +33,34 @@ def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed, so the joins co-partition with the aggregates (one
     shuffle key throughout — AQE merges the exchanges)."""
     e = _events(spark, sf_dir)
+    # The funnel cascade consumes s1 three times (its own count, inside
+    # s2, inside s2-inside-s3) and s2 twice — lazily that is SIX event
+    # scans (r10 before-plan). Materialize the narrow 3-type projection
+    # ONCE; the user-sized stage aggregates re-derive from it cheaply.
+    # (r10 measured: checkpointing s1/s2 as well ran 0.41 → 0.51 s —
+    # two more blocking jobs for no saved fact scan — so only the base
+    # projection is materialized.)
+    base = (
+        e.filter(
+            F.col("event_type").isin("signup", "click", "purchase")
+        )
+        .select("user_id", "event_type", "ts")
+        .localCheckpoint(eager=True)
+    )
     s1 = (
-        e.filter(F.col("event_type") == "signup")
+        base.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
     s2 = (
-        e.filter(F.col("event_type") == "click")
+        base.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
-        e.filter(F.col("event_type") == "purchase")
+        base.filter(F.col("event_type") == "purchase")
         .join(s2, "user_id")
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
@@ -494,10 +508,16 @@ def _concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session_window's end is start-of-last-event + gap; use the last
     # event ts as the session end so both engines derive identical
     # endpoints from the data alone.
-    s = ev.groupBy(
-        "user_id", F.session_window("ts", "30 minutes").alias("sess")
-    ).agg(
-        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    s = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sess")
+        )
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        # Three consumers (start deltas, end deltas, the per-day session
+        # count) lazily re-ran the sessionization aggregate — 3 event
+        # scans in the r10 before-plan. One sessionization pass, three
+        # reads of the session-sized table (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     deltas = s.select(
         F.to_date("start_ts").alias("day"),
@@ -1260,9 +1280,17 @@ def _ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "campaign",
         (F.col("lp_ts") > F.col("exp_ts")).cast("int").alias("conv"),
     )
-    rates = per_user.groupBy("campaign").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.coalesce("conv", F.lit(0))).alias("x"),
+    rates = (
+        per_user.groupBy("campaign")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("conv", F.lit(0))).alias("x"),
+        )
+        # The C-row rate table is self-crossed (a × b) — lazily BOTH
+        # sides re-ran the exposure⋈purchase pipeline (4 event scans in
+        # the r10 before-plan). Materialize C rows, scan the fact once
+        # (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     a = rates.select(
         F.col("campaign").alias("camp_a"),

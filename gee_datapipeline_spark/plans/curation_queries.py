@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.stable import stable_round
 from ..functions import text as X
 from .registry import Query, register
@@ -46,9 +46,12 @@ def _span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE handles digest skew (a boilerplate span shared by millions of
     docs) without a manual salt."""
     docs = _docs(spark, sf_dir)
-    d = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).withColumn(
-        "n", F.size("t")
-    )
+    # Unsplittable-input spread (guide §2.5): the tokenize+md5 window
+    # hashing below otherwise runs on ONE task (single-row-group
+    # parquet) before the digest-keyed exchange.
+    d = spread_scan(docs, spark, "doc_id").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
     spans = d.select(
         "doc_id",
         F.explode(
@@ -163,9 +166,10 @@ def _span_dedup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    d = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).withColumn(
-        "n", F.size("t")
-    )
+    # Unsplittable-input spread (guide §2.5), as in span_dedup.
+    d = spread_scan(docs, spark, "doc_id").select(
+        "doc_id", X.tokens(F.col("text")).alias("t")
+    ).withColumn("n", F.size("t"))
     spans = d.select(
         "doc_id",
         F.explode(
@@ -687,29 +691,40 @@ def _boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("h", F.md5("block_text"))
     )
+    # ONE digest-keyed exchange reused by the doc-frequency aggregate
+    # and the join probe side (the span_dedup idiom from this round),
+    # instead of three lazy re-runs of the tokenize+block+md5 subtree
+    # (4 documents scans in the r10 before-plan). The hash partitioning
+    # on h also satisfies the (h, doc_id) partial-distinct grouping
+    # (subset rule), so the count_distinct inserts no extra shuffle.
+    blocks = blocks.repartition("h")
     dfreq = blocks.groupBy("h").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )
     annotated = blocks.join(dfreq, "h")
-    kept = (
-        annotated.filter(F.col("n_docs") < BLOCK_DF_MAX)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.expr(
-                    "transform(array_sort(collect_list("
-                    "struct(block_idx, block_text))), s -> s.block_text)"
-                ),
-                " ",
-            ).alias("cleaned_text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+    # Reassembly and the block totals fold into ONE per-doc aggregate:
+    # collect_list skips the NULLs the boilerplate WHEN produces, so
+    # the kept-only reassembly and the all-blocks count ride the same
+    # hash aggregate — the separate `totals` subtree (one more full
+    # tokenize pass) disappears. A doc whose every block is boilerplate
+    # now yields an empty list → array_join '' and n_kept 0, exactly
+    # the values the old missing-row path produced via coalesce.
+    keep = F.col("n_docs") < BLOCK_DF_MAX
+    per_doc = annotated.groupBy("doc_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN n_docs < "
+                f"{BLOCK_DF_MAX} THEN struct(block_idx, block_text) "
+                "END)), s -> s.block_text)"
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
     )
-    totals = blocks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
     return (
         docs.select("doc_id")
-        .join(kept, "doc_id", "left")
-        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
@@ -1041,6 +1056,9 @@ def compression_ratio_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # breaking pandas_udf's type-hint inference.
     zratio = pandas_udf(lambda texts: texts.map(_one), "double")
 
+    # (r10 measured: spreading before the zlib UDF ran 0.34 -> 0.51 s
+    # interleaved at this corpus size - reverted; at a real 100 TB
+    # corpus the row-group layout provides the Python-worker fan-out.)
     docs = load_table(spark, sf_dir, "documents")
     r = F.col("ratio")
     return docs.select(

@@ -1228,10 +1228,22 @@ def _streaming_road_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         months = [r["m"] for r in px.select("m").distinct().collect()]
         batches = sorted(months) + [min(months)]  # replay month 1
-        for i, m in enumerate(batches):
+        # Fixture-prep cost is inside the timed region, so write each
+        # month ONCE (two pixel scans instead of three) and make the
+        # replay batch a byte-for-byte COPY of month 1's directory —
+        # truer to at-least-once redelivery than re-running the write
+        # (the redelivered file is verbatim identical), and one fewer
+        # Spark job. Batch order is still enforced by write/copy order
+        # (and maxFilesPerTrigger=1 gives one micro-batch per file
+        # regardless of timestamps).
+        for i, m in enumerate(batches[:-1]):
             px.filter(F.col("m") == m).drop("m").coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(src, f"b{i}"))
+        shutil.copytree(
+            os.path.join(src, "b0"),
+            os.path.join(src, f"b{len(batches) - 1}"),
+        )
         schema = T._parse_datatype_string(
             "dataset string, lon double, lat double, value double"
         )

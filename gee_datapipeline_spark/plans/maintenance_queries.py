@@ -797,6 +797,13 @@ def _benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(d.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        # The 9-row histogram feeds THREE consumers (tot, the exp_df
+        # join, and via `terms` the chi² total) — lazily each re-ran
+        # the whole orders scan+aggregate (4 scans in the r10 before-
+        # plan). Materializing 9 rows collapses that to ONE fact pass
+        # (guide §2.4: remove repeated subtrees); on a 100 TB fact
+        # table the re-scan is the whole query cost.
+        .localCheckpoint(eager=True)
     )
     tot = hist.agg(F.sum("n").alias("n_tot"))
     # exact literal expectations, identical text in the oracle
@@ -1054,6 +1061,14 @@ def _kmv_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         hset.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
         .select("source", "h")
+        # The sketch table is |sources|×K rows, but its subtree is the
+        # corpus-sized md5+distinct+bottom-k — and it feeds three
+        # consumers (per-source estimates, and BOTH sides of the
+        # pairwise union). Lazily that ran the corpus pass three times
+        # (8 documents scans in the r10 before-plan); materializing
+        # the tiny sketch runs it once (guide §2.4). This is also the
+        # 100 TB layout: sketches persist, fact data is read once.
+        .localCheckpoint(eager=True)
     )
     per = sk.groupBy("source").agg(
         F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk")

@@ -56,6 +56,9 @@ def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
+        # (r10 measured: a pre-window spread ran 0.24 → 0.41 s
+        # interleaved — the tokenize here is too light to pay for an
+        # extra exchange — reverted.)
         docs.select("doc_id", "source", n_tok.alias("n_tokens"))
         .withColumn(
             "start_offset",
@@ -357,6 +360,10 @@ def _token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import sample_hash
 
+    # (r10 measured: spread + an eager checkpoint of the scored
+    # projection ran 0.41 → 0.94 s interleaved — two extra blocking
+    # steps against one saved 5 000-doc tokenize pass — reverted; the
+    # lazy double-evaluation is the cheaper form at this scale.)
     docs = _docs(spark, sf_dir)
     n_tok = X.token_count(F.col("text"))
     score = F.least(F.lit(1.0), n_tok.cast("double") / 256.0)
@@ -493,8 +500,15 @@ def _source_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source vocabulary, never by the corpus). Every quantity is an
     exact int64/integer-division value, so the gate is hash-exact."""
     docs = _docs(spark, sf_dir)
-    totals = docs.groupBy("source").agg(
-        F.sum(X.token_count(F.col("text"))).alias("t")
+    totals = (
+        docs.groupBy("source")
+        .agg(F.sum(X.token_count(F.col("text"))).alias("t"))
+        # |sources| rows with THREE consumers (ranked, g, the final
+        # allocation) — lazily each re-ran the corpus tokenize pass
+        # (4 documents scans across this query in the r10 before-plan,
+        # 5 through waterfill_apply which reuses this plan). One
+        # tokenize pass (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     w = Window.orderBy(F.asc("t"), F.asc("source"))
     ranked = totals.select(

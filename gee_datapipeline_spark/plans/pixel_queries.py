@@ -263,11 +263,20 @@ def _date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     against observed partitions ("No … data available",
     DataDownloader_V1.py:100-129)."""
     ev = _events(spark, sf_dir)
-    spine = date_spine_from(ev, F.to_date("date")).select(
+    # ONE fact pass instead of three (guide §2.4): the spine bounds and
+    # the type set both derive from the distinct (event_type, date)
+    # table — min/max over the distinct dates equal min/max over the
+    # raw rows (every event has a date), and the type set is its
+    # projection. The r10 before-plan scanned events three times.
+    observed = (
+        ev.select("event_type", "date").distinct().localCheckpoint(
+            eager=True
+        )
+    )
+    spine = date_spine_from(observed, F.to_date("date")).select(
         F.date_format("date", "yyyy-MM-dd").alias("date")
     )
-    types = ev.select("event_type").distinct()
-    observed = ev.select("event_type", "date").distinct()
+    types = observed.select("event_type").distinct()
     return spine.crossJoin(types).join(
         observed, on=["event_type", "date"], how="left_anti"
     )
@@ -365,6 +374,9 @@ register(
 def _rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 — dataset × day rollup (the layer × date matrix the viewers
     imply, index.html:135-147) with subtotals and a grand total."""
+    # (r10 measured: a pre-Expand spread of the 100k-row events scan
+    # ran 0.41 -> 0.72 s interleaved - reverted; contrast cube_report,
+    # where the same spread over 600k lineitem rows WON 1.02 -> 0.57 s.)
     df = _events(spark, sf_dir)
     return df.rollup("event_type", "date").agg(
         F.count(F.lit(1)).alias("n"),
@@ -577,9 +589,14 @@ def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
-    daily = ev.groupBy(
-        "user_id", "event_type", day.alias("d")
-    ).agg(stable_avg("value").alias("v_obs"))
+    daily = (
+        ev.groupBy("user_id", "event_type", day.alias("d"))
+        .agg(stable_avg("value").alias("v_obs"))
+        # Two consumers (the per-series range and the spine join)
+        # lazily re-ran the fact scan + daily aggregate (2 events
+        # scans in the r10 before-plan). One pass (guide §2.4).
+        .localCheckpoint(eager=True)
+    )
     rng = daily.groupBy("user_id", "event_type").agg(
         F.min("d").alias("d0"), F.max("d").alias("d1")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.stable import (
     stable_round,
     sql_stable_avg,
@@ -37,6 +37,13 @@ def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # Unsplittable-input spread (guide §2.5): the 7-way decimal partial
+    # aggregate — the whole query — otherwise runs on ONE task (single-
+    # row-group parquet). Applied on the scan (Catalyst pushes the
+    # shipdate filter below the repartition); 6 groups × 32 partitions
+    # of partial rows still ride the final exchange. Measured r10
+    # interleaved A/B: 1.79 → 1.05 s.
+    li = spread_scan(li, spark, "l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-08-06").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -333,7 +340,11 @@ def _big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     small key set that then broadcasts."""
     li = _t(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
+        # Unsplittable-input spread (guide §2.5), keyed on the grouping
+        # key so the spread exchange IS the aggregate's clustering —
+        # same exchange count, parallel decimal aggregation.
+        spread_scan(li, spark, "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(stable_sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
@@ -383,7 +394,11 @@ def _promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # Unsplittable-input spread (guide §2.5): the broadcast probe + the
+    # month partial aggregate otherwise run on ONE task.
+    j = spread_scan(li, spark, "l_orderkey").join(
+        F.broadcast(part), F.col("l_partkey") == part.p_partkey
+    )
     monthly = j.withColumn(
         "month", F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM")
     ).groupBy("month")

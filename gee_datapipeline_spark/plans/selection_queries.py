@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions import text as X
 from ..functions.similarity import (
     cosine,
@@ -255,7 +255,9 @@ def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per input partition) → broadcast join → per-doc aggregate. The
     corpus is never joined on a data-dependent key.
     """
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): tokenize + md5 bucketing
+    # otherwise run on ONE task, in both lazy consumers.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     tok = docs.select(
         "doc_id",
         "lang",
@@ -632,7 +634,10 @@ def _quality_classifier_score(
     precedent) mirrored verbatim in the oracle; ``keep`` compares the
     unrounded double so rounding can never flip it.
     """
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): tokenize + uni/bigram
+    # explode + md5 bucketing — the whole per-row cost — otherwise run
+    # on ONE task; doc_id keying aligns with the per-doc aggregate.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     toks = docs.select(
         "doc_id", X.tokens(F.col("text")).alias("t")
     ).withColumn("n", F.size("t"))

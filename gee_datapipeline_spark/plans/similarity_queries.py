@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.similarity import (
     cosine,
     decimal_dot,
@@ -108,7 +108,9 @@ def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: the tiny probe set broadcasts; candidates stream through
     a map-side nested-loop against it (no shuffle of the big side until
     the final per-probe top-k window, which is k-bounded)."""
-    e = _emb(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): the |corpus|x|probes|
+    # broadcast cross-score otherwise runs on ONE task.
+    e = spread_scan(_emb(spark, sf_dir), spark, "vec_id")
     with_norm = e.withColumn("norm", F.sqrt(sq_norm(F.col("embedding"))))
     probes = (
         with_norm.filter(F.col("vec_id") < N_QUERIES)
@@ -154,6 +156,8 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-tested for both the float and quantized paths."""
     from ..functions.similarity import ann_lsh_topk
 
+    # (r10 measured: spreading 2 000 vectors before the bucket UDF ran
+    # 1.07 → 1.11 s interleaved — flat-to-negative — reverted.)
     e = _emb(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_QUERIES)
     return ann_lsh_topk(e, probes, k=TOP_K, quantized=True)
@@ -268,6 +272,9 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_train``."""
     from ..functions.similarity import ann_ivf_topk, ivf_centroids_cached
 
+    # (r10 measured: spreading the 2 000-row vector table before the
+    # assignment ran 1.58 → 1.96 s interleaved — the added exchange
+    # outweighs parallelizing this |corpus|'s assignment — reverted.)
     e = _emb(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_QUERIES)
     quantizer = ivf_centroids_cached(
@@ -726,10 +733,18 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Seeds are the SEM_C smallest vec_ids (no Lloyd iterations), which
     keeps the whole pipeline SQL-expressible for the oracle; the
     iterative-refinement variant of the same quantizer is ann_ivf."""
-    e = _emb(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): the localCheckpoint below
+    # PRESERVES partitioning, so without the spread the xSEM_C
+    # assignment cross-score downstream would still run on ONE task.
+    e = spread_scan(_emb(spark, sf_dir), spark, "vec_id")
+    # with_norm has FIVE consumers (cents, the assignment cross-score,
+    # the assigned join, and both re-score sides a/b) — lazily each
+    # re-scanned the embeddings parquet and recomputed the norm (8
+    # embedding scans in the r10 before-plan). One scan + one norm
+    # pass (guide §2.4).
     with_norm = e.select(
         "vec_id", "embedding", F.sqrt(sq_norm(F.col("embedding"))).alias("norm")
-    )
+    ).localCheckpoint(eager=True)
     cents = with_norm.filter(F.col("vec_id") < SEM_C).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
@@ -752,11 +767,18 @@ def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         )
     )
-    assigned = best.select(
-        "vec_id",
-        (-F.col("b.neg_c")).alias("cluster_id"),
-        F.col("b.c_cos").alias("centroid_cos"),
-    ).join(with_norm, "vec_id")
+    # assigned feeds both the cluster-local screen and the final keep
+    # report — lazily the ×SEM_C assignment cross-score (the dominant
+    # stage) ran twice. Materialize it once (guide §2.4).
+    assigned = (
+        best.select(
+            "vec_id",
+            (-F.col("b.neg_c")).alias("cluster_id"),
+            F.col("b.c_cos").alias("centroid_cos"),
+        )
+        .join(with_norm, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     # Cluster-local near-dup pairs, two-stage like embedding_near_dup:
     # per-cluster NumPy gram-matrix screen with a float64 margin
     # (applyInPandas — one shuffle keyed on cluster_id, dense BLAS per
@@ -1314,6 +1336,10 @@ def _embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector converges to the same bits everywhere. Sign convention:
     the component with the largest |loading| (ties → smallest dim) is
     made positive."""
+    # (r10 measured: a pre-aggregate spread of the 2 000-row vector
+    # table ran 1.15 → 1.80 s in the interleaved A/B — the exchange +
+    # the e.count() job it drags in cost more than the parallel scatter
+    # saves at this |corpus| — so the single-pass form stands.)
     e = _emb(spark, sf_dir)
     flat = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
         (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
@@ -1653,6 +1679,8 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NumPy, Spark and DuckDB with no float-boundary margin arguments."""
     from ..functions.similarity import ivf_centroids_cached, knn_join_ivf
 
+    # (r10 measured: the _ann_ivf spread revert applies here too,
+    # 1.25 → 1.33 s interleaved — reverted.)
     e = _emb(spark, sf_dir)
     quantizer = ivf_centroids_cached(
         e, n_centroids=IVF_CENTROIDS, lloyd_iters=1, exact=True

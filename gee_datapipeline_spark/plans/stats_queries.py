@@ -1238,6 +1238,11 @@ def _cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("event_type", F.to_date("ts").alias("d"))
         .agg(stable_avg("value", scale=6, dec="decimal(38,12)").alias("x"))
         .filter(F.col("x").isNotNull())
+        # Two consumers (the per-type target and the CUSUM join) lazily
+        # re-ran the fact scan + daily aggregate (2 events scans in the
+        # r10 before-plan). One pass into the |types|×|days| table
+        # (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     target = daily.groupBy("event_type").agg(
         stable_avg("x", scale=6, dec="decimal(30,6)").alias("target")

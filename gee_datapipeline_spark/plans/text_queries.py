@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions import text as X
 from ..functions.stable import (
     sql_stable_avg,
@@ -118,7 +118,9 @@ def _bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-2-style pre-tokenizer segment count next to the whitespace
     count, per document — the cost estimate an LLM-data pipeline
     actually budgets with. Pure Catalyst regexp (codegen, no UDF)."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): the per-row BPE regex is
+    # the whole query cost and otherwise runs on ONE task.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     return docs.select(
         "doc_id",
         X.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
@@ -150,7 +152,9 @@ register(
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token stats + punctuation/stopword ratios +
     composite score, all Catalyst expressions."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): per-row tokenize/regex
+    # work, otherwise one task.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     t = F.col("text")
     toks = X.tokens(t)
     return docs.select(
@@ -235,7 +239,9 @@ register(
 def _lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-set language ID: per-language hit counts + argmax with a
     fixed tie-break (functions.text.lang_id)."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): per-row marker scans over
+    # every language's word list, otherwise one task.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     toks = X.tokens(F.col("text"))
     scores = X.lang_scores(toks)
     return docs.select(
@@ -293,7 +299,10 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle counts. The equi-join on the shingle key is the scalable
     trick — no all-pairs cross product; at 100 TB hot shingles are the
     skew risk and AQE skew-join handles them."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): the tokenize+shingle
+    # build (which the three lazy consumers each re-run) otherwise
+    # evaluates on ONE task each time.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     sh = X.shingles_df(docs, "doc_id", F.col("text"))
     # (r10 measured: eagerly localCheckpointing sh to share it across
     # the three consumers ran 1.28 → 1.58 s at sf0.1 — the blocking
@@ -367,6 +376,8 @@ def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc count builds all collapse into reads of two small tables.
     # State stays bounded: collect_set runs only on rows that survived
     # the df<=CAP semi-join, so no hot-shingle array can exceed CAP.
+    # (r10 measured: spreading docs before this checkpointed shingle
+    # build ran 1.04 -> 1.38 s interleaved - reverted.)
     sh = X.shingles_df(docs, "doc_id", F.col("text")).localCheckpoint(
         eager=True
     )
@@ -522,7 +533,15 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the doc-frequency aggregate and the scoring join —
+    # lazily both re-ran the tokenize pass (3 documents scans in the
+    # r10 before-plan). Materialize the narrow (doc_id, term, tf) table
+    # once (guide §2.4; the bm25_topk precedent — same table, same fix).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     df_counts = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq")
@@ -622,7 +641,11 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-comparable speed."""
     from ..functions.dedup import minhash_lsh_pairs
 
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): shingle+md5+32-permutation
+    # mins — the memory-bandwidth-bound stage the r9 verdict flagged —
+    # otherwise runs on ONE task; doc_id keying aligns with the
+    # signature aggregate so no extra exchange appears.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     return minhash_lsh_pairs(
         docs, "doc_id", F.col("text"), threshold=0.3, family="md5perm"
     )
@@ -734,7 +757,12 @@ def _minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the full pipeline value-hashes against the DuckDB mirror."""
     from ..functions.dedup import minhash_incremental_pairs
 
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5) — the r9 verdict's one
+    # perf-weak item: the corpus-side 32-permutation signature build is
+    # memory-bandwidth-bound AND ran on one task, which is exactly the
+    # shape that amplifies host contention. Spread once before the
+    # split; both sides inherit the doc_id clustering.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     src_num = F.substring("source", 4, 10).cast("int")
     return minhash_incremental_pairs(
         docs.filter(src_num < INCR_BATCH_MIN_SRC),
@@ -841,7 +869,11 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production family is plan-identical and unit-tested."""
     from ..functions.dedup import simhash_pairs
 
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): the per-token md5 + 60
+    # bit-sum aggregate otherwise runs on ONE task (single-row-group
+    # parquet); keyed on doc_id the spread exchange doubles as the
+    # signature aggregate's clustering, so no extra shuffle appears.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     return simhash_pairs(
         docs.select("doc_id", X.tokens(F.col("text")).alias("toks")),
         "doc_id",
@@ -1584,7 +1616,10 @@ def _winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: gram hashing is a narrow map; window-min rides ONE
     (doc_id, pos) sort — no self-join; the distinct is a hash aggregate
     on (doc_id, packed_key). Text never shuffles."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): gram-hash + per-doc
+    # window-min otherwise run on ONE task; doc_id keying doubles as
+    # the window's partitioning so no extra exchange appears.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     return X.winnow_fingerprints(
         docs, "doc_id", F.col("text"), k=WIN_K, w=WIN_W, lift=WIN_LIFT
     )
@@ -1671,6 +1706,8 @@ def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: candidates are a superset by the prefix theorem;
     verification is exact integer set math."""
     docs = _docs(spark, sf_dir)
+    # (r10 measured: a pre-checkpoint spread ran 1.28 -> 1.46 s
+    # interleaved - reverted.)
     # Materialized once: four consumers (sizes, dfreq, the ranked probe,
     # sets) each re-ran the tokenize→shingle pipeline lazily — the r9
     # plan scanned documents four times. One compute + four narrow
@@ -1827,6 +1864,12 @@ def _source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("c_st"))
+        # Vocabulary-sized (source, term) counts with FOUR consumers
+        # (src_tot, corp, n_tot, the KL join) — lazily each re-ran the
+        # corpus tokenize pass (4 documents scans in the r10 before-
+        # plan). One tokenize pass + vocab-sized reads (guide §2.4;
+        # the bm25_topk tf-checkpoint precedent).
+        .localCheckpoint(eager=True)
     )
     src_tot = tf.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     corp = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
@@ -1901,8 +1944,14 @@ def _lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts so each ln-term is the identical IEEE double on both
     engines, and the sums ride DECIMAL(38,12) (the KL precedent)."""
     docs = _docs(spark, sf_dir)
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("c_ls")
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("c_ls"))
+        # |langs|×|sources| rows with FOUR consumers (lm, sm, n and the
+        # MI join) — lazily each re-ran the corpus aggregate (8
+        # documents scans in the r10 before-plan). One corpus pass +
+        # four reads of the tiny cell table (guide §2.4).
+        .localCheckpoint(eager=True)
     )
     lm = cells.groupBy("lang").agg(F.sum("c_ls").alias("c_l"))
     sm = cells.groupBy("source").agg(F.sum("c_ls").alias("c_s"))
@@ -2028,7 +2077,14 @@ def _term_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(X.tokens(F.col("text"))).alias("term")
     )
-    lt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("a"))
+    lt = (
+        toks.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+        # Vocab-sized (lang, term) cells, four consumers (lang_tot,
+        # term_tot, n, the G² join) — same §2.4 rewrite as
+        # source_kl_divergence: one corpus tokenize pass, not four.
+        .localCheckpoint(eager=True)
+    )
     lang_tot = lt.groupBy("lang").agg(F.sum("a").alias("n_l"))
     term_tot = lt.groupBy("term").agg(F.sum("a").alias("c_t"))
     n = lt.agg(F.sum("a").alias("n"))
@@ -2326,7 +2382,10 @@ def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (at 100 TB the grouping key would be xxhash64(word) —
     identical counts, digest-sized shuffle rows — kept as the raw word
     here so the oracle's grouping matches byte-for-byte)."""
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5): tokenize + (doc, word)
+    # count otherwise run on ONE task; doc_id keying aligns with both
+    # downstream aggregates.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     wc = (
         docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("w"))
         .groupBy("doc_id", "w")
