@@ -74,6 +74,16 @@ def mh_perm_constants(num_hashes: int = DEFAULT_NUM_HASHES):
     return a, b
 
 
+def _mh_hash_sql(i: int, col: str, family: str) -> str:
+    """SQL-string form of :func:`_mh_hash` (same operators, one JVM
+    parse instead of several py4j calls per hash member)."""
+    if family == "xxhash64":
+        return f"xxhash64({i}, {col})"
+    if family == "md5hex":
+        return f"md5(concat('{i}:', {col}))"
+    raise ValueError(f"unknown hash family: {family}")
+
+
 def _mh_hash(i: int, col: Column, family: str) -> Column:
     """One member of the k-hash family.
 
@@ -106,19 +116,24 @@ def minhash_signatures_df(
     (A_i·h + B_i) mod P — pure int64 arithmetic, so it is BOTH as fast
     as the xxhash64 path (one digest per shingle, k cheap mults) AND
     bit-reproducible in DuckDB for the oracle gate."""
+    # Aggregates are built as SQL strings (one JVM parse per column)
+    # rather than k × ~8 py4j Column calls: driver-side construction of
+    # the LSH queries measured 1.9-2.5 s steady-state, almost all py4j
+    # round-trips (r10; the simhash_df precedent). Same operators,
+    # same values.
     if family == "md5perm":
         a_c, b_c = mh_perm_constants(num_hashes)
         base = shingle_rows.select(
             "doc_id",
-            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("__h"),
+            F.expr(
+                "cast(conv(substring(md5(shingle), 1, 8), 16, 10)"
+                " as bigint)"
+            ).alias("__h"),
         )
         mins = base.groupBy("doc_id").agg(
             *[
-                F.min(
-                    (F.lit(a_c[i]) * F.col("__h") + F.lit(b_c[i]))
-                    % F.lit(MH_PERM_P)
+                F.expr(
+                    f"min(({a_c[i]} * __h + {b_c[i]}) % {MH_PERM_P})"
                 ).alias(f"mh{i}")
                 for i in range(num_hashes)
             ]
@@ -126,18 +141,24 @@ def minhash_signatures_df(
     else:
         mins = shingle_rows.groupBy("doc_id").agg(
             *[
-                F.min(_mh_hash(i, F.col("shingle"), family)).alias(f"mh{i}")
+                F.expr(f"min({_mh_hash_sql(i, 'shingle', family)})").alias(
+                    f"mh{i}"
+                )
                 for i in range(num_hashes)
             ]
         )
     return mins.select(
         "doc_id",
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(f"mh{i}" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
 def lsh_bands(
-    sig: Column, num_bands: int = DEFAULT_BANDS, num_hashes: int = DEFAULT_NUM_HASHES
+    sig: Column | str,
+    num_bands: int = DEFAULT_BANDS,
+    num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> Column:
     """Hash each band (contiguous signature slice) to one bucket key.
 
@@ -147,6 +168,22 @@ def lsh_bands(
     constants, so this is a flat (codegen-friendly) expression — no
     nested lambdas."""
     rows_per_band = num_hashes // num_bands
+    if isinstance(sig, str):
+        # SQL-string fast path (one JVM parse; see minhash_signatures_df
+        # note) — used by the pipeline callers, which always band a
+        # named column. 0-based array indexing via element_at(sig, i+1).
+        bands = ", ".join(
+            f"struct(cast({b} as int) as band_id, xxhash64({b}, "
+            + "concat_ws(',', "
+            + ", ".join(
+                f"cast(element_at({sig}, {b * rows_per_band + j + 1})"
+                " as string)"
+                for j in range(rows_per_band)
+            )
+            + ")) as band_hash)"
+            for b in range(num_bands)
+        )
+        return F.expr(f"array({bands})")
     return F.array(
         *[
             F.struct(
@@ -214,7 +251,7 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes)).alias("band"),
+        F.explode(lsh_bands("sig", num_bands, num_hashes)).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -266,7 +303,7 @@ def banded_signatures(
         "doc_id",
         "sig",
         F.explode(
-            lsh_bands(F.col("sig"), num_bands, num_hashes)
+            lsh_bands("sig", num_bands, num_hashes)
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_hash")
 
@@ -509,33 +546,52 @@ def simhash_df(
         h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash family: {family}")
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t")
-    ).select("doc_id", h.alias("h"))
+    # Group-then-hash (guide §2.3, do less per row): a token occurring
+    # c times in a doc contributes c·bit_b to every vote, so count
+    # (doc, token) multiplicities FIRST (a narrow map-side-combinable
+    # aggregate), then hash and bit-unpack only the DISTINCT pairs —
+    # 2.3× fewer digests and per-bit sums on the r10 corpus, identical
+    # votes by the multiset identity v_b = Σ_occ bit_b = Σ_distinct
+    # c·bit_b (exact integer arithmetic; the oracle keeps its
+    # per-occurrence form and hash-matches).
+    counted = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t")
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("doc_id", "__c", h.alias("h"))
+    )
     # Vote identity (guide §2.3, narrower per-row work): the ±1 vote sum
-    # for bit b is v_b = 2·s_b − n where s_b = Σ((h>>b)&1) and n is the
-    # token count, so summing the RAW BIT (no compare, no CASE branch
-    # per bit per row) and one shared count gives the identical
-    # fingerprint via v_b > 0  ⟺  2·s_b > n — exact integer arithmetic,
-    # bit-for-bit the same fp in both engines.
-    votes = exploded.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("__n"),
+    # for bit b is v_b = 2·s_b − n where s_b = Σ c·((h>>b)&1) and n is
+    # the token count, so summing the RAW weighted BIT (no compare, no
+    # CASE branch per bit per row) and one shared count gives the
+    # identical fingerprint via v_b > 0  ⟺  2·s_b > n — exact integer
+    # arithmetic, bit-for-bit the same fp in both engines.
+    # Expressions are built as SQL strings, ONE JVM parse each, instead
+    # of num_bits × ~8 py4j Column calls: driver-side construction of
+    # this query measured 1.8 s steady-state (64 % of its bench time)
+    # with the Column-by-Column form — py4j round-trips, not Spark
+    # work. Semantics unchanged (same operators, bit-disjoint terms so
+    # the old bitwiseOR fold equals the + fold).
+    votes = counted.groupBy("doc_id").agg(
+        F.expr("sum(__c)").alias("__n"),
         *[
-            F.sum(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            ).alias(f"v{b}")
+            F.expr(f"sum((shiftright(h, {b}) & 1) * __c)").alias(f"v{b}")
             for b in range(num_bits)
         ],
     )
-    fp = F.lit(0).cast("long")
-    for b in range(num_bits):
-        fp = fp.bitwiseOR(
-            F.when(
-                F.col(f"v{b}") * 2 > F.col("__n"),
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("doc_id", fp.alias("fp"))
+    # shiftleft, not a literal: bit 63 (the xxhash64/64-bit family) is
+    # −2^63 via shift exactly as the old bitwiseOR fold computed it; the
+    # decimal literal 2^63 would overflow BIGINT. Bits are disjoint, so
+    # the sum of shifted bits equals the old OR fold on every input.
+    fp_sql = " + ".join(
+        f"(CASE WHEN v{b} * 2 > __n "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for b in range(num_bits)
+    )
+    return votes.select("doc_id", F.expr(fp_sql).alias("fp"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
