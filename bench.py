@@ -22,7 +22,11 @@ from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gee_datapipeline_spark.session import get_spark, release_scratch  # noqa: E402
+from gee_datapipeline_spark.session import (  # noqa: E402
+    DEFAULT_CPUS,
+    get_spark,
+    release_scratch,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -579,7 +583,19 @@ EXPECTED_DELTAS = {
 
 
 
-def latest_bench_baseline() -> tuple[str, dict] | None:
+def baseline_write_allowed(run_cpus: int, existing: dict | None) -> bool:
+    """Whether a run at ``run_cpus`` may replace ``existing`` as
+    BENCH_LOCAL.json. An existing baseline is only replaceable by a run
+    at its own recorded core count; a legacy baseline with no recorded
+    cpus stays replaceable (and the replacement stamps it)."""
+    return (
+        existing is None
+        or existing.get("cpus") is None
+        or int(existing["cpus"]) == int(run_cpus)
+    )
+
+
+def latest_bench_baseline(cpus: int | None = None) -> tuple[str, dict] | None:
     """Baseline for the round-over-round regression gate.
 
     Prefers the repo-tracked BENCH_LOCAL.json (the FULL result this
@@ -588,9 +604,18 @@ def latest_bench_baseline() -> tuple[str, dict] | None:
     with ``parsed: null`` once the query map outgrows the capture
     (observed in BENCH_r04.json), which would silently disarm the gate
     — comparing every query against nothing. The driver files remain
-    the fallback for a fresh checkout that has never run bench."""
+    the fallback for a fresh checkout that has never run bench.
+
+    r11 (VERDICT r10 item 3): a capture that records a ``cpus`` count
+    different from this run's is NOT a usable baseline — the driver
+    also benches at a reduced core count to measure scaling, and its
+    8-core capture once clobbered the 32-core baseline, after which
+    every per-query drift ratio compared apples to oranges. A capture
+    with no recorded cpus (pre-r11) is accepted for compatibility."""
     import glob
 
+    if cpus is None:
+        cpus = DEFAULT_CPUS
     here = os.path.dirname(os.path.abspath(__file__))
     local = os.path.join(here, LOCAL_RESULT)
     candidates = [local] + sorted(
@@ -603,9 +628,14 @@ def latest_bench_baseline() -> tuple[str, dict] | None:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
-        # The driver records bench stdout under a "parsed" wrapper.
+        # The driver records bench stdout under a "parsed" wrapper
+        # (carrying its own top-level "cpus" from the run env).
+        wrapper_cpus = data.get("cpus")
         if "queries" not in data and isinstance(data.get("parsed"), dict):
             data = data["parsed"]
+        rec_cpus = data.get("cpus", wrapper_cpus)
+        if rec_cpus is not None and int(rec_cpus) != int(cpus):
+            continue
         if isinstance(data.get("queries"), dict) and data["queries"]:
             return os.path.basename(path), data
     return None
@@ -876,6 +906,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": parse_sf(SF_DIR),
+        # Provenance (r11, VERDICT r10 item 3): the core count this run
+        # executed at. A baseline is only comparable at the same count —
+        # the loader and the write guard both enforce it.
+        "cpus": DEFAULT_CPUS,
         # Protocol, so rounds aren't cross-compared blindly:
         # warmed session, N runs per query, min reported.
         # (BENCH_r01 used footer-only warmup + best-of-2.)
@@ -908,11 +942,31 @@ def main() -> None:
     # baseline sf0.1 runs are judged against.
     # ... and never from a subset run, which would clobber the full
     # baseline with a partial query map.
-    if result["sf"] == 0.1 and not only:
-        here = os.path.dirname(os.path.abspath(__file__))
+    # ... and never from a run at a different core count than the
+    # baseline on disk (r11, VERDICT r10 item 3: the driver's 8-core
+    # scaling run overwrote — and then committed over — the 32-core
+    # baseline; an existing baseline can only be replaced by a run at
+    # its own recorded cpus).
+    existing = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, LOCAL_RESULT)) as fh:
+            existing = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    cpus_ok = baseline_write_allowed(DEFAULT_CPUS, existing)
+    if result["sf"] == 0.1 and not only and cpus_ok:
         with open(os.path.join(here, LOCAL_RESULT), "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")
+    elif not cpus_ok:
+        print(
+            f"NOT updating {LOCAL_RESULT}: this run used cpus="
+            f"{DEFAULT_CPUS} but the baseline records cpus="
+            f"{existing.get('cpus')} — a scaling run must not become "
+            "the drift baseline",
+            file=sys.stderr,
+        )
     print(json.dumps(result))
     if regressions:
         print(f"REGRESSIONS >20%: {regressions}", file=sys.stderr)

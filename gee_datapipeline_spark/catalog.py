@@ -63,7 +63,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _source_bytes(path: str) -> int | None:
     """Total bytes under a local file/directory source; None when the
     path isn't a local filesystem object (object stores, HDFS — where
-    the guard should conservatively no-op)."""
+    the guard should conservatively no-op). Only ``*.parquet`` files
+    count inside a directory (ADVICE r10: ``_SUCCESS``/``.crc``
+    metadata would inflate the split estimate)."""
     try:
         if os.path.isfile(path):
             return os.path.getsize(path)
@@ -71,7 +73,8 @@ def _source_bytes(path: str) -> int | None:
             total = 0
             for root, _dirs, files in os.walk(path):
                 for f in files:
-                    total += os.path.getsize(os.path.join(root, f))
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
             return total
     except OSError:
         pass
@@ -127,11 +130,23 @@ def spread_scan(
 
 
 def _parse_bytes(v: str) -> int:
-    v = v.strip().lower()
-    for suf, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
-        if v.endswith(suf + "b") or v.endswith(suf):
-            return int(float(v.rstrip("b").rstrip(suf))) * mult
-    return int(v.rstrip("b"))
+    """Parse a Spark byte-size conf value. Unparseable or exotic input
+    returns the 128 MB default — the guard then behaves conservatively
+    instead of crashing plan construction (ADVICE r10)."""
+    try:
+        v = v.strip().lower()
+        for suf, mult in (
+            ("k", 1 << 10),
+            ("m", 1 << 20),
+            ("g", 1 << 30),
+            ("t", 1 << 40),
+            ("p", 1 << 50),
+        ):
+            if v.endswith(suf + "b") or v.endswith(suf):
+                return int(float(v.rstrip("b").rstrip(suf))) * mult
+        return int(v.rstrip("b"))
+    except (ValueError, AttributeError):
+        return 134217728
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -171,12 +171,14 @@ def lsh_bands(
     if isinstance(sig, str):
         # SQL-string fast path (one JVM parse; see minhash_signatures_df
         # note) — used by the pipeline callers, which always band a
-        # named column. 0-based array indexing via element_at(sig, i+1).
+        # named column. try_element_at: NULL (like the Column path's
+        # F.get) rather than an ANSI-mode error on a short signature
+        # (ADVICE r10 — both paths must degrade identically).
         bands = ", ".join(
             f"struct(cast({b} as int) as band_id, xxhash64({b}, "
             + "concat_ws(',', "
             + ", ".join(
-                f"cast(element_at({sig}, {b * rows_per_band + j + 1})"
+                f"cast(try_element_at({sig}, {b * rows_per_band + j + 1})"
                 " as string)"
                 for j in range(rows_per_band)
             )

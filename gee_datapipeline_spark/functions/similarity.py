@@ -429,66 +429,30 @@ def ivf_centroids_cached(
     exact: bool = False,
     cache_dir: str | None = None,
 ) -> DataFrame:
-    """Build-once IVF quantizer: train via :func:`ivf_centroids` the
-    first time, persist the O(n_centroids × dim) centroid table to a
-    parquet artifact keyed by a corpus fingerprint, and serve every
-    later call from that artifact.
+    """Train the IVF quantizer in-plan, every call (r11).
 
-    At 100 TB the quantizer is a *model artifact*, not a per-query
-    subplan — training costs multiple corpus scans + shuffles, while the
-    trained table is a few KB. The cache key is
-    ``(corpus fingerprint, id_col, emb_col, n_centroids, lloyd_iters,
-    exact)``; the fingerprint is one cheap aggregate scan
-    (row count + order-independent modular sum of ``xxhash64(id, emb)``)
-    so any corpus change — row added, vector edited — retrains.
-    Training in ``exact`` mode is fully deterministic, so cached and
-    fresh centroids are bit-identical and the training-inclusive oracle
-    (``ann_ivf_train``) stays valid for cached consumers too.
+    Until r10 this persisted the trained centroid table to a
+    fingerprint-keyed parquet artifact under
+    ``$SPARK_GRAFT_ARTIFACT_DIR`` and served later *processes* from it
+    — which meant the benched "serve" cost of ``ann_ivf`` /
+    ``knn_join_ivf`` excluded a training cost only the first-ever run
+    paid. The r10 verdict ruled that cross-run, test-data-keyed
+    persistence is result precomputation (gaming), so it is gone: every
+    call trains via :func:`ivf_centroids` (which ends in an eager
+    ``localCheckpoint``, so the trained table still materializes once
+    per *plan* however many consumers reference it). The fingerprint
+    scan existed only as the cache key and is gone with it — one fewer
+    corpus pass per serve.
 
-    The artifact lives on the driver-local filesystem (default
-    ``$SPARK_GRAFT_ARTIFACT_DIR`` or ``<tmp>/gee_spark_artifacts``); on
-    a real cluster point ``cache_dir`` at shared storage (s3a/hdfs) and
-    the same read-or-train logic applies. Any cache failure falls back
-    to plain training — the cache is an optimization, never a
-    correctness dependency.
+    On a real deployment the quantizer IS a persisted model artifact
+    (train once per corpus snapshot, serve many); the amortization
+    story stays visible in the separately-benched ``ann_ivf_train``.
+    ``cache_dir`` is accepted and ignored for signature compatibility.
     """
-    import hashlib
-    import os
-    import tempfile
-
-    fp_row = (
-        vectors.select(
-            F.xxhash64(F.col(id_col), F.col(emb_col)).alias("h")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        )
-        .first()
-    )
-    key = hashlib.md5(
-        f"{fp_row['n']}:{fp_row['s']}:{id_col}:{emb_col}:"
-        f"{n_centroids}:{lloyd_iters}:{exact}:v1".encode()
-    ).hexdigest()[:16]
-    root = cache_dir or os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
-    )
-    path = os.path.join(root, f"ivf_centroids_{key}.parquet")
-    spark = vectors.sparkSession
-    try:
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.parquet(path)
-    except Exception:
-        pass
-    centroids = ivf_centroids(
+    del cache_dir
+    return ivf_centroids(
         vectors, id_col, emb_col, n_centroids, lloyd_iters, exact=exact
     )
-    try:
-        centroids.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-    except Exception:
-        return centroids
 
 
 def ivf_assign(

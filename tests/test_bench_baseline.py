@@ -135,6 +135,49 @@ def test_annotation_bounds_are_enforced():
     assert not bench.delta_covered("s", 0.85, table2)
 
 
+def test_mismatched_cpus_baseline_is_skipped():
+    """VERDICT r10 item 3: the driver's 8-core scaling run must never
+    become the drift baseline for a 32-core run (and vice versa). The
+    loader skips any capture recording a different cpus count; a
+    capture with no recorded cpus (pre-r11) stays accepted."""
+    base = bench.latest_bench_baseline(cpus=32)
+    assert base is not None
+    name32, data32 = base
+    rec = data32.get("cpus")
+    if rec is None:
+        pytest.skip("current baseline predates cpus stamping")
+    assert int(rec) == 32
+    # At a different core count the 32-core local baseline must NOT be
+    # selected; whatever is returned (an old unstamped driver capture,
+    # or nothing) must not be a stamped mismatch.
+    other = bench.latest_bench_baseline(cpus=8)
+    if other is not None:
+        _, data8 = other
+        assert data8.get("cpus") in (None, 8), (
+            "loader returned a baseline stamped with a different cpus"
+        )
+        assert not (name32 == bench.LOCAL_RESULT and data8 is data32)
+
+
+def test_write_guard_refuses_mismatched_cpus():
+    """An existing baseline with cpus=32 blocks a cpus=8 run from
+    replacing it (the exact r10 incident: the driver's 8-core scaling
+    run overwrote and then committed over the 32-core baseline)."""
+    existing32 = {"cpus": 32, "queries": {"q": 1.0}}
+    assert not bench.baseline_write_allowed(8, existing32)
+    assert bench.baseline_write_allowed(32, existing32)
+    # first-ever write and legacy unstamped captures remain writable
+    assert bench.baseline_write_allowed(8, None)
+    assert bench.baseline_write_allowed(8, {"queries": {"q": 1.0}})
+    # and the shipped baseline itself is stamped, so the door is shut
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    with open(os.path.join(here, bench.LOCAL_RESULT)) as fh:
+        shipped = json.load(fh)
+    assert shipped.get("cpus") is not None, (
+        "BENCH_LOCAL.json must record its cpus or the guard is moot"
+    )
+
+
 def _git(tmp, *args):
     import subprocess
 

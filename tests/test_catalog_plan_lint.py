@@ -39,7 +39,7 @@ EXECUTING_BUILDERS = {
     "orc_roundtrip",
     "pagerank_trade_network",  # eager-checkpoints its edge table
     "ann_ivf",                 # eager-checkpoints its quantizer
-    "knn_join_ivf",            # serves the same cached quantizer artifact
+    "knn_join_ivf",            # trains the same quantizer in-plan
     "supplier_stock_value",    # eager-checkpoints the per-part aggregate
     "triangle_count",          # eager-checkpoints the deduped edge list
     "label_propagation",       # eager-checkpoints the undirected edges
@@ -143,6 +143,34 @@ def _global_windows(jplan, out):
         out.append(cls)
     for i in range(jplan.children().size()):
         _global_windows(jplan.children().apply(i), out)
+
+
+def test_no_cross_run_artifact_cache_in_package():
+    """r10 verdict item 1: no queries() path may read (or write)
+    $SPARK_GRAFT_ARTIFACT_DIR — cross-run, test-data-keyed parquet
+    artifacts are result precomputation. Enforced structurally: the
+    package source must not reference the env var or its legacy
+    default directory at all (docstrings explaining the removal live
+    in this test's history and OPTIMIZATION_r11.md)."""
+    import os
+
+    import gee_datapipeline_spark as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    hits = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            with open(p, encoding="utf-8") as fh:
+                src = fh.read()
+            for needle in ("SPARK_GRAFT_ARTIFACT_DIR", "gee_spark_artifacts"):
+                if needle in src.replace(
+                    "``$SPARK_GRAFT_ARTIFACT_DIR``", ""  # docstring history
+                ):
+                    hits.append((os.path.relpath(p, root), needle))
+    assert not hits, f"cross-run artifact dir referenced: {hits}"
 
 
 @pytest.mark.parametrize("name", LINTABLE)

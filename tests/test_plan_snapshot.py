@@ -36,9 +36,9 @@ SNAPSHOT = os.path.join(os.path.dirname(__file__), "plan_snapshot.json")
 # caches, bucketed table layouts) — bi-stable between cold and warm
 # runs, so they cannot be snapshot-pinned; their gates cover them.
 STATEFUL_PLANS = {
-    "ann_pq",                  # tmp PQ-code artifact: read-or-build
-    "pq_codes",                # same artifact, build side
-    "ann_ivf_train",           # centroid artifact read-or-train
+    # (r11: ann_pq and pq_codes moved to TRACKED — their cross-run
+    # artifact cache is gone, so both plans are deterministic now.)
+    "ann_ivf_train",           # trains (eager checkpoints) at build time
     "bucketed_join_revenue",   # bucketed warehouse tables
     "bloom_prefilter_revenue", # bloom bitmap derived via collect
     "minhash_incremental",     # persisted signature index

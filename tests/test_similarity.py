@@ -164,11 +164,12 @@ def test_cosine_zero_norm_guard(spark):
     assert assigned[1] == 1 and assigned[3] == 2
 
 
-def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
-    """The build-once quantizer artifact: (a) a second call with the
-    same corpus serves bit-identical centroids from the cache, (b) any
-    corpus change flips the fingerprint and retrains — never a stale
-    read."""
+def test_ivf_centroids_retrained_per_call_no_artifact(spark, tmp_path):
+    """r11: the cross-run quantizer artifact is gone — every call
+    trains in-plan. Exact-mode training is deterministic (repeat calls
+    bit-identical, equal to a direct ivf_centroids run) and no parquet
+    is persisted, even when a cache_dir is passed (ignored for
+    signature compatibility)."""
     import os
 
     from pyspark.sql import functions as F
@@ -187,7 +188,6 @@ def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
     first = sorted(
         ivf_centroids_cached(vecs, **kw).collect(), key=lambda r: r.cid
     )
-    assert len(os.listdir(cache)) == 1
     again = sorted(
         ivf_centroids_cached(vecs, **kw).collect(), key=lambda r: r.cid
     )
@@ -202,7 +202,11 @@ def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
     assert [(r.cid, r.c_emb) for r in fresh] == [
         (r.cid, r.c_emb) for r in first
     ]
-    # corpus change → new fingerprint, retrain (second artifact)
+    assert not os.path.exists(cache), (
+        "cache_dir must be ignored — no quantizer artifact on disk"
+    )
+    # a corpus change simply trains on the new data (no staleness
+    # possible when there is nothing cached)
     changed = vecs.withColumn(
         "embedding",
         F.when(F.col("vec_id") == 0, F.array(F.lit(9.0), F.lit(9.0),
@@ -210,7 +214,6 @@ def test_ivf_centroids_cached_hit_and_invalidation(spark, tmp_path):
         .otherwise(F.col("embedding")),
     )
     got2 = ivf_centroids_cached(changed, **kw).collect()
-    assert len(os.listdir(cache)) == 2
     assert got2  # trained successfully on the changed corpus
 
 
@@ -434,11 +437,11 @@ def test_pca_scatter_decimal_accumulator_boundary(spark):
     assert got[(1, 2)] == expect  # constant columns: same everywhere
 
 
-def test_pq_codes_cached_hit_and_invalidation(spark, tmp_path, monkeypatch):
-    """The PQ code-table artifact (same discipline as the IVF
-    quantizer cache): (a) a repeat call serves bit-identical codes from
-    parquet, (b) cached codes equal a fresh exact encode, (c) a corpus
-    change flips the fingerprint and re-encodes."""
+def test_pq_codes_rebuilt_per_call_no_artifact(spark, tmp_path, monkeypatch):
+    """r11: the cross-run PQ code artifact is gone — every call encodes
+    in-plan (deterministic, so repeat calls are bit-identical) and
+    NOTHING is written under $SPARK_GRAFT_ARTIFACT_DIR even when the
+    legacy env var points somewhere writable."""
     import os
 
     from gee_datapipeline_spark.catalog import load_table
@@ -452,15 +455,11 @@ def test_pq_codes_cached_hit_and_invalidation(spark, tmp_path, monkeypatch):
     e = load_table(spark, SF_SMOKE, "embeddings")
     key = lambda rows: sorted((r.vec_id, r.m, r.code) for r in rows)
     first = key(_pq_codes_cached(e).collect())
-    assert len(os.listdir(cache)) == 1
-    assert key(_pq_codes_cached(e).collect()) == first
-    assert len(os.listdir(cache)) == 1          # served from cache
-    assert key(_pq_code_table(e).collect()) == first  # cached == fresh
-    changed = e.filter(F.col("vec_id") != e.agg(
-        F.max("vec_id")).first()[0])
-    got2 = key(_pq_codes_cached(changed).collect())
-    assert len(os.listdir(cache)) == 2          # new fingerprint
-    assert got2 and got2 != first
+    assert key(_pq_codes_cached(e).collect()) == first  # deterministic
+    assert key(_pq_code_table(e).collect()) == first    # same encode
+    assert not os.path.exists(cache) or not os.listdir(cache), (
+        "no parquet artifact may be persisted for the PQ codes"
+    )
 
 
 # ------------------------------------------------------- kNN join (IVF)
