@@ -124,9 +124,32 @@ def spread_scan(
     mpb = _parse_bytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    if -(-bytes_ // mpb) >= target:
+    open_cost = _parse_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    )
+    # Spark's own split sizing (FilePartition.maxSplitBytes, r11): a
+    # scan packs bytes into splits of min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/defaultParallelism)) — NOT plain
+    # maxPartitionBytes (the r10 estimate), which undercounted splits
+    # by up to 32x and would have kept spreading scans that Spark
+    # already parallelizes. With the real arithmetic, a production-
+    # sized multi-row-group table (e.g. sf1.0 lineitem: 134 MB, 49 row
+    # groups → 32 productive splits) takes the no-op branch, while the
+    # single-row-group sub-MB fixtures still spread.
+    max_split = min(mpb, max(open_cost, (bytes_ + open_cost) // target))
+    if -(-bytes_ // max_split) >= target:
         return df
+    # Width floor (r11, VERDICT r10 item 2): never spread a source so
+    # wide that tasks fall under ~32 KB of input — 32 waves of near-
+    # empty tasks amplify host contention (the driver's contended
+    # 32-core run measured 2-6x inversions vs 8 cores on exactly the
+    # sub-MB spread targets) while buying no compute parallelism.
+    # Guide §2.2's "fewer, larger partitions", applied to the spread.
+    target = min(target, max(2, bytes_ // _SPREAD_MIN_TASK_BYTES))
     return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
+_SPREAD_MIN_TASK_BYTES = 32 << 10
 
 
 def _parse_bytes(v: str) -> int:

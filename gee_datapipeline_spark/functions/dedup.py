@@ -556,6 +556,15 @@ def simhash_df(
     # votes by the multiset identity v_b = Σ_occ bit_b = Σ_distinct
     # c·bit_b (exact integer arithmetic; the oracle keeps its
     # per-occurrence form and hash-matches).
+    # (r11 tried the next rung — digest each DISTINCT corpus token once
+    # (vocab table + join-back; md5 is doc-independent) instead of once
+    # per (doc, token) pair. 3 750x fewer digests on this corpus
+    # (116 231 pairs, 31-token vocab), IDENTICAL output, and still
+    # measured SLOWER: interleaved A/B min 1.19 s (this form) vs 1.76 s
+    # (vocab join) at sf0.1 — the checkpoint + distinct + join overhead
+    # exceeds the digest work it saves, and it breaks the one-exchange
+    # pipeline the doc_id spread establishes. Reverted; re-test only on
+    # a corpus whose vocabulary digest cost is actually measurable.)
     counted = (
         docs.select(
             F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("t")

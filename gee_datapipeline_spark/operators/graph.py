@@ -94,8 +94,12 @@ def connected_components(
         after_small = _symmetric(_star_round(after_large, large=False))
         cur = after_small.localCheckpoint(eager=True)
         # fixpoint: the edge set stopped changing (same count + same
-        # unordered-pair checksum; one stats job per round — the
-        # previous round's stats carry over)
+        # unordered-pair checksum). The stats read is a separate job,
+        # but it runs over the 1-partition checkpointed output (~0.2 s);
+        # folding it into the checkpoint job via observe() was tried
+        # (r11) and measured SLOWER — min 8.45 s vs 6.21 s for
+        # dedup_clusters at sf0.1 — the Observation listener's
+        # async delivery per round costs more than the tiny job saved.
         stats_next = _stats(cur)
         if stats_next == stats_prev:
             break

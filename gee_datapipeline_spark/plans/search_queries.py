@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions import text as X
 from ..functions.stable import (
     DECIMAL_FINE,
@@ -77,7 +77,14 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tf aggregate, which an inverted-index layout (postings bucketed
     by term) would amortize across queries.
     """
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5), kept on the sf1.0
+    # evidence (r11, VERDICT r10 item 6): the r10 sf0.1 A/B measured
+    # this spread a 0.67→0.88 s loss and reverted it, but at sf1.0 the
+    # tokenize+tf pass grows 10x while the exchange grows ~linearly
+    # and the revert flips — measured 4.77 s (plain) → 2.69 s (spread)
+    # min-of-3 interleaved. The guard no-ops once the source has real
+    # splits, so this costs nothing on production layouts.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("term")
     )

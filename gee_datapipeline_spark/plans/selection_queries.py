@@ -108,7 +108,13 @@ def _lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable) and the per-doc nll aggregate. No sort anywhere; the
     buckets are fixed thresholds, not percentile cuts.
     """
-    docs = _docs(spark, sf_dir)
+    # Unsplittable-input spread (guide §2.5), kept on the sf1.0
+    # evidence (r11, VERDICT r10 item 6): reverted at sf0.1 in r10
+    # (1.09→1.24 s), but at sf1.0 the bigram build dominates and the
+    # revert flips — measured 8.94 s (plain) → 3.55 s (spread)
+    # min-of-3 interleaved, the largest sf1.0 flip of the five
+    # re-tested reverts.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     toks = docs.select("doc_id", X.tokens(F.col("text")).alias("t"))
     # Empty-string guard: sequence(1, 0) is DESCENDING in Spark
     # (the bpe.chars() lesson), so gate on size >= 2.

@@ -1673,9 +1673,12 @@ def _set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter kills cross-size matches before the pair ever materializes.
     Exactness: candidates are a superset by the prefix theorem;
     verification is exact integer set math."""
-    docs = _docs(spark, sf_dir)
-    # (r10 measured: a pre-checkpoint spread ran 1.28 -> 1.46 s
-    # interleaved - reverted.)
+    # Unsplittable-input spread (guide §2.5), kept on the sf1.0
+    # evidence (r11, VERDICT r10 item 6): the r10 sf0.1 A/B measured
+    # 1.28 → 1.46 s and reverted; at sf1.0 the shingle build dominates
+    # and the revert flips — 6.87 s (plain) → 5.88 s (spread) min-of-4
+    # interleaved after deep warmup.
+    docs = spread_scan(_docs(spark, sf_dir), spark, "doc_id")
     # Materialized once: four consumers (sizes, dfreq, the ranked probe,
     # sets) each re-ran the tokenize→shingle pipeline lazily — the r9
     # plan scanned documents four times. One compute + four narrow

@@ -39,14 +39,23 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def stream_from_dir(
-    spark: SparkSession, path: str, schema: T.StructType = EVENTS_STREAM_SCHEMA
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-source stream: new parquet files under ``path`` become
     micro-batches (the test/backfill harness; production would be Kafka
-    or a cloud queue with identical downstream code)."""
+    or a cloud queue with identical downstream code).
+
+    ``max_files_per_trigger`` is the trigger-coalescing knob (guide
+    §2.2 applied to micro-batches: fewer, larger triggers): each
+    trigger carries that many files' worth of rows, so a backfill of N
+    files pays N/max triggers' fixed cost (plan + state txn + sink
+    commit) instead of N."""
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 

@@ -26,10 +26,17 @@ sys.path.insert(
 from gee_datapipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Round tag for the output directory (plans/<tag>/): r10 dumps are
+# committed history; current-round dumps default to r11.
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans",
-    "r10",
+    os.environ.get(
+        "SPARK_GRAFT_PLANS_ROOT",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "plans",
+        ),
+    ),
+    os.environ.get("SPARK_GRAFT_PLANS_TAG", "r11"),
 )
 
 
