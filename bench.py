@@ -347,6 +347,15 @@ EXPECTED_DELTAS = {
         "leakage_safe_split (solo quiet-host 6.44s vs 0.97s "
         "cached-serve)",
     },
+    "set_similarity_prefix_join": {
+        "kind": "plan-cost",
+        "adjudicated_sec": 1.95,
+        "note": "r11 scale-over-local trade (VERDICT r10 item 6): the corpus "
+        "spread reverted in r10 is KEPT on sf1.0 evidence — 6.87s -> "
+        "5.88s (0.86x) one decade up; costs ~+0.6s in the sf0.1 "
+        "full-bench context (1.224 -> 1.813 quiet-host capture). Same "
+        "class as bm25_topk",
+    },
     "bm25_topk": {
         "kind": "plan-cost",
         "adjudicated_sec": 3.0,
